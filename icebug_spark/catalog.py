@@ -1,0 +1,107 @@
+"""Star-schema catalog: loaders for the driver-generated parquet tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file per table under an sf dir.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icebug_spark.session import prepare
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prepare(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # TIMESTAMP(NANOS) arrives as raw long nanos (nanosAsLong conf);
+        # convert with integer division — double division would lose
+        # precision at 1e18 magnitudes. DuckDB truncates ns→us the same way.
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: table(spark, sf_dir, t) for t in TABLES}
+
+
+def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E(src, dst) := SELECT DISTINCT o_custkey, l_suppkey FROM orders ⋈ lineitem.
+
+    The bipartite-by-role (but overlapping-id) customer→supplier graph used
+    by the declared graph queries Q18-Q28 (SURVEY.md §2.18). The
+    orders⋈lineitem join is a plain equi-join on l_orderkey — at 100 TB
+    both sides are large, so we let Catalyst pick sort-merge + AQE; the
+    DISTINCT is a partial-aggregating shuffle on (src, dst).
+    """
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+
+
+def derived_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EW(src, dst, weight) — edge multiplicity (lineitem count) as weight."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """EU := E ∪ reverse(E) (distinct). Undirected view of a directed edge set."""
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return edges.select("src", "dst").union(rev).distinct()
+
+
+# Shared SQL fragments for the DuckDB oracle twins (the oracle has views
+# named after the tables; keep these textually identical across queries).
+E_SQL = (
+    "SELECT DISTINCT o_custkey AS src, l_suppkey AS dst "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+)
+# NB: DISTINCT-over-UNION-ALL, not bare UNION — inside WITH RECURSIVE,
+# DuckDB reinterprets "A UNION B" CTE bodies as recursive unions and skips
+# the global dedup.
+EU_SQL = (
+    f"SELECT DISTINCT src, dst FROM ("
+    f"SELECT src, dst FROM ({E_SQL}) "
+    f"UNION ALL "
+    f"SELECT dst AS src, src AS dst FROM ({E_SQL}))"
+)
+EW_SQL = (
+    "SELECT o_custkey AS src, l_suppkey AS dst, "
+    "CAST(COUNT(*) AS DOUBLE) AS weight "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+    "GROUP BY o_custkey, l_suppkey"
+)

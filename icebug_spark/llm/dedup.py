@@ -1,0 +1,178 @@
+"""Deduplication operators over the ``documents`` table.
+
+Pipeline extension (driver north-star): exact dedup, n-gram Jaccard
+near-dup, MinHash+LSH, SimHash. Exact + n-gram-Jaccard have DuckDB
+oracle twins (pure SQL-expressible); MinHash/SimHash depend on Spark's
+xxhash64 so the driver records the weaker rows-only check for them.
+
+Scale design: all variants are shuffle-bounded by the shingle/band join —
+no driver-side state, no collect. MinHash-LSH is the 100 TB path (the
+candidate-pair join keys on (band_id, band_hash), so comparisons scale
+with collisions, not with n^2); the exact n-gram join is the small-corpus
+oracle baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_tokens(col):
+    return F.split(
+        F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " "
+    )
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Group by content fingerprint → (fp, n_copies, keep_id). Groups of
+    size 1 included so the output is a full dedup manifest."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        documents.select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct word n-grams of normalized text.
+    Built-ins only (sequence/transform/element_at) — codegen'd, no UDF."""
+    toks = _norm_tokens(F.col("text"))
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        documents.where(k >= n)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs above threshold, jaccard on
+    distinct word-n-gram sets, rounded 6dp. Exact (no sketch) — the
+    oracle-checkable baseline for near-dup detection."""
+    sh = shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>): MinHash over word-n-gram shingles.
+    Hash family: xxhash64 seeded by permutation index (JVM-side)."""
+    sh = shingles(documents, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_duplicates(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, verified with exact
+    shingle Jaccard → (doc_a, doc_b, jaccard).
+
+    Bands of r = num_hashes/bands rows are hashed to buckets; pairs
+    colliding in >= 1 band become candidates (probability 1-(1-s^r)^b for
+    true similarity s). Candidates are then verified exactly, so output
+    precision is 1.0 and only recall depends on the sketch."""
+    sig = minhash_signatures(documents, n, num_hashes)
+    r = num_hashes // bands
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = band_rows.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = band_rows.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(documents, n, threshold=0.0)
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """(doc_id, simhash BIGINT): per-token 64-bit hash, bitwise majority
+    vote. Near-dups share most bits (compare via hamming distance)."""
+    tok = documents.select(
+        "doc_id", F.explode(_norm_tokens(F.col("text"))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", sim.alias("simhash"))

@@ -1,0 +1,101 @@
+"""Centrality operators: degree, PageRank, eigenvector/Katz-style loops.
+
+Parity targets: reference ``centrality/DegreeCentrality.hpp:20``,
+``centrality/PageRank.hpp:38-90`` (damping, tolerance, L1/L2 norm,
+DISTRIBUTE_SINKS handling), ``centrality/EigenvectorCentrality.hpp:20``,
+``centrality/KatzCentrality.hpp:29``, ``centrality/HarmonicCloseness.hpp:18``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from icebug_spark.plans.iterate import iterate
+
+
+def degree_centrality(edges: DataFrame, direction: str = "out") -> DataFrame:
+    """(id, degree). One groupBy — map-side combine, single shuffle."""
+    key = "src" if direction == "out" else "dst"
+    return edges.groupBy(F.col(key).alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 15,
+    distribute_sinks: bool = True,
+) -> DataFrame:
+    """PageRank over a directed edge DataFrame → ``(id, pagerank)``.
+
+    Semantics follow reference ``centrality/PageRank.hpp:49``
+    SinkHandling::DISTRIBUTE_SINKS: each iteration the aggregate rank held
+    by out-degree-0 nodes is spread uniformly, so total rank stays 1.
+
+    Scale notes: per-iteration cost is one join (ranks ⋈ edges, both
+    pre-partitioned on the join key by the shuffle of the previous round)
+    + one groupBy(dst) with partial aggregation. The edges side is loop
+    invariant — on a cluster, persist it partitioned by ``src`` so only the
+    (small) rank vector reshuffles each round. Sink sum + convergence are
+    scalar aggregations (no collect of per-node state to the driver).
+    """
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    outdeg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    # loop-invariant: node → outdeg (null ⇒ sink)
+    base = nodes.join(outdeg, "id", "left").localCheckpoint(eager=True)
+
+    ranks = base.withColumn("rank", F.lit(1.0 / n))
+
+    def step(r: DataFrame, _i: int) -> DataFrame:
+        sink_sum = (
+            r.where(F.col("outdeg").isNull()).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        ) if distribute_sinks else 0.0
+        contribs = (
+            e.join(r.select("id", "rank", "outdeg"), e.src == F.col("id"))
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        return (
+            base.join(contribs, "id", "left")
+            .select(
+                "id",
+                "outdeg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(sink_sum / n))
+                ).alias("rank"),
+            )
+        )
+
+    final = iterate(ranks, step, max_iter, converged=None, checkpoint_every=1)
+    return final.select("id", F.col("rank").alias("pagerank"))
+
+
+def harmonic_closeness_sampled(
+    edges_undirected: DataFrame, sources: list[int], max_hops: int = 10
+) -> DataFrame:
+    """Harmonic closeness restricted to a source sample
+    (reference ``centrality/HarmonicCloseness.hpp:18`` /
+    ``ApproxCloseness.hpp:22``): sum(1/dist) from multi-source BFS."""
+    from icebug_spark.operators.traversal import multi_source_bfs
+
+    dists = multi_source_bfs(edges_undirected, sources, max_hops)
+    return (
+        dists.where(F.col("dist") > 0)
+        .groupBy(F.col("source").alias("id"))
+        .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"))
+    )

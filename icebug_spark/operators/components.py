@@ -1,0 +1,81 @@
+"""Connected components via iterative min-label propagation.
+
+Parity targets: reference ``components/ConnectedComponents.hpp:24``
+(BFS-based), ``ParallelConnectedComponents.hpp:21`` (label propagation),
+``WeaklyConnectedComponents.hpp:28`` (symmetrize then CC).
+
+Algorithm ("hash-to-min" style): every node starts labeled with its own
+id; each round a node takes the min of its own label and its neighbors'
+labels; converges in O(diameter) rounds on the propagation tree. Each
+round is one shuffle (join + groupBy-min) with map-side partial
+aggregation; lineage is truncated every round via the iterate runner. At
+100 TB scale the two-phase large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce") halves round count on high-diameter
+graphs; for the low-diameter graphs here min-label is already optimal and
+avoids the extra shuffle per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from icebug_spark.plans.iterate import iterate
+
+
+def connected_components(
+    edges_undirected: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """edges_undirected: both directions present (symmetrized). Returns
+    ``(id, component)`` where component = min node id in the component."""
+    eu = edges_undirected.select("src", "dst")
+    labels = (
+        eu.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+
+    def step(lbl: DataFrame, _i: int) -> DataFrame:
+        msgs = (
+            eu.join(lbl, eu.src == lbl.id)
+            .select(F.col("dst").alias("id"), F.col("component"))
+        )
+        return (
+            lbl.select("id", "component")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        # one tiny action per round: count of nodes whose label changed
+        changed = (
+            new.alias("n")
+            .join(old.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        return changed == 0
+
+    return iterate(labels, step, max_iter, converged, checkpoint_every=1)
+
+
+def component_sizes(components: DataFrame) -> DataFrame:
+    """(component, size) — reference ComponentDecomposition surface
+    (``components/ComponentDecomposition.hpp:25``)."""
+    return components.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+
+
+def largest_connected_component(edges_undirected: DataFrame) -> DataFrame:
+    """Node set of the largest CC (reference
+    ``ConnectedComponents::extractLargestConnectedComponent``,
+    ``components/ConnectedComponents.hpp:47``)."""
+    comp = connected_components(edges_undirected)
+    top = (
+        component_sizes(comp)
+        .orderBy(F.desc("size"), F.asc("component"))
+        .limit(1)
+        .select("component")
+    )
+    return comp.join(F.broadcast(top), "component", "leftsemi").select("id")

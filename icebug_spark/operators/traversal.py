@@ -1,0 +1,129 @@
+"""BFS / SSSP via iterative frontier expansion.
+
+Parity targets: reference ``distance/BFS.hpp:20`` (unweighted SSSP),
+``distance/Dijkstra.hpp:22`` (weighted — Bellman-Ford-style relax loop in
+the bulk-synchronous model), ``distance/MultiTargetBFS.hpp:13``,
+``distance/SPSP.hpp:22`` / ``distance/APSP.hpp:23`` (multi-source).
+
+Each round joins the *frontier only* (not the full distance table) against
+edges — frontier-restricted joins keep per-round shuffle proportional to
+the wavefront, the key property for scale-out BFS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from icebug_spark.plans.iterate import iterate
+
+
+def bfs_distances(
+    edges: DataFrame, source: int, max_hops: int = 30
+) -> DataFrame:
+    """Single-source hop distances → ``(id, dist)`` (unreached omitted)."""
+    df = multi_source_bfs(edges, [source], max_hops)
+    return df.select("id", "dist")
+
+
+def multi_source_bfs(
+    edges: DataFrame, sources: list[int], max_hops: int = 30
+) -> DataFrame:
+    """Hop distances from each source → ``(source, id, dist)``.
+
+    State carries a `frontier` marker; each round expands only frontier
+    rows. The source dimension rides along in the key, so k sources cost
+    one BFS with k× state (reference APSP strategy distributed by source).
+    """
+    e = edges.select("src", "dst")
+    spark = edges.sparkSession
+    init = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sources], ["source", "id", "dist"]
+    ).withColumn("frontier", F.lit(True))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        frontier = state.where(F.col("frontier"))
+        nxt = (
+            frontier.join(e, frontier.id == e.src)
+            .select("source", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        )
+        seen = state.select("source", "id", "dist")
+        new_nodes = (
+            nxt.join(seen.select("source", "id"), ["source", "id"], "left_anti")
+            .groupBy("source", "id")
+            .agg(F.min("dist").alias("dist"))
+            .withColumn("frontier", F.lit(True))
+        )
+        return seen.withColumn("frontier", F.lit(False)).union(new_nodes)
+
+    def converged(_old: DataFrame, new: DataFrame) -> bool:
+        return new.where(F.col("frontier")).limit(1).count() == 0
+
+    final = iterate(init, step, max_hops, converged, checkpoint_every=1)
+    return final.select("source", "id", "dist")
+
+
+def sssp_weighted(
+    edges_weighted: DataFrame, source: int, max_iter: int = 30
+) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford relax rounds),
+    parity with reference Dijkstra results (``distance/Dijkstra.hpp:22``)
+    — the bulk-synchronous model has no priority queue, but converges to
+    the same distances on non-negative weights. Returns ``(id, dist)``."""
+    e = edges_weighted.select("src", "dst", "weight")
+    spark = edges_weighted.sparkSession
+    init = spark.createDataFrame([(int(source), 0.0)], ["id", "dist"]).withColumn(
+        "changed", F.lit(True)
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        active = state.where(F.col("changed"))
+        relax = (
+            active.join(e, active.id == e.src)
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("weight")).alias("nd"))
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        joined = state.select("id", "dist").join(relax, "id", "full")
+        return joined.select(
+            "id",
+            F.least(F.coalesce(F.col("dist"), F.lit(float("inf"))),
+                    F.coalesce(F.col("nd"), F.lit(float("inf")))).alias("dist"),
+            (
+                F.col("dist").isNull()
+                | (F.coalesce(F.col("nd"), F.lit(float("inf"))) < F.col("dist"))
+            ).alias("changed"),
+        )
+
+    def converged(_old: DataFrame, new: DataFrame) -> bool:
+        return new.where(F.col("changed")).limit(1).count() == 0
+
+    final = iterate(init, step, max_iter, converged, checkpoint_every=1)
+    return final.select("id", "dist")
+
+
+def k_hop_neighborhood_sizes(
+    edges: DataFrame, k: int, node_filter=None
+) -> DataFrame:
+    """|{w : dist(u,w) <= k, w != u}| per node u via k join rounds
+    (reference ``distance/Volume.hpp:20`` ball volume / Q26 2-hop sizes).
+    ``node_filter``: optional Column predicate over the start column to
+    bound output (full APSP-closure is O(n·reach))."""
+    e = edges.select("src", "dst")
+    start = e
+    if node_filter is not None:
+        start = e.where(node_filter(F.col("src")))
+    reach = start.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    frontier = reach
+    for _ in range(k - 1):
+        frontier = (
+            frontier.join(e, frontier.w == e.src)
+            .select("u", F.col("dst").alias("w"))
+            .distinct()
+        )
+        reach = reach.union(frontier).distinct()
+    return (
+        reach.where(F.col("u") != F.col("w"))
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.countDistinct("w").alias("reach"))
+    )

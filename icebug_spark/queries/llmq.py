@@ -1,0 +1,169 @@
+"""LLM-data-pipeline query entries (driver north-star extension):
+dedup, text analysis, embedding similarity over documents/embeddings.
+
+SQL-expressible ops carry DuckDB oracle twins; sketch-based ops
+(MinHash-LSH, SimHash, SRP-ANN) hash with Spark's xxhash64 and are
+rows-only checked (the exact n-gram Jaccard twin *is* their oracle
+baseline: LSH candidates ⊆ exact pairs by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icebug_spark.catalog import table
+from icebug_spark.llm import dedup, similarity, textstats
+
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_duplicates(table(spark, sf, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def text_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.text_stats(table(spark, sf, "documents"))
+
+
+def fingerprint_q(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.fingerprint(table(spark, sf, "documents"))
+
+
+def token_count_q(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.token_count_by_source(table(spark, sf, "documents"))
+
+
+TOKEN_COUNT_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM t GROUP BY source
+"""
+
+
+def lang_id_q(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.language_id(table(spark, sf, "documents"))
+
+
+def _lang_sql() -> str:
+    hits = ",\n       ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS hits_{lang}"
+        for lang, pat in textstats.LANG_PATTERNS.items()
+    )
+    langs = sorted(textstats.LANG_PATTERNS)
+    best = "GREATEST(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN best > 0 AND hits_{l} = best THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+       {hits}
+  FROM documents
+), b AS (SELECT *, {best} AS best FROM h)
+SELECT doc_id, {case} AS pred_lang, CAST(best AS BIGINT) AS stopword_hits FROM b
+"""
+
+
+def ngram_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        table(spark, sf, "documents"), n=3, threshold=0.2
+    )
+
+
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(t) - 2),
+                  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
+    FROM toks WHERE len(t) >= 3
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6)
+           AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.2
+"""
+
+
+def embedding_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.cosine_topk(
+        table(spark, sf, "embeddings"), query_filter=lambda c: c < 10, k=10
+    )
+
+
+EMBEDDING_TOPK_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, vec_id,
+         ROUND(list_dot_product(qe, e)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6)
+             AS cosine
+  FROM q CROSS JOIN base WHERE vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= 10
+"""
+
+
+def minhash_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_duplicates(
+        table(spark, sf, "documents"), n=3, num_hashes=16, bands=4, threshold=0.2
+    )
+
+
+def simhash_q(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash(table(spark, sf, "documents"))
+
+
+def ann_candidates_q(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ann_candidates(
+        table(spark, sf, "embeddings"), planes=12, min_cosine=0.3
+    )
+
+
+LLM = {
+    "llm_dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "llm_text_stats": (text_stats_q, textstats.TEXT_STATS_SQL),
+    "llm_fingerprint": (fingerprint_q, textstats.FINGERPRINT_SQL),
+    "llm_token_count_by_source": (token_count_q, TOKEN_COUNT_SQL),
+    "llm_lang_id": (lang_id_q, _lang_sql()),
+    "llm_ngram_jaccard_pairs": (ngram_jaccard_q, NGRAM_JACCARD_SQL),
+    "llm_embedding_topk": (embedding_topk_q, EMBEDDING_TOPK_SQL),
+    # sketch-based: Spark-hash dependent → rows-only oracle
+    "llm_minhash_lsh_dups": (minhash_lsh_q, None),
+    "llm_simhash": (simhash_q, None),
+    "llm_ann_candidates": (ann_candidates_q, None),
+}

@@ -1,0 +1,17 @@
+"""Assembled query registry: name → (spark_fn, oracle_sql | None)."""
+
+from __future__ import annotations
+
+from icebug_spark.queries.graphq import GRAPH
+from icebug_spark.queries.llmq import LLM
+from icebug_spark.queries.relational import RELATIONAL
+
+ALL = {**RELATIONAL, **GRAPH, **LLM}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in ALL.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in ALL.items() if sql is not None}
