@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from icebug_spark.queries.registry import ALL  # noqa: E402
+from icebug_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_filter_project",
+    "q02_groupagg_pricing",
+    "q03_join3_nation_revenue",
+    "q07_window_topn_per_customer",
+    "q08_window_running_sum",
+    "q16_events_tumbling_hour",
+    "q17_events_sessionization",
+    "q18_degrees",
+    "q21_jaccard",
+    "q24_triangle_count",
+    "q25_local_clustering",
+    "q27_assortativity",
+    "q28_connected_components",
+    "q29_pagerank",
+    "q30_bfs_from_0",
+    "llm_dedup_exact",
+    "llm_text_stats",
+    "llm_ngram_jaccard_pairs",
+    "llm_minhash_lsh_dups",
+    "llm_embedding_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("icebug-bench")
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = ALL[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # count() executes the full plan without collecting rows
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -40,16 +40,22 @@ def q01(spark: SparkSession, sf: str) -> DataFrame:
             "l_linenumber",
             "l_quantity",
             "l_extendedprice",
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
-                "disc_price"
-            ),
+            # prices are exact 2dp, discounts exact 2dp → the product is an
+            # exact integer number of 1e-4 units; integer arithmetic + one
+            # division gives bit-identical doubles in both engines (a
+            # round() on the raw double product can straddle the half-ulp
+            # boundary differently in Spark vs DuckDB).
+            (
+                units("l_extendedprice", 2) * (100 - units("l_discount", 2)) / 1e4
+            ).alias("disc_price"),
         )
     )
 
 
 Q01_SQL = """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-       ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price
+       CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+         * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / 10000.0 AS disc_price
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-06-01'
   AND l_shipdate <  TIMESTAMP '1996-06-01'

@@ -1,0 +1,107 @@
+"""Graph core + operator unit tests on hand-checkable fixtures
+(role of the reference's pytest corpus, SURVEY.md §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from icebug_spark.graph.core import Graph
+
+# g_tiny (FIXTURES.md): path 0-1-2-0 triangle, chain 3-4, isolated-ish 5-6
+TINY = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (5, 6)]
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return Graph.from_edge_list(spark, TINY, directed=False)
+
+
+def test_degrees(g):
+    deg = {r["id"]: r["degree"] for r in g.degrees().collect()}
+    assert deg == {0: 2, 1: 2, 2: 3, 3: 2, 4: 1, 5: 1, 6: 1}
+
+
+def test_transpose_roundtrip(g):
+    t2 = g.transpose().transpose()
+    assert sorted(map(tuple, t2.edges.collect())) == sorted(TINY)
+
+
+def test_from_csr(spark):
+    # 0→{1,2}, 1→{2}, 2→{}
+    g = Graph.from_csr(spark, indptr=[0, 2, 3, 3], indices=[1, 2, 2])
+    assert sorted(map(tuple, g.edges.collect())) == [(0, 1), (0, 2), (1, 2)]
+
+
+def test_subgraph(g, spark):
+    ids = spark.createDataFrame([(0,), (1,), (2,)], ["id"])
+    sub = g.subgraph(ids)
+    assert sub.number_of_edges() == 3
+
+
+def test_connected_components(g):
+    from icebug_spark.operators.components import connected_components
+
+    comp = {r["id"]: r["component"] for r in connected_components(g.symmetrized()).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5}
+
+
+def test_largest_cc(g):
+    from icebug_spark.operators.components import largest_connected_component
+
+    ids = sorted(r["id"] for r in largest_connected_component(g.symmetrized()).collect())
+    assert ids == [0, 1, 2, 3, 4]
+
+
+def test_triangle_count(g):
+    from icebug_spark.operators.triangles import triangle_count, local_clustering_coefficient
+
+    assert triangle_count(g.symmetrized()).collect()[0]["n_triangles"] == 1
+    lcc = {r["id"]: r["lcc"] for r in local_clustering_coefficient(g.symmetrized()).collect()}
+    assert lcc[0] == 1.0  # 0's neighbors {1,2} fully connected
+    assert lcc[2] == pytest.approx(1 / 3)  # {0,1,3}: 1 of 3 pairs
+
+
+def test_bfs(g):
+    from icebug_spark.operators.traversal import bfs_distances
+
+    d = {r["id"]: r["dist"] for r in bfs_distances(g.symmetrized(), 0).collect()}
+    assert d == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_sssp_weighted(spark):
+    from icebug_spark.operators.traversal import sssp_weighted
+
+    g = Graph.from_edge_list(
+        spark,
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0)],
+        directed=True,
+        weighted=True,
+    )
+    d = {r["id"]: r["dist"] for r in sssp_weighted(g.edges, 0).collect()}
+    assert d == {0: 0.0, 1: 1.0, 2: 2.0}
+
+
+def test_pagerank_sums_to_one(g):
+    from icebug_spark.operators.centrality import pagerank
+
+    pr = pagerank(g.symmetrized(), max_iter=20, distribute_sinks=True)
+    total = pr.agg(F.sum("pagerank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_kcore(g):
+    from icebug_spark.operators.kcore import k_core
+
+    ids = sorted(r["id"] for r in k_core(g.symmetrized(), 2).collect())
+    assert ids == [0, 1, 2]  # only the triangle survives 2-core peeling
+
+
+def test_jaccard(spark):
+    from icebug_spark.operators.linkpred import jaccard_index
+
+    # nodes 0,1 share nbr 10; 0 also has 11 → J(0,1) = 1/2... adj explicit
+    adj = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 10)], ["node", "nbr"]
+    )
+    rows = jaccard_index(adj).collect()
+    assert len(rows) == 1
+    assert rows[0]["jaccard"] == 0.5

@@ -1,0 +1,83 @@
+"""LLM-pipeline operator tests on synthetic in-memory documents."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),  # exact dup
+        (2, "the quick brown fox jumps over a lazy dog", "en", "s1", 41),  # near dup
+        (3, "der hund und die katze sind nicht da", "de", "s1", 36),
+        (4, "completely different text about spark engines", "en", "s2", 45),
+    ]
+    return spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def test_exact_dedup(docs):
+    from icebug_spark.llm.dedup import exact_duplicates
+
+    groups = {r["keep_id"]: r["n_copies"] for r in exact_duplicates(docs).collect()}
+    assert groups[0] == 2  # docs 0,1 identical
+    assert groups[2] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    from icebug_spark.llm.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh_recovers_exact_dup(docs):
+    from icebug_spark.llm.dedup import minhash_lsh_duplicates
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_duplicates(docs, threshold=0.9).collect()
+    }
+    assert (0, 1) in pairs
+
+
+def test_simhash_identical_for_dups(docs):
+    from icebug_spark.llm.dedup import simhash
+
+    h = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert h[0] == h[1]
+    assert h[0] != h[4]
+
+
+def test_language_id(docs):
+    from icebug_spark.llm.textstats import language_id
+
+    pred = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert pred[0] == "en"
+    assert pred[3] == "de"
+
+
+def test_text_stats(docs):
+    from icebug_spark.llm.textstats import text_stats
+
+    st = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert st[0]["n_tokens"] == 9
+    assert st[0]["n_chars_measured"] == 43
+
+
+def test_cosine_topk_self_similarity(spark):
+    from icebug_spark.llm.similarity import cosine_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0]),    # orthogonal to 0
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = cosine_topk(emb, query_filter=lambda c: c == 0, k=2).collect()
+    assert [r["vec_id"] for r in sorted(top, key=lambda r: r["rnk"])] == [1, 2]
