@@ -45,7 +45,9 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: table(spark, sf_dir, t) for t in TABLES}
 
 
-def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def derived_edges(
+    spark: SparkSession, sf_dir: str, materialize: bool = False
+) -> DataFrame:
     """E(src, dst) := SELECT DISTINCT o_custkey, l_suppkey FROM orders ⋈ lineitem.
 
     The bipartite-by-role (but overlapping-id) customer→supplier graph used
@@ -56,11 +58,19 @@ def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lineitem = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    return (
+    e = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
         .distinct()
     )
+    if materialize:
+        # E is consumed repeatedly (both union branches of symmetrize, every
+        # loop round of the iterative algorithms) — materialize once instead
+        # of re-running the orders⋈lineitem join per consumer. E is tiny
+        # relative to the fact tables (bounded by |customers|·|suppliers|),
+        # so this is the right call at 100 TB too.
+        e = e.localCheckpoint(eager=True)
+    return e
 
 
 def derived_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

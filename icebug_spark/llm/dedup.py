@@ -60,8 +60,11 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs above threshold, jaccard on
     distinct word-n-gram sets, rounded 6dp. Exact (no sketch) — the
-    oracle-checkable baseline for near-dup detection."""
-    sh = shingles(documents, n)
+    oracle-checkable baseline for near-dup detection.
+
+    The shingle table feeds three consumers (sizes + both join sides), so
+    it is materialized once instead of re-tokenizing the corpus per branch."""
+    sh = shingles(documents, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -148,12 +151,47 @@ def minhash_lsh_duplicates(
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    exact = ngram_jaccard_pairs(documents, n, threshold=0.0)
+    # Verify ONLY the candidate pairs (the whole point of LSH at scale):
+    # restrict the shingle table to docs that appear in some candidate,
+    # then compute exact Jaccard on that small subset.
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingles(documents, n).join(cand_docs, "doc_id", "leftsemi")
+    sh = sh.localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a2 = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b2 = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a2.join(b2, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(candidates, ["doc_a", "doc_b"], "leftsemi")
+    )
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 

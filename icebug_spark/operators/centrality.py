@@ -81,7 +81,7 @@ def pagerank(
             )
         )
 
-    final = iterate(ranks, step, max_iter, converged=None, checkpoint_every=1)
+    final = iterate(ranks, step, max_iter, converged=None, checkpoint_every=2)
     return final.select("id", F.col("rank").alias("pagerank"))
 
 

@@ -47,16 +47,16 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
 
-    def converged(old: DataFrame, new: DataFrame) -> bool:
-        # one tiny action per round: count of nodes whose label changed
-        changed = (
-            new.alias("n")
-            .join(old.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        return changed == 0
+    # Labels are monotone non-increasing, so the global label sum strictly
+    # decreases until fixpoint — convergence is one cheap scalar aggregate
+    # per round instead of a join against the previous state.
+    prev_sum = [None]
+
+    def converged(_old: DataFrame, new: DataFrame) -> bool:
+        s = new.agg(F.sum("component")).collect()[0][0]
+        done = s == prev_sum[0]
+        prev_sum[0] = s
+        return done
 
     return iterate(labels, step, max_iter, converged, checkpoint_every=1)
 

@@ -33,13 +33,45 @@ def canonical_edges(edges_undirected: DataFrame) -> DataFrame:
 
 
 def triangles(edges_undirected: DataFrame) -> DataFrame:
-    """All triangles as (a, b, c) with a < b < c."""
-    c = canonical_edges(edges_undirected)
-    e1 = c.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = c.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    wedges = e1.join(e2, "b").select("a", "b", "c")
-    closing = c.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    return wedges.join(closing, ["a", "c"], "leftsemi").select("a", "b", "c")
+    """All triangles as (a, b, c), each exactly once, a < b < c by id.
+
+    Degree-ordered orientation (the standard distributed algorithm): every
+    canonical edge is directed from its lower-(degree, id) endpoint to the
+    higher one, so each node's out-degree is O(sqrt(m)) and the wedge join
+    is bounded by sum(outdeg^2) ≈ m^1.5 — id-ordered orientation instead
+    explodes on hub nodes (a degree-d hub in the middle contributes
+    O(d_lo·d_hi) wedges)."""
+    c = canonical_edges(edges_undirected).localCheckpoint(eager=True)
+    deg = (
+        c.select(F.col("u").alias("id"))
+        .union(c.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        c.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dy"),
+    ).localCheckpoint(eager=True)
+    e1 = oriented.select("x", F.col("y").alias("y1"), F.col("dy").alias("dy1"))
+    e2 = oriented.select("x", F.col("y").alias("y2"), F.col("dy").alias("dy2"))
+    wedges = e1.join(e2, "x").where(
+        (F.col("dy1") < F.col("dy2"))
+        | ((F.col("dy1") == F.col("dy2")) & (F.col("y1") < F.col("y2")))
+    )
+    closing = oriented.select(F.col("y").alias("y2"), F.col("x").alias("y1"))
+    tri = wedges.join(closing, ["y1", "y2"], "leftsemi").select("x", "y1", "y2")
+    ids = F.array_sort(F.array("x", "y1", "y2"))
+    return tri.select(
+        ids[0].alias("a"), ids[1].alias("b"), ids[2].alias("c")
+    )
 
 
 def triangle_count(edges_undirected: DataFrame) -> DataFrame:
@@ -64,15 +96,18 @@ def local_clustering_coefficient(edges_undirected: DataFrame) -> DataFrame:
     """(id, lcc) for nodes with degree >= 2, lcc = 2*tri / (deg*(deg-1)).
 
     Degree = distinct-neighbor count on the symmetrized view (matches the
-    reference's simple-graph assumption)."""
+    reference's simple-graph assumption). The canonical edge set is
+    materialized once and shared by the degree and triangle passes."""
+    c = canonical_edges(edges_undirected).localCheckpoint(eager=True)
     deg = (
-        canonical_edges(edges_undirected)
-        .select(F.col("u").alias("id"))
-        .union(canonical_edges(edges_undirected).select(F.col("v").alias("id")))
+        c.select(F.col("u").alias("id"))
+        .union(c.select(F.col("v").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    tri = node_triangle_counts(edges_undirected)
+    tri = node_triangle_counts(
+        c.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
     return (
         deg.where(F.col("deg") >= 2)
         .join(tri, "id", "left")

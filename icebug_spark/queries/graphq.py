@@ -167,8 +167,10 @@ FROM deg a JOIN deg b ON a.node < b.node
 
 # Q24 — triangle count on EU (ClusteringCoefficient/TriangleEdgeScore parity).
 def q24(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf))
-    return triangles.triangle_count(eu)
+    # canonical_edges(E) ≡ canonical_edges(EU): least/greatest collapses
+    # both orientations, so the symmetrize union+distinct is skipped.
+    e = derived_edges(spark, sf, materialize=True)
+    return triangles.triangle_count(e)
 
 
 Q24_SQL = f"""
@@ -182,8 +184,8 @@ FROM c e1 JOIN c e2 ON e1.v = e2.u JOIN c e3 ON e3.u = e1.u AND e3.v = e2.v
 
 # Q25 — local clustering coefficient (LocalClusteringCoefficient parity).
 def q25(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf))
-    return triangles.local_clustering_coefficient(eu)
+    e = derived_edges(spark, sf, materialize=True)
+    return triangles.local_clustering_coefficient(e)
 
 
 Q25_SQL = f"""
@@ -215,7 +217,7 @@ WHERE deg >= 2
 
 # Q26 — 2-hop reachable-set sizes (Volume / neighborhood function parity).
 def q26(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf))
+    eu = symmetrize(derived_edges(spark, sf, materialize=True))
     return traversal.k_hop_neighborhood_sizes(eu, 2, node_filter=lambda c: c < 100)
 
 
@@ -232,7 +234,7 @@ GROUP BY u
 
 # Q27 — degree assortativity (Assortativity parity; exact integer sums).
 def q27(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf))
+    eu = symmetrize(derived_edges(spark, sf, materialize=True))
     return linkpred.degree_assortativity(eu)
 
 
@@ -259,7 +261,7 @@ FROM s
 # Q28 — connected components of EU (ConnectedComponents parity; oracle is
 # a recursive min-label propagation, engine is the iterative operator).
 def q28(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf))
+    eu = symmetrize(derived_edges(spark, sf, materialize=True))
     comp = components.connected_components(eu)
     return components.component_sizes(comp).select(
         F.col("component").alias("component_min_id"), F.col("size")
@@ -288,7 +290,7 @@ _PR_DAMP = 0.85
 
 
 def q29(spark: SparkSession, sf: str) -> DataFrame:
-    e = derived_edges(spark, sf)
+    e = derived_edges(spark, sf, materialize=True)
     pr = centrality.pagerank(e, damping=_PR_DAMP, max_iter=_PR_ITER, distribute_sinks=False)
     return pr.select("id", F.round("pagerank", 6).alias("pagerank"))
 
@@ -327,7 +329,7 @@ SELECT id, ROUND(rank, 6) AS pagerank FROM pr WHERE iter = {_PR_ITER}
 # q30 — BFS hop distances from node 0 on EU (distance/BFS.hpp parity;
 # oracle = recursive CTE min-over-paths).
 def q30(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf))
+    eu = symmetrize(derived_edges(spark, sf, materialize=True))
     d = traversal.bfs_distances(eu, source=0, max_hops=20)
     return d.select("id", F.col("dist").cast("long").alias("dist"))
 
@@ -347,7 +349,7 @@ SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM b GROUP BY id
 # peeling is not expressible as a monotone recursive CTE (it deletes), so
 # this entry has no SQL oracle: the driver records a rows-only check.
 def q31(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf))
+    eu = symmetrize(derived_edges(spark, sf, materialize=True))
     return kcore.k_core(eu, k=5).orderBy("id")
 
 
