@@ -1,0 +1,417 @@
+"""Community detection + partition quality/similarity measures.
+
+Parity targets (reference community/, 4,799 LoC):
+- PLP parallel label propagation   ``community/PLP.hpp:26,42``
+- PLM parallel Louvain             ``community/PLM.hpp:19,38-70``
+- Modularity                       ``community/Modularity.hpp:28,44``
+- Coverage / EdgeCut / Conductance ``community/Coverage.hpp:19``,
+  ``EdgeCut.hpp:18``, ``Conductance.hpp:22``
+- NMI / ARI / Jaccard partition similarity ``community/NMIDistance.hpp:21``,
+  ``AdjustedRandMeasure.hpp:12``, ``JaccardMeasure.hpp:18``
+- ClusteringGenerator              ``community/ClusteringGenerator.hpp:20``
+- PartitionIntersection            ``community/PartitionIntersection.hpp:12``
+- ParallelPartitionCoarsening      ``coarsening/ParallelPartitionCoarsening.hpp:20``
+
+The reference's PLP/PLM are nondeterministic under OpenMP thread order;
+this engine fixes deterministic tie-breaks (count desc, label asc) so
+results are reproducible — tests assert invariants (modularity quality,
+partition validity) rather than exact label equality with the reference.
+
+Partitions are DataFrames ``(id BIGINT, subset BIGINT)`` (reference
+``structures/Partition.hpp:27``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from icebug_spark.plans.iterate import iterate
+
+
+# ---------------------------------------------------------------- PLP ----
+def label_propagation(
+    edges_undirected: DataFrame, max_iter: int = 10, theta: int = 0
+) -> DataFrame:
+    """PLP: label ← mode of neighbor labels, deterministic tie-break
+    (count desc, label asc). Stops when #changes <= theta. → (id, subset).
+
+    Each round: one join (edges ⋈ labels) + one groupBy + one window — the
+    window partitions by node so it rides the same shuffle as the groupBy.
+    """
+    eu = edges_undirected.select("src", "dst")
+    labels = (
+        eu.select(F.col("src").alias("id")).distinct().withColumn("subset", F.col("id"))
+    )
+
+    changed = [None]
+
+    def step(lbl: DataFrame, _i: int) -> DataFrame:
+        neigh = (
+            eu.join(lbl.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "subset")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("subset"))
+        best = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", F.col("subset").alias("new_subset"))
+        )
+        return (
+            lbl.join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce("new_subset", "subset").alias("subset"),
+                (F.coalesce("new_subset", "subset") != F.col("subset")).alias("moved"),
+            )
+        )
+
+    def converged(_old: DataFrame, new: DataFrame) -> bool:
+        n = new.where(F.col("moved")).count()
+        changed[0] = n
+        return n <= theta
+
+    final = iterate(
+        labels.withColumn("moved", F.lit(False)), step, max_iter, converged, 1
+    )
+    return final.select("id", "subset")
+
+
+# ------------------------------------------------- PLM / Louvain ---------
+def louvain(
+    edges_undirected: DataFrame,
+    gamma: float = 1.0,
+    move_rounds: int = 8,
+    levels: int = 2,
+) -> DataFrame:
+    """Simplified parallel Louvain (PLM): synchronous local-move rounds +
+    partition coarsening, repeated over ``levels``. → (id, subset).
+
+    Local move: node v joins the neighbor community maximizing
+    ΔQ = w(v→c)/m − gamma·deg(v)·vol(c∖v)/(2m²), ties → smaller community
+    id. Moves with positive gain apply simultaneously (bulk-synchronous —
+    the reference applies them in thread order, ``community/PLM.hpp:55``).
+    Coarsening is the groupBy-aggregation the reference implements as
+    ``ParallelPartitionCoarsening``; the lazy CoarsenedGraphView is free
+    in Spark (plans are lazy until an action)."""
+    # weight column optional: default 1.0
+    e = edges_undirected
+    if "weight" not in e.columns:
+        e = e.select("src", "dst", F.lit(1.0).alias("weight"))
+    e = e.select("src", "dst", "weight").localCheckpoint(eager=True)
+
+    # mapping: original id → current community (identity at start)
+    mapping = e.select(F.col("src").alias("id")).distinct().withColumn(
+        "subset", F.col("id")
+    )
+
+    for _level in range(levels):
+        part = _local_move(e, gamma, move_rounds)
+        mapping = (
+            mapping.alias("m")
+            .join(part.alias("p"), F.col("m.subset") == F.col("p.id"))
+            .select(F.col("m.id").alias("id"), F.col("p.subset").alias("subset"))
+        )
+        mapping = mapping.localCheckpoint(eager=True)
+        # coarsen: communities become super-nodes
+        e = coarsen(e, part).localCheckpoint(eager=True)
+
+    # compact community ids densely (Partition::compact,
+    # structures/Partition.hpp — dense_rank relabel)
+    wc = Window.orderBy("subset")
+    compact = (
+        mapping.select("subset").distinct().withColumn(
+            "dense", (F.dense_rank().over(wc) - 1).cast("long")
+        )
+    )
+    return mapping.join(compact, "subset").select(
+        "id", F.col("dense").alias("subset")
+    )
+
+
+def _local_move(e: DataFrame, gamma: float, rounds: int) -> DataFrame:
+    """One Louvain level's synchronous local-move phase on weighted,
+    symmetrized-on-the-fly edges. Returns (id, subset)."""
+    eu = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
+    eu = eu.localCheckpoint(eager=True)
+    total_w = eu.agg(F.sum("weight")).collect()[0][0] or 1.0  # = 2m
+    m2 = total_w  # 2m
+    deg = eu.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("deg"))
+    labels = deg.select("id", F.col("id").alias("subset")).localCheckpoint(eager=True)
+
+    for _ in range(rounds):
+        lbl_deg = labels.join(deg, "id")
+        vol = lbl_deg.groupBy("subset").agg(F.sum("deg").alias("vol"))
+        # W(v, c): weight from v into community c
+        wvc = (
+            eu.join(labels.withColumnRenamed("id", "dst").withColumnRenamed("subset", "csub"), "dst")
+            .groupBy(F.col("src").alias("id"), "csub")
+            .agg(F.sum("weight").alias("w_to_c"))
+        )
+        cand = (
+            wvc.join(lbl_deg.select("id", "subset", "deg"), "id")
+            .join(vol.withColumnRenamed("subset", "csub").withColumnRenamed("vol", "vol_c"), "csub")
+        )
+        # vol of candidate community excluding v (if v already in it)
+        volx = F.when(
+            F.col("csub") == F.col("subset"), F.col("vol_c") - F.col("deg")
+        ).otherwise(F.col("vol_c"))
+        gain = F.col("w_to_c") / m2 - F.lit(gamma) * F.col("deg") * volx / (m2 * m2)
+        w = Window.partitionBy("id").orderBy(F.desc("gain"), F.asc("csub"))
+        best = (
+            cand.withColumn("gain", gain)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", F.col("csub").alias("best"), "gain", "subset")
+        )
+        # move only on strictly positive improvement over staying
+        stay = (
+            cand.where(F.col("csub") == F.col("subset"))
+            .select("id", F.col("w_to_c").alias("w_stay"), F.col("vol_c").alias("vol_stay"), F.col("deg").alias("d2"))
+        )
+        moved = (
+            best.join(stay, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("gain")
+                    > F.coalesce(
+                        F.col("w_stay") / m2
+                        - F.lit(gamma) * F.col("d2") * (F.col("vol_stay") - F.col("d2")) / (m2 * m2),
+                        F.lit(-1e18),
+                    ),
+                    F.col("best"),
+                ).otherwise(F.col("subset")).alias("subset"),
+            )
+        )
+        labels = moved.localCheckpoint(eager=True)
+    return labels
+
+
+def coarsen(e_weighted: DataFrame, partition: DataFrame) -> DataFrame:
+    """ParallelPartitionCoarsening: contract a partition into super-nodes,
+    summing parallel edge weights (reference
+    ``coarsening/ParallelPartitionCoarsening.hpp:20``)."""
+    p_src = partition.select(F.col("id").alias("src"), F.col("subset").alias("csrc"))
+    p_dst = partition.select(F.col("id").alias("dst"), F.col("subset").alias("cdst"))
+    return (
+        e_weighted.join(p_src, "src")
+        .join(p_dst, "dst")
+        .groupBy(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+# ---------------------------------------------- quality measures ---------
+def modularity(
+    edges_undirected: DataFrame, partition: DataFrame, gamma: float = 1.0
+) -> DataFrame:
+    """Newman modularity of a partition — single row (modularity DOUBLE,
+    rounded 6dp). Uses the symmetrized arc list (each undirected edge
+    twice): Q = Σ_c [ w_in(c)/W − gamma·(vol(c)/W)² ] with W = total arc
+    weight = 2m (reference ``community/Modularity.hpp:44``)."""
+    eu = edges_undirected.select("src", "dst")
+    p_src = partition.select(F.col("id").alias("src"), F.col("subset").alias("csrc"))
+    p_dst = partition.select(F.col("id").alias("dst"), F.col("subset").alias("cdst"))
+    j = eu.join(p_src, "src").join(p_dst, "dst")
+    tot = j.agg(
+        F.count(F.lit(1)).alias("w_all"),
+        F.sum(F.when(F.col("csrc") == F.col("cdst"), 1).otherwise(0)).alias("w_in"),
+    )
+    vol = (
+        j.groupBy("csrc")
+        .agg(F.count(F.lit(1)).alias("vol"))
+        .agg(F.sum(F.col("vol") * F.col("vol")).alias("sum_vol_sq"))
+    )
+    return tot.crossJoin(vol).select(
+        F.round(
+            F.col("w_in").cast("double") / F.col("w_all")
+            - F.lit(gamma)
+            * F.col("sum_vol_sq").cast("double")
+            / (F.col("w_all").cast("double") * F.col("w_all").cast("double")),
+            6,
+        ).alias("modularity")
+    )
+
+
+def coverage(edges_undirected: DataFrame, partition: DataFrame) -> DataFrame:
+    """Fraction of intra-community arcs (reference Coverage.hpp:19)."""
+    eu = edges_undirected.select("src", "dst")
+    p_src = partition.select(F.col("id").alias("src"), F.col("subset").alias("csrc"))
+    p_dst = partition.select(F.col("id").alias("dst"), F.col("subset").alias("cdst"))
+    return (
+        eu.join(p_src, "src")
+        .join(p_dst, "dst")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("csrc") == F.col("cdst"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage")
+        )
+    )
+
+
+def conductance_per_subset(
+    edges_undirected: DataFrame, partition: DataFrame
+) -> DataFrame:
+    """Per-subset conductance φ(S) = cut(S) / min(vol(S), vol(V∖S))
+    (reference ``community/Conductance.hpp:22``, ``scd/SetConductance.hpp``).
+    → (subset, conductance) rounded 6dp."""
+    eu = edges_undirected.select("src", "dst")
+    p_src = partition.select(F.col("id").alias("src"), F.col("subset").alias("csrc"))
+    p_dst = partition.select(F.col("id").alias("dst"), F.col("subset").alias("cdst"))
+    j = eu.join(p_src, "src").join(p_dst, "dst")
+    total = j.count()
+    per = j.groupBy(F.col("csrc").alias("subset")).agg(
+        F.count(F.lit(1)).alias("vol"),
+        F.sum(F.when(F.col("csrc") != F.col("cdst"), 1).otherwise(0)).alias("cut"),
+    )
+    return per.select(
+        "subset",
+        F.round(
+            F.col("cut").cast("double")
+            / F.least(F.col("vol"), F.lit(total) - F.col("vol")).cast("double"),
+            6,
+        ).alias("conductance"),
+    )
+
+
+def edge_cut(edges_undirected: DataFrame, partition: DataFrame) -> DataFrame:
+    """Total inter-community edge count (EdgeCut.hpp:18); arcs/2."""
+    eu = edges_undirected.select("src", "dst")
+    p_src = partition.select(F.col("id").alias("src"), F.col("subset").alias("csrc"))
+    p_dst = partition.select(F.col("id").alias("dst"), F.col("subset").alias("cdst"))
+    return (
+        eu.join(p_src, "src")
+        .join(p_dst, "dst")
+        .agg(
+            (
+                F.sum(F.when(F.col("csrc") != F.col("cdst"), 1).otherwise(0)) / 2
+            ).cast("long").alias("edge_cut")
+        )
+    )
+
+
+# ------------------------------------- partition similarity --------------
+def contingency(pa: DataFrame, pb: DataFrame) -> DataFrame:
+    """Contingency table of two partitions joined on id →
+    (subset_a, subset_b, n)."""
+    return (
+        pa.select("id", F.col("subset").alias("subset_a"))
+        .join(pb.select("id", F.col("subset").alias("subset_b")), "id")
+        .groupBy("subset_a", "subset_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def nmi(pa: DataFrame, pb: DataFrame) -> DataFrame:
+    """Normalized mutual information of two partitions — single row
+    (nmi DOUBLE, 6dp). Reference ``community/NMIDistance.hpp:21`` reports
+    the distance 1−NMI; we report NMI itself."""
+    ct = contingency(pa, pb).localCheckpoint(eager=True)
+    n = ct.agg(F.sum("n")).collect()[0][0]
+    a = ct.groupBy("subset_a").agg(F.sum("n").alias("na"))
+    b = ct.groupBy("subset_b").agg(F.sum("n").alias("nb"))
+    mi = (
+        ct.join(a, "subset_a")
+        .join(b, "subset_b")
+        .agg(
+            F.sum(
+                (F.col("n") / n)
+                * F.log(F.lit(float(n)) * F.col("n") / (F.col("na") * F.col("nb")))
+            ).alias("mi")
+        )
+    )
+    ha = a.agg((-F.sum((F.col("na") / n) * F.log(F.col("na") / F.lit(float(n))))).alias("ha"))
+    hb = b.agg((-F.sum((F.col("nb") / n) * F.log(F.col("nb") / F.lit(float(n))))).alias("hb"))
+    return (
+        mi.crossJoin(ha)
+        .crossJoin(hb)
+        .select(
+            F.round(
+                F.when(
+                    (F.col("ha") + F.col("hb")) > 0,
+                    2.0 * F.col("mi") / (F.col("ha") + F.col("hb")),
+                ).otherwise(1.0),
+                6,
+            ).alias("nmi")
+        )
+    )
+
+
+def adjusted_rand(pa: DataFrame, pb: DataFrame) -> DataFrame:
+    """Adjusted Rand index (reference AdjustedRandMeasure.hpp:12 reports
+    the distance 1−ARI). Single row (ari DOUBLE, 6dp); exact integer
+    pair-count sums feed one final double expression."""
+    ct = contingency(pa, pb).localCheckpoint(eager=True)
+    n = ct.agg(F.sum("n")).collect()[0][0]
+    sum_ij = ct.agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("s")).collect()[0][0]
+    sum_a = (
+        ct.groupBy("subset_a").agg(F.sum("n").alias("na"))
+        .agg(F.sum(F.col("na") * (F.col("na") - 1) / 2).cast("long").alias("s"))
+        .collect()[0][0]
+    )
+    sum_b = (
+        ct.groupBy("subset_b").agg(F.sum("n").alias("nb"))
+        .agg(F.sum(F.col("nb") * (F.col("nb") - 1) / 2).cast("long").alias("s"))
+        .collect()[0][0]
+    )
+    total_pairs = n * (n - 1) // 2
+    expected = sum_a * sum_b / total_pairs if total_pairs else 0.0
+    max_index = (sum_a + sum_b) / 2.0
+    denom = max_index - expected
+    ari = (sum_ij - expected) / denom if denom != 0 else 1.0
+    spark = pa.sparkSession
+    return spark.createDataFrame([(round(ari, 6),)], ["ari"])
+
+
+def rand_index(pa: DataFrame, pb: DataFrame) -> DataFrame:
+    """Plain Rand index (NodeStructuralRandMeasure.hpp:20). 6dp."""
+    ct = contingency(pa, pb).localCheckpoint(eager=True)
+    n = ct.agg(F.sum("n")).collect()[0][0]
+    s_ij = ct.agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long")).collect()[0][0]
+    s_a = (
+        ct.groupBy("subset_a").agg(F.sum("n").alias("na"))
+        .agg(F.sum(F.col("na") * (F.col("na") - 1) / 2).cast("long")).collect()[0][0]
+    )
+    s_b = (
+        ct.groupBy("subset_b").agg(F.sum("n").alias("nb"))
+        .agg(F.sum(F.col("nb") * (F.col("nb") - 1) / 2).cast("long")).collect()[0][0]
+    )
+    total = n * (n - 1) // 2
+    agree = total + 2 * s_ij - s_a - s_b
+    spark = pa.sparkSession
+    return spark.createDataFrame([(round(agree / total, 6),)], ["rand"])
+
+
+# ---------------------------------------------- generators/util ----------
+def singleton_clustering(nodes: DataFrame) -> DataFrame:
+    """ClusteringGenerator::makeSingletonClustering."""
+    return nodes.select("id", F.col("id").alias("subset"))
+
+
+def one_clustering(nodes: DataFrame) -> DataFrame:
+    """ClusteringGenerator::makeOneClustering."""
+    return nodes.select("id", F.lit(0).cast("long").alias("subset"))
+
+
+def hash_clustering(nodes: DataFrame, k: int) -> DataFrame:
+    """Deterministic k-way clustering (id mod k) — the engine's stand-in
+    for makeRandomClustering with a seeded, order-independent rule."""
+    return nodes.select("id", (F.col("id") % k).alias("subset"))
+
+
+def partition_intersection(pa: DataFrame, pb: DataFrame) -> DataFrame:
+    """PartitionIntersection.hpp:12 — dense_rank over (subset_a, subset_b)."""
+    j = (
+        pa.select("id", F.col("subset").alias("sa"))
+        .join(pb.select("id", F.col("subset").alias("sb")), "id")
+    )
+    w = Window.orderBy("sa", "sb")
+    return j.withColumn("subset", (F.dense_rank().over(w) - 1).cast("long")).select(
+        "id", "subset"
+    )

@@ -1,0 +1,134 @@
+"""Community-detection query entries on the derived graph EU.
+
+Quality/similarity measures are evaluated on deterministic hash
+partitions (subset = id % k) so the DuckDB twin is pure SQL; the
+detection algorithms themselves (PLP, Louvain) are iterative with
+engine-defined tie-breaks → rows-only checks, with quality asserted by
+unit tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icebug_spark.catalog import EU_SQL, derived_edges, symmetrize
+from icebug_spark.operators import community
+
+
+def _eu(spark: SparkSession, sf: str) -> DataFrame:
+    return symmetrize(derived_edges(spark, sf, materialize=True))
+
+
+def _nodes(eu: DataFrame) -> DataFrame:
+    return eu.select(F.col("src").alias("id")).distinct()
+
+
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    eu = _eu(spark, sf)
+    part = community.hash_clustering(_nodes(eu), 10)
+    return community.modularity(eu, part)
+
+
+Q32_SQL = f"""
+WITH eu AS ({EU_SQL}),
+j AS (SELECT src % 10 AS csrc, dst % 10 AS cdst FROM eu),
+tot AS (SELECT COUNT(*) AS w_all,
+               SUM(CASE WHEN csrc = cdst THEN 1 ELSE 0 END) AS w_in FROM j),
+vol AS (SELECT SUM(v * v) AS sum_vol_sq
+        FROM (SELECT COUNT(*) AS v FROM j GROUP BY csrc))
+SELECT ROUND(CAST(w_in AS DOUBLE) / w_all
+             - CAST(sum_vol_sq AS DOUBLE)
+               / (CAST(w_all AS DOUBLE) * CAST(w_all AS DOUBLE)), 6) AS modularity
+FROM tot CROSS JOIN vol
+"""
+
+
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    eu = _eu(spark, sf)
+    part = community.hash_clustering(_nodes(eu), 10)
+    return community.conductance_per_subset(eu, part)
+
+
+Q33_SQL = f"""
+WITH eu AS ({EU_SQL}),
+j AS (SELECT src % 10 AS csrc, dst % 10 AS cdst FROM eu),
+tot AS (SELECT COUNT(*) AS total FROM j),
+per AS (SELECT csrc AS subset, COUNT(*) AS vol,
+               SUM(CASE WHEN csrc <> cdst THEN 1 ELSE 0 END) AS cut
+        FROM j GROUP BY csrc)
+SELECT subset, ROUND(CAST(cut AS DOUBLE)
+       / CAST(LEAST(vol, total - vol) AS DOUBLE), 6) AS conductance
+FROM per CROSS JOIN tot
+"""
+
+
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    eu = _eu(spark, sf)
+    part = community.hash_clustering(_nodes(eu), 10)
+    return community.coverage(eu, part)
+
+
+Q34_SQL = f"""
+WITH eu AS ({EU_SQL}),
+j AS (SELECT src % 10 AS csrc, dst % 10 AS cdst FROM eu)
+SELECT ROUND(CAST(SUM(CASE WHEN csrc = cdst THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS coverage
+FROM j
+"""
+
+
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    eu = _eu(spark, sf)
+    nodes = _nodes(eu)
+    pa = community.hash_clustering(nodes, 10)
+    pb = community.hash_clustering(nodes, 7)
+    return community.nmi(pa, pb)
+
+
+Q35_SQL = f"""
+WITH eu AS ({EU_SQL}),
+nodes AS (SELECT DISTINCT src AS id FROM eu),
+ct AS (SELECT id % 10 AS sa, id % 7 AS sb, COUNT(*) AS n FROM nodes GROUP BY 1, 2),
+nn AS (SELECT CAST(SUM(n) AS DOUBLE) AS n FROM ct),
+a AS (SELECT sa, SUM(n) AS na FROM ct GROUP BY sa),
+b AS (SELECT sb, SUM(n) AS nb FROM ct GROUP BY sb),
+mi AS (SELECT SUM((ct.n / nn.n) * LN(nn.n * ct.n / (a.na * b.nb))) AS mi
+       FROM ct CROSS JOIN nn JOIN a USING (sa) JOIN b USING (sb)),
+ha AS (SELECT -SUM((na / nn.n) * LN(na / nn.n)) AS ha FROM a CROSS JOIN nn),
+hb AS (SELECT -SUM((nb / nn.n) * LN(nb / nn.n)) AS hb FROM b CROSS JOIN nn)
+SELECT ROUND(CASE WHEN ha + hb > 0 THEN 2.0 * mi / (ha + hb) ELSE 1.0 END, 6) AS nmi
+FROM mi CROSS JOIN ha CROSS JOIN hb
+"""
+
+
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    """PLP label propagation — rows-only (deterministic tie-breaks, but
+    the mode-of-neighbors fixpoint is not economically SQL-expressible).
+    Returns (subset, size) community size distribution."""
+    eu = _eu(spark, sf)
+    part = community.label_propagation(eu, max_iter=6)
+    return (
+        part.groupBy("subset")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), F.asc("subset"))
+    )
+
+
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    """Louvain (1 level) — rows-only; returns (n_communities, modularity)."""
+    eu = _eu(spark, sf)
+    part = community.louvain(eu, levels=1, move_rounds=4).localCheckpoint(eager=True)
+    ncomm = part.select("subset").distinct().count()
+    q = community.modularity(eu, part).collect()[0]["modularity"]
+    return spark.createDataFrame([(ncomm, float(q))], ["n_communities", "modularity"])
+
+
+COMMUNITY = {
+    "q32_modularity_hash10": (q32, Q32_SQL),
+    "q33_conductance_hash10": (q33, Q33_SQL),
+    "q34_coverage_hash10": (q34, Q34_SQL),
+    "q35_nmi_hash_partitions": (q35, Q35_SQL),
+    "q36_plp_community_sizes": (q36, None),
+    "q37_louvain_quality": (q37, None),
+}

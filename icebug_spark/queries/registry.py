@@ -2,11 +2,12 @@
 
 from __future__ import annotations
 
+from icebug_spark.queries.communityq import COMMUNITY
 from icebug_spark.queries.graphq import GRAPH
 from icebug_spark.queries.llmq import LLM
 from icebug_spark.queries.relational import RELATIONAL
 
-ALL = {**RELATIONAL, **GRAPH, **LLM}
+ALL = {**RELATIONAL, **GRAPH, **COMMUNITY, **LLM}
 
 
 def queries():
