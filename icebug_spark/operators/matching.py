@@ -1,0 +1,106 @@
+"""Matching: parallel local-max (mutual best edge) rounds.
+
+Parity targets: reference ``matching/LocalMaxMatcher.hpp:21`` (½-approx
+maximum-weight matching), ``SuitorMatcher.hpp:23`` (same approximation
+class via proposals), ``PathGrowingMatcher.hpp:23`` (sequential — the
+reference's own parallel substitute is local-max, which we implement).
+
+Round: every node points at its best incident edge (max weight, ties by
+(weight, min id, max id) — deterministic); edges chosen from both sides
+are matched; matched nodes drop out; repeat. ½-approximation guarantee,
+O(log n) expected rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def local_max_matching(
+    edges_weighted: DataFrame, max_rounds: int = 40
+) -> DataFrame:
+    """Matching as (u, v, weight) rows with u < v; input may be directed
+    rows (one per undirected edge, any orientation); weight optional."""
+    e = edges_weighted
+    if "weight" not in e.columns:
+        e = e.select("src", "dst", F.lit(1.0).alias("weight"))
+    canon = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            "weight",
+        )
+        .groupBy("u", "v")
+        .agg(F.max("weight").alias("weight"))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges_weighted.sparkSession
+    matched = []
+    for _ in range(max_rounds):
+        if canon.limit(1).count() == 0:
+            break
+        both = canon.select(F.col("u").alias("id"), "u", "v", "weight").union(
+            canon.select(F.col("v").alias("id"), "u", "v", "weight")
+        )
+        best = (
+            both.groupBy("id")
+            .agg(F.max(F.struct("weight", "u", "v")).alias("s"))
+            .select("id", F.col("s.u").alias("u"), F.col("s.v").alias("v"), F.col("s.weight").alias("weight"))
+        )
+        # an edge is matched iff it is the best edge of BOTH endpoints
+        mutual = (
+            best.groupBy("u", "v", "weight")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") == 2)
+            .select("u", "v", "weight")
+            .localCheckpoint(eager=True)
+        )
+        if mutual.limit(1).count() == 0:
+            break
+        matched.append(mutual)
+        used = mutual.select(F.col("u").alias("id")).union(
+            mutual.select(F.col("v").alias("id"))
+        ).distinct()
+        canon = (
+            canon.join(used.withColumnRenamed("id", "u"), "u", "left_anti")
+            .join(used.withColumnRenamed("id", "v"), "v", "left_anti")
+            .select("u", "v", "weight")
+            .localCheckpoint(eager=True)
+        )
+    if not matched:
+        return spark.createDataFrame([], "u long, v long, weight double")
+    out = matched[0]
+    for df in matched[1:]:
+        out = out.union(df)
+    return out
+
+
+def matching_coarsening(
+    edges_weighted: DataFrame, matching: DataFrame
+) -> DataFrame:
+    """MatchingCoarsening (``coarsening/MatchingCoarsening.hpp:21``):
+    contract matched pairs (super-node = min id of the pair), sum parallel
+    edge weights. Unmatched nodes map to themselves."""
+    e = edges_weighted
+    if "weight" not in e.columns:
+        e = e.select("src", "dst", F.lit(1.0).alias("weight"))
+    m = matching.select(
+        F.col("u").alias("id"), F.least("u", "v").alias("super")
+    ).union(matching.select(F.col("v").alias("id"), F.least("u", "v").alias("super")))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    mapping = nodes.join(m, "id", "left").select(
+        "id", F.coalesce("super", F.col("id")).alias("super")
+    )
+    return (
+        e.join(mapping.select(F.col("id").alias("src"), F.col("super").alias("csrc")), "src")
+        .join(mapping.select(F.col("id").alias("dst"), F.col("super").alias("cdst")), "dst")
+        .where(F.col("csrc") != F.col("cdst"))
+        .groupBy(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .agg(F.sum("weight").alias("weight"))
+    )

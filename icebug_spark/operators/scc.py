@@ -1,0 +1,92 @@
+"""Strongly connected components via iterative coloring (Orzan-style).
+
+Parity target: reference ``components/StronglyConnectedComponents.hpp:22``
+(sequential Tarjan). The distributed formulation: repeat
+  1. propagate max node id forward to a fixpoint → color(v)
+  2. roots r (color(r)=r) backward-search within their color class;
+     every node that reaches r inside the color = SCC(r)
+  3. remove found SCCs, repeat on the remainder
+Every color class is processed in parallel in one round; rounds are
+bounded by the longest chain of SCCs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_rounds: int = 50, max_prop: int = 50
+) -> DataFrame:
+    """(id, component) where component = max node id of the SCC."""
+    e_all = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    nodes = (
+        e_all.select(F.col("src").alias("id"))
+        .union(e_all.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = e_all.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    result = None
+
+    for _round in range(max_rounds):
+        if nodes.limit(1).count() == 0:
+            break
+        # 1. forward max-color propagation to fixpoint
+        color = nodes.withColumn("color", F.col("id")).localCheckpoint(eager=True)
+        for _ in range(max_prop):
+            msgs = e.join(color.withColumnRenamed("id", "src"), "src").select(
+                F.col("dst").alias("id"), "color"
+            )
+            new = (
+                color.select("id", "color")
+                .union(msgs)
+                .groupBy("id")
+                .agg(F.max("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            if (
+                new.agg(F.sum("color")).collect()[0][0]
+                == color.agg(F.sum("color")).collect()[0][0]
+            ):
+                color = new
+                break
+            color = new
+        # 2. backward reachability to the color root within the color class
+        ec = (
+            e.join(color.withColumnRenamed("id", "src").withColumnRenamed("color", "c1"), "src")
+            .join(color.withColumnRenamed("id", "dst").withColumnRenamed("color", "c2"), "dst")
+            .where(F.col("c1") == F.col("c2"))
+            .select("src", "dst", F.col("c1").alias("color"))
+            .localCheckpoint(eager=True)
+        )
+        scc = color.where(F.col("id") == F.col("color")).select("id", "color")
+        scc = scc.localCheckpoint(eager=True)
+        for _ in range(max_prop):
+            # grow backward: u joins if u→v for some v already in SCC(color)
+            # and color(u) == color
+            grow = (
+                ec.join(scc.withColumnRenamed("id", "dst"), ["dst", "color"])
+                .select(F.col("src").alias("id"), "color")
+                .distinct()
+            )
+            new = scc.union(grow).distinct().localCheckpoint(eager=True)
+            if new.count() == scc.count():
+                scc = new
+                break
+            scc = new
+        found = scc.select("id", F.col("color").alias("component"))
+        result = found if result is None else result.union(found)
+        result = result.localCheckpoint(eager=True)
+        # 3. peel off found SCCs
+        nodes = nodes.join(found.select("id"), "id", "left_anti").localCheckpoint(eager=True)
+        e = (
+            e.join(nodes.withColumnRenamed("id", "src"), "src", "leftsemi")
+            .join(nodes.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+    if result is None:
+        return spark.createDataFrame([], "id long, component long")
+    return result

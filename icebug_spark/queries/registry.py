@@ -6,8 +6,9 @@ from icebug_spark.queries.communityq import COMMUNITY
 from icebug_spark.queries.graphq import GRAPH
 from icebug_spark.queries.llmq import LLM
 from icebug_spark.queries.relational import RELATIONAL
+from icebug_spark.queries.structuralq import STRUCTURAL
 
-ALL = {**RELATIONAL, **GRAPH, **COMMUNITY, **LLM}
+ALL = {**RELATIONAL, **GRAPH, **COMMUNITY, **STRUCTURAL, **LLM}
 
 
 def queries():

@@ -1,0 +1,163 @@
+"""MSF / SCC / MIS / matching / GraphTools tests on exact fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from icebug_spark.graph.core import Graph
+
+
+def test_boruvka_msf_simple(spark):
+    from icebug_spark.operators.msf import boruvka_msf
+
+    # square 0-1-2-3-0 with diagonal; MST = three cheapest edges
+    edges = [
+        (0, 1, 1.0),
+        (1, 2, 2.0),
+        (2, 3, 1.0),
+        (0, 3, 4.0),
+        (0, 2, 5.0),
+    ]
+    g = Graph.from_edge_list(spark, edges, directed=False, weighted=True)
+    msf = sorted(map(tuple, boruvka_msf(g.edges).collect()))
+    assert msf == [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 1.0)]
+    total = sum(w for _, _, w in msf)
+    assert total == 4.0
+
+
+def test_boruvka_msf_disconnected(spark):
+    from icebug_spark.operators.msf import boruvka_msf
+
+    edges = [(0, 1, 1.0), (2, 3, 2.0)]
+    g = Graph.from_edge_list(spark, edges, directed=False, weighted=True)
+    msf = sorted(map(tuple, boruvka_msf(g.edges).collect()))
+    assert msf == [(0, 1, 1.0), (2, 3, 2.0)]
+
+
+def test_maximum_spanning_forest(spark):
+    from icebug_spark.operators.msf import boruvka_msf
+
+    edges = [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 5.0)]
+    g = Graph.from_edge_list(spark, edges, directed=False, weighted=True)
+    msf = sorted(map(tuple, boruvka_msf(g.edges, maximum=True).collect()))
+    assert msf == [(0, 2, 5.0), (1, 2, 2.0)]
+
+
+def test_scc(spark):
+    from icebug_spark.operators.scc import strongly_connected_components
+
+    # cycle 0→1→2→0, chain 2→3→4, cycle 3→4→3? make: 3⇄4, isolated arc 5→0
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (5, 0)]
+    g = Graph.from_edge_list(spark, edges, directed=True)
+    comp = {r["id"]: r["component"] for r in strongly_connected_components(g.edges).collect()}
+    assert comp[0] == comp[1] == comp[2]
+    assert comp[3] == comp[4]
+    assert comp[0] != comp[3]
+    assert comp[5] not in (comp[0], comp[3])
+
+
+def test_luby_mis(spark):
+    from icebug_spark.operators.independent import luby_mis
+
+    # path 0-1-2-3-4
+    edges = [(i, i + 1) for i in range(4)]
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    mis = sorted(r["id"] for r in luby_mis(g.symmetrized()).collect())
+    # independence
+    s = set(mis)
+    for u, v in edges:
+        assert not (u in s and v in s)
+    # maximality: every non-member has a member neighbor
+    for v in range(5):
+        if v not in s:
+            assert any(
+                (u in s) for u in [v - 1, v + 1] if 0 <= u <= 4
+            )
+
+
+def test_local_max_matching(spark):
+    from icebug_spark.operators.matching import local_max_matching
+
+    # path with weights: 0-1 (3), 1-2 (1), 2-3 (3) → matches {0-1, 2-3}
+    edges = [(0, 1, 3.0), (1, 2, 1.0), (2, 3, 3.0)]
+    g = Graph.from_edge_list(spark, edges, directed=False, weighted=True)
+    m = sorted((r["u"], r["v"]) for r in local_max_matching(g.edges).collect())
+    assert m == [(0, 1), (2, 3)]
+
+
+def test_matching_is_valid(spark):
+    from icebug_spark.operators.matching import local_max_matching
+
+    edges = [(a, b, float((a * 7 + b) % 5 + 1)) for a in range(10) for b in range(a + 1, 10) if (a + b) % 3 == 0]
+    g = Graph.from_edge_list(spark, edges, directed=False, weighted=True)
+    m = local_max_matching(g.edges).collect()
+    seen = set()
+    for r in m:
+        assert r["u"] not in seen and r["v"] not in seen
+        seen.add(r["u"])
+        seen.add(r["v"])
+
+
+def test_matching_coarsening(spark):
+    from icebug_spark.operators.matching import local_max_matching, matching_coarsening
+
+    edges = [(0, 1, 3.0), (1, 2, 1.0), (2, 3, 3.0)]
+    g = Graph.from_edge_list(spark, edges, directed=False, weighted=True)
+    m = local_max_matching(g.edges)
+    c = {(r["src"], r["dst"]): r["weight"] for r in matching_coarsening(g.edges, m).collect()}
+    # super-nodes 0 (={0,1}) and 2 (={2,3}); edge 1-2 becomes 0→2 weight 1
+    assert c == {(0, 2): 1.0}
+
+
+def test_topological_sort(spark):
+    from icebug_spark.graph.tools import topological_sort
+
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]
+    g = Graph.from_edge_list(spark, edges, directed=True)
+    layers = {r["id"]: r["layer"] for r in topological_sort(g).collect()}
+    for u, v in edges:
+        assert layers[u] < layers[v]
+
+
+def test_topological_sort_cycle_raises(spark):
+    from icebug_spark.graph.tools import topological_sort
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 0)], directed=True)
+    with pytest.raises(ValueError, match="cycle"):
+        topological_sort(g)
+
+
+def test_is_bipartite(spark):
+    from icebug_spark.graph.tools import is_bipartite
+
+    even_cycle = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3), (3, 0)], directed=False)
+    assert is_bipartite(even_cycle) is True
+    odd_cycle = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 0)], directed=False)
+    assert is_bipartite(odd_cycle) is False
+
+
+def test_compact_and_restore(spark):
+    from icebug_spark.graph.tools import compact_node_ids, restore_graph
+
+    g = Graph.from_edge_list(spark, [(10, 20), (20, 30)], directed=True)
+    gc, mapping = compact_node_ids(g)
+    assert sorted(map(tuple, gc.edges.collect())) == [(0, 1), (1, 2)]
+    gr = restore_graph(gc, mapping)
+    assert sorted(map(tuple, gr.edges.collect())) == [(10, 20), (20, 30)]
+
+
+def test_append_graphs(spark):
+    from icebug_spark.graph.tools import append_graph
+
+    a = Graph.from_edge_list(spark, [(0, 1)], directed=False)
+    b = Graph.from_edge_list(spark, [(0, 1)], directed=False)
+    ab = append_graph(a, b)
+    assert sorted(map(tuple, ab.edges.collect())) == [(0, 1), (2, 3)]
+
+
+def test_random_nodes_deterministic(spark):
+    from icebug_spark.graph.tools import random_nodes
+
+    g = Graph.from_edge_list(spark, [(i, i + 1) for i in range(20)], directed=False)
+    a = sorted(r["id"] for r in random_nodes(g, 5, seed=1).collect())
+    b = sorted(r["id"] for r in random_nodes(g, 5, seed=1).collect())
+    assert a == b and len(a) == 5
