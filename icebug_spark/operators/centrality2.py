@@ -1,0 +1,238 @@
+"""Centrality family, part 2: Katz, eigenvector, Sfigality, Laplacian,
+sampled closeness, sampled betweenness (Brandes), core numbers.
+
+Parity targets: reference ``centrality/KatzCentrality.hpp:29``,
+``EigenvectorCentrality.hpp:20``, ``Sfigality.hpp:20``,
+``LaplacianCentrality.hpp:24``, ``Closeness.hpp:29`` /
+``ApproxCloseness.hpp:22``, ``Betweenness.hpp:18`` /
+``EstimateBetweenness.hpp:23``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from icebug_spark.plans.iterate import iterate
+
+
+def katz_centrality(
+    edges: DataFrame, alpha: float = 0.1, beta: float = 1.0, max_iter: int = 10
+) -> DataFrame:
+    """Katz: x ← α·Aᵀx + β iterated a fixed number of rounds (reference
+    KatzCentrality.hpp:29 runs to tolerance; fixed rounds keep the DuckDB
+    oracle expressible). Scores not normalized. → (id, katz) 6dp."""
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    x = nodes.withColumn("katz", F.lit(float(beta)))
+
+    def step(cur: DataFrame, _i: int) -> DataFrame:
+        contrib = (
+            e.join(cur.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("katz").alias("c"))
+        )
+        return nodes.join(contrib, "id", "left").select(
+            "id",
+            (F.lit(float(beta)) + F.lit(alpha) * F.coalesce("c", F.lit(0.0))).alias("katz"),
+        )
+
+    final = iterate(x, step, max_iter, None, checkpoint_every=2)
+    return final.select("id", F.round("katz", 6).alias("katz"))
+
+
+def eigenvector_centrality(
+    edges_undirected: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Shifted power iteration y = (A + I)x with L2 normalization each
+    round (reference EigenvectorCentrality.hpp:20 uses plain power
+    iteration, which oscillates on bipartite graphs; the +I shift keeps
+    the same principal eigenvector and always converges). →
+    (id, eigen) 6dp."""
+    eu = edges_undirected.select("src", "dst")
+    nodes = eu.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    x = nodes.withColumn("v", F.lit(1.0))
+    for _ in range(max_iter):
+        nb = (
+            eu.join(x.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("v").alias("nbsum"))
+        )
+        y = x.join(nb, "id", "left").select(
+            "id", (F.col("v") + F.coalesce("nbsum", F.lit(0.0))).alias("y")
+        )
+        norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y")))).collect()[0][0] or 1.0
+        x = y.select("id", (F.col("y") / norm).alias("v")).localCheckpoint(eager=True)
+    return x.select("id", F.round("v", 6).alias("eigen"))
+
+
+def sfigality(edges_undirected: DataFrame) -> DataFrame:
+    """Fraction of neighbors with strictly higher degree (reference
+    Sfigality.hpp:20). → (id, sfigality) 6dp."""
+    eu = edges_undirected.select("src", "dst")
+    deg = eu.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    j = (
+        eu.join(deg.select(F.col("id").alias("src"), F.col("deg").alias("ds")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("dd")), "dst")
+    )
+    return j.groupBy(F.col("src").alias("id")).agg(
+        F.round(
+            F.sum(F.when(F.col("dd") > F.col("ds"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("sfigality")
+    )
+
+
+def laplacian_centrality(edges_weighted_undirected: DataFrame) -> DataFrame:
+    """Laplacian centrality via the local formula (reference
+    LaplacianCentrality.hpp:24): for unweighted graphs the energy drop of
+    removing v is d(v)² + d(v) + 2·Σ_{u∈N(v)} d(u). → (id, lap) exact
+    BIGINT arithmetic."""
+    eu = edges_weighted_undirected.select("src", "dst")
+    deg = eu.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    nb_deg = (
+        eu.join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("dd")), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("dd").alias("sum_nd"))
+    )
+    return deg.join(nb_deg, "id", "left").select(
+        "id",
+        (
+            F.col("deg") * F.col("deg")
+            + F.col("deg")
+            + 2 * F.coalesce("sum_nd", F.lit(0))
+        ).alias("lap"),
+    )
+
+
+def closeness_sampled(
+    edges_undirected: DataFrame, sources: list[int], max_hops: int = 20
+) -> DataFrame:
+    """Closeness 1/avg(dist) for a source sample (reference
+    Closeness.hpp:29 standard variant on the reachable set). →
+    (id, closeness) 6dp."""
+    from icebug_spark.operators.traversal import multi_source_bfs
+
+    d = multi_source_bfs(edges_undirected, sources, max_hops)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy(F.col("source").alias("id"))
+        .agg(
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("dist"),
+                6,
+            ).alias("closeness")
+        )
+    )
+
+
+def betweenness_sampled(
+    edges_undirected: DataFrame, sources: list[int], max_hops: int = 20
+) -> DataFrame:
+    """Brandes dependency accumulation from a set of source nodes
+    (reference Betweenness.hpp:18 exact = all sources;
+    EstimateBetweenness.hpp:23 = sampled sources, unscaled partial sums).
+
+    Forward: multi-source BFS levels + σ path counts (one join round per
+    level). Backward: walk levels from deepest to 0 accumulating
+    δ(v) = Σ_{w: succ} σ(v)/σ(w) · (1 + δ(w)). Everything is joins keyed
+    on (source, node); the per-level loop count is the graph diameter.
+    → (id, betweenness) 6dp (endpoints excluded, each pair counted once
+    per direction as in the standard undirected convention)."""
+    eu = edges_undirected.select("src", "dst").localCheckpoint(eager=True)
+    spark = edges_undirected.sparkSession
+    init = spark.createDataFrame(
+        [(int(s), int(s), 0, 1.0) for s in sources], ["source", "id", "dist", "sigma"]
+    ).localCheckpoint(eager=True)
+
+    levels = [init]
+    frontier = init
+    for _h in range(max_hops):
+        nxt = (
+            frontier.join(eu, frontier.id == eu.src)
+            .select("source", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"), "sigma")
+        )
+        seen = None
+        # union of all previous levels (ids only) for the visited filter
+        for lv in levels:
+            s = lv.select("source", "id")
+            seen = s if seen is None else seen.union(s)
+        new = (
+            nxt.join(seen, ["source", "id"], "left_anti")
+            .groupBy("source", "id", "dist")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            break
+        levels.append(new)
+        frontier = new
+
+    # backward accumulation level by level
+    all_nodes = levels[0]
+    for lv in levels[1:]:
+        all_nodes = all_nodes.union(lv)
+    all_nodes = all_nodes.localCheckpoint(eager=True)
+
+    delta = None  # (source, id, delta)
+    acc = []
+    for h in range(len(levels) - 1, 0, -1):
+        cur = levels[h].withColumnRenamed("sigma", "sigma_w")
+        if delta is not None:
+            cur = cur.join(delta, ["source", "id"], "left").select(
+                "source", "id", "dist", "sigma_w",
+                F.coalesce("delta", F.lit(0.0)).alias("delta"),
+            )
+        else:
+            cur = cur.withColumn("delta", F.lit(0.0))
+        cur = cur.select(
+            F.col("source").alias("wsource"),
+            F.col("id").alias("wid"),
+            "sigma_w",
+            "delta",
+        )
+        prev = levels[h - 1].select(
+            F.col("source").alias("psource"),
+            F.col("id").alias("pid"),
+            F.col("sigma").alias("sigma_v"),
+        )
+        # predecessors: edge (pid → wid) one level down, same source
+        contrib = (
+            cur.join(eu, cur.wid == eu.dst)
+            .join(
+                prev,
+                (F.col("src") == F.col("pid"))
+                & (F.col("psource") == F.col("wsource")),
+            )
+            .select(
+                F.col("psource").alias("source"),
+                F.col("pid").alias("id"),
+                (
+                    (F.col("sigma_v") / F.col("sigma_w"))
+                    * (F.lit(1.0) + F.col("delta"))
+                ).alias("c"),
+            )
+            .groupBy("source", "id")
+            .agg(F.sum("c").alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        acc.append(contrib)
+        delta = contrib
+
+    if not acc:
+        return spark.createDataFrame([], "id long, betweenness double")
+    deltas = acc[0]
+    for d in acc[1:]:
+        deltas = deltas.union(d)
+    # exclude the source itself; sum over sources
+    return (
+        deltas.where(F.col("id") != F.col("source"))
+        .groupBy("id")
+        .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
+    )

@@ -1,0 +1,198 @@
+"""Centrality & distance query entries q42-q51 on the derived graph.
+
+Katz / eccentricity / closeness / diameter / effective diameter get
+recursive-CTE DuckDB oracles; Sfigality and Laplacian centrality are
+plain SQL. Betweenness, eigenvector, and algebraic distance are
+rows-only (per-level float accumulation / normalization isn't worth
+oracle-encoding) and are golden-tested on fixtures instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icebug_spark.catalog import E_SQL, EU_SQL, derived_edges, symmetrize
+from icebug_spark.operators import centrality2, distances
+
+_KATZ_ALPHA = 0.05
+_KATZ_ITER = 8
+_SAMPLE_CAP = 20  # BFS-based per-source queries use sources id < cap
+
+
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    e = derived_edges(spark, sf, materialize=True)
+    return centrality2.katz_centrality(e, alpha=_KATZ_ALPHA, max_iter=_KATZ_ITER)
+
+
+Q42_SQL = f"""
+WITH RECURSIVE e AS ({E_SQL}),
+nodes AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+k(iter, id, katz) AS (
+  SELECT 0, id, CAST(1.0 AS DOUBLE) FROM nodes
+  UNION ALL
+  SELECT it.iter + 1, n.id, 1.0 + {_KATZ_ALPHA} * COALESCE(c.s, 0.0)
+  FROM (SELECT DISTINCT iter FROM k WHERE iter < {_KATZ_ITER}) it
+  CROSS JOIN nodes n
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(k2.katz) AS s
+    FROM k k2 JOIN e ON e.src = k2.id WHERE k2.iter < {_KATZ_ITER}
+    GROUP BY e.dst
+  ) c ON c.id = n.id
+)
+SELECT id, ROUND(katz, 6) AS katz FROM k WHERE iter = {_KATZ_ITER}
+"""
+
+
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    return centrality2.sfigality(eu)
+
+
+Q43_SQL = f"""
+WITH eu AS ({EU_SQL}),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM eu GROUP BY src)
+SELECT eu.src AS id,
+       ROUND(CAST(SUM(CASE WHEN dd.deg > ds.deg THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS sfigality
+FROM eu JOIN deg ds ON ds.id = eu.src JOIN deg dd ON dd.id = eu.dst
+GROUP BY eu.src
+"""
+
+
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    return centrality2.laplacian_centrality(eu)
+
+
+Q44_SQL = f"""
+WITH eu AS ({EU_SQL}),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM eu GROUP BY src),
+nb AS (SELECT eu.src AS id, SUM(dd.deg) AS sum_nd
+       FROM eu JOIN deg dd ON dd.id = eu.dst GROUP BY eu.src)
+SELECT deg.id, deg.deg * deg.deg + deg.deg + 2 * COALESCE(nb.sum_nd, 0) AS lap
+FROM deg LEFT JOIN nb ON nb.id = deg.id
+"""
+
+
+_MSBFS_SQL = f"""
+b(s, id, dist) AS (
+  SELECT id, id, 0 FROM nodes WHERE id < {_SAMPLE_CAP}
+  UNION
+  SELECT b.s, eu.dst, b.dist + 1
+  FROM b JOIN eu ON eu.src = b.id WHERE b.dist < 20
+),
+d AS (SELECT s, id, MIN(dist) AS dist FROM b GROUP BY s, id)
+"""
+
+
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    return distances.eccentricity(eu, list(range(_SAMPLE_CAP)))
+
+
+Q45_SQL = f"""
+WITH RECURSIVE eu AS ({EU_SQL}),
+nodes AS (SELECT DISTINCT src AS id FROM eu),
+{_MSBFS_SQL}
+SELECT s AS id, MAX(dist) AS eccentricity FROM d GROUP BY s
+"""
+
+
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    return centrality2.closeness_sampled(eu, list(range(_SAMPLE_CAP)))
+
+
+Q46_SQL = f"""
+WITH RECURSIVE eu AS ({EU_SQL}),
+nodes AS (SELECT DISTINCT src AS id FROM eu),
+{_MSBFS_SQL}
+SELECT s AS id, ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(dist), 6) AS closeness
+FROM d WHERE dist > 0 GROUP BY s
+"""
+
+
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    return distances.diameter_double_sweep(eu, start=0)
+
+
+Q47_SQL = f"""
+WITH RECURSIVE eu AS ({EU_SQL}),
+b1(id, dist) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT eu.dst, b1.dist + 1 FROM b1 JOIN eu ON eu.src = b1.id WHERE b1.dist < 20
+),
+d1 AS (SELECT id, MIN(dist) AS dist FROM b1 GROUP BY id),
+far AS (SELECT id FROM d1 ORDER BY dist DESC, id LIMIT 1),
+b2(id, dist) AS (
+  SELECT (SELECT id FROM far), 0
+  UNION
+  SELECT eu.dst, b2.dist + 1 FROM b2 JOIN eu ON eu.src = b2.id WHERE b2.dist < 20
+),
+d2 AS (SELECT id, MIN(dist) AS dist FROM b2 GROUP BY id)
+SELECT CAST(MAX(dist) AS BIGINT) AS diameter_lb FROM d2
+"""
+
+
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    """Brandes betweenness from sampled sources — rows-only (golden-tested
+    on fixtures; per-level float accumulation not oracle-encoded)."""
+    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    return centrality2.betweenness_sampled(eu, list(range(8)))
+
+
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    """Eigenvector centrality — rows-only (global L2 normalization each
+    round; golden-tested)."""
+    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    return centrality2.eigenvector_centrality(eu, max_iter=15)
+
+
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    return distances.effective_diameter(
+        eu, list(range(_SAMPLE_CAP)), ratio=0.9, max_h=8
+    )
+
+
+Q50_SQL = f"""
+WITH RECURSIVE eu AS ({EU_SQL}),
+nodes AS (SELECT DISTINCT src AS id FROM eu),
+b(s, id, dist) AS (
+  SELECT id, id, 0 FROM nodes WHERE id < {_SAMPLE_CAP}
+  UNION
+  SELECT b.s, eu.dst, b.dist + 1
+  FROM b JOIN eu ON eu.src = b.id WHERE b.dist < 8
+),
+d AS (SELECT s, id, MIN(dist) AS dist FROM b GROUP BY s, id),
+nf AS (SELECT h, COUNT(*) AS n_pairs
+       FROM range(1, 9) t(h) JOIN d ON d.dist <= t.h AND d.dist > 0
+       GROUP BY h),
+tot AS (SELECT MAX(n_pairs) AS total FROM nf)
+SELECT CAST(MIN(h) AS BIGINT) AS effective_diameter
+FROM nf CROSS JOIN tot WHERE n_pairs >= 0.9 * total
+"""
+
+
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    """Algebraic distance per edge — rows-only (hash-seeded init)."""
+    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    return distances.algebraic_distance(eu, n_systems=2, rounds=3)
+
+
+CENTRAL = {
+    "q42_katz": (q42, Q42_SQL),
+    "q43_sfigality": (q43, Q43_SQL),
+    "q44_laplacian_centrality": (q44, Q44_SQL),
+    "q45_eccentricity_sample": (q45, Q45_SQL),
+    "q46_closeness_sample": (q46, Q46_SQL),
+    "q47_diameter_double_sweep": (q47, Q47_SQL),
+    "q48_betweenness_sample": (q48, None),
+    "q49_eigenvector": (q49, None),
+    "q50_effective_diameter": (q50, Q50_SQL),
+    "q51_algebraic_distance": (q51, None),
+}

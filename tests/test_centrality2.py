@@ -1,0 +1,110 @@
+"""Centrality part-2 tests with hand-computed goldens."""
+
+import pytest
+
+from icebug_spark.graph.core import Graph
+
+
+def test_betweenness_path(spark):
+    from icebug_spark.operators.centrality2 import betweenness_sampled
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3)], directed=False)
+    b = {r["id"]: r["betweenness"] for r in betweenness_sampled(g.symmetrized(), [0, 1, 2, 3]).collect()}
+    # interior nodes lie on 2 unordered pairs each → 4 ordered (s,t) pairs
+    assert b[1] == 4.0 and b[2] == 4.0
+    assert b.get(0, 0.0) == 0.0 and b.get(3, 0.0) == 0.0
+
+
+def test_betweenness_diamond_splits_paths(spark):
+    from icebug_spark.operators.centrality2 import betweenness_sampled
+
+    g = Graph.from_edge_list(spark, [(0, 1), (0, 2), (1, 3), (2, 3)], directed=False)
+    b = {r["id"]: r["betweenness"] for r in betweenness_sampled(g.symmetrized(), [0, 1, 2, 3]).collect()}
+    # two shortest 0-3 paths split the dependency: 0.5 per direction each
+    assert b[1] == pytest.approx(1.0)
+    assert b[2] == pytest.approx(1.0)
+
+
+def test_katz_star(spark):
+    from icebug_spark.operators.centrality2 import katz_centrality
+
+    # star: leaves point at center 0
+    g = Graph.from_edge_list(spark, [(i, 0) for i in range(1, 5)], directed=True)
+    k = {r["id"]: r["katz"] for r in katz_centrality(g.edges, alpha=0.1, max_iter=10).collect()}
+    assert k[0] == pytest.approx(1.4, abs=1e-6)  # 1 + α·4 (leaves stay at 1)
+    assert k[1] == 1.0
+
+
+def test_eigenvector_star(spark):
+    from icebug_spark.operators.centrality2 import eigenvector_centrality
+
+    g = Graph.from_edge_list(spark, [(0, i) for i in range(1, 5)], directed=False)
+    v = {r["id"]: r["eigen"] for r in eigenvector_centrality(g.symmetrized(), 30).collect()}
+    # star eigenvector: center 1/sqrt(2), leaves 1/(2*sqrt(2))
+    assert v[0] == pytest.approx(0.707107, abs=1e-4)
+    assert v[1] == pytest.approx(0.353553, abs=1e-4)
+
+
+def test_sfigality(spark):
+    from icebug_spark.operators.centrality2 import sfigality
+
+    g = Graph.from_edge_list(spark, [(0, 1), (0, 2), (1, 2), (2, 3)], directed=False)
+    s = {r["id"]: r["sfigality"] for r in sfigality(g.symmetrized()).collect()}
+    # degrees: 0:2, 1:2, 2:3, 3:1 → node 3: 1/1 neighbors higher; node 2: 0
+    assert s[3] == 1.0
+    assert s[2] == 0.0
+    assert s[0] == 0.5  # neighbors 1 (eq), 2 (higher)
+
+
+def test_laplacian_centrality(spark):
+    from icebug_spark.operators.centrality2 import laplacian_centrality
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2)], directed=False)
+    lap = {r["id"]: r["lap"] for r in laplacian_centrality(g.symmetrized()).collect()}
+    # center: d=2 → 4+2+2*(1+1)=10; leaf: 1+1+2*2=6
+    assert lap[1] == 10
+    assert lap[0] == 6
+
+
+def test_closeness_path(spark):
+    from icebug_spark.operators.centrality2 import closeness_sampled
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3)], directed=False)
+    c = {r["id"]: r["closeness"] for r in closeness_sampled(g.symmetrized(), [0, 1]).collect()}
+    assert c[0] == pytest.approx(3 / 6, abs=1e-6)  # dists 1,2,3
+    assert c[1] == pytest.approx(3 / 4, abs=1e-6)  # dists 1,1,2
+
+
+def test_diameter_double_sweep(spark):
+    from icebug_spark.operators.distances import diameter_double_sweep
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3), (3, 4)], directed=False)
+    assert diameter_double_sweep(g.symmetrized(), 2).collect()[0]["diameter_lb"] == 4
+
+
+def test_eccentricity(spark):
+    from icebug_spark.operators.distances import eccentricity
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3)], directed=False)
+    e = {r["id"]: r["eccentricity"] for r in eccentricity(g.symmetrized(), [0, 1]).collect()}
+    assert e[0] == 3 and e[1] == 2
+
+
+def test_effective_diameter(spark):
+    from icebug_spark.operators.distances import effective_diameter
+
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3)], directed=False)
+    ed = effective_diameter(g.symmetrized(), [0, 1, 2, 3], ratio=0.9, max_h=5).collect()[0]
+    assert ed["effective_diameter"] == 3  # 0.9 of 12 pairs needs h=3
+
+
+def test_algebraic_distance_bridge_is_far(spark):
+    from icebug_spark.operators.distances import algebraic_distance
+
+    # two triangles + bridge: bridge endpoints should be algebraically
+    # farther apart than intra-triangle pairs on average
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    d = {(r["src"], r["dst"]): r["alg_dist"] for r in algebraic_distance(g.symmetrized(), rounds=8).collect()}
+    intra = (d[(0, 1)] + d[(0, 2)] + d[(1, 2)]) / 3
+    assert d[(2, 3)] > intra
