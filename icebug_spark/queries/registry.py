@@ -4,12 +4,14 @@ from __future__ import annotations
 
 from icebug_spark.queries.centralq import CENTRAL
 from icebug_spark.queries.communityq import COMMUNITY
+from icebug_spark.queries.edgescoreq import EDGESCORE
 from icebug_spark.queries.graphq import GRAPH
 from icebug_spark.queries.llmq import LLM
 from icebug_spark.queries.relational import RELATIONAL
+from icebug_spark.queries.scdq import SCD
 from icebug_spark.queries.structuralq import STRUCTURAL
 
-ALL = {**RELATIONAL, **GRAPH, **COMMUNITY, **STRUCTURAL, **CENTRAL, **LLM}
+ALL = {**RELATIONAL, **GRAPH, **COMMUNITY, **STRUCTURAL, **CENTRAL, **LLM, **EDGESCORE, **SCD}
 
 
 def queries():
