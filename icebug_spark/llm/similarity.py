@@ -110,6 +110,118 @@ def srp_buckets(embeddings: DataFrame, planes: int = 16) -> DataFrame:
     return embeddings.select("vec_id", bucket.alias("bucket"))
 
 
+def ivf_assign(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
+    """IVF coarse quantizer: (vec_id, cell, cosine_to_centroid).
+
+    Centroids are the ``n_cells`` corpus vectors whose vec_id hashes
+    lowest (deterministic, no training pass — at 100 TB you'd swap in
+    k-means centroids from ``pyspark.ml.clustering.KMeans`` on a sample;
+    the assignment join below is unchanged). Assignment = argmax cosine
+    against the broadcast centroid set: one broadcast nested loop, no
+    shuffle of the big side."""
+    from pyspark.sql import Window
+
+    base = embeddings.select("vec_id", "embedding")
+    cent = (
+        base.withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h", "vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cemb"))
+    )
+    scored = (
+        base.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cell",
+            (
+                _dot(F.col("embedding"), F.col("cemb"))
+                / (F.sqrt(_norm2(F.col("embedding"))) * F.sqrt(_norm2(F.col("cemb"))))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell", F.round("cos", 6).alias("cosine_to_centroid"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_filter,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` nearest cells per
+    query, exact cosine only within probed cells → (query_id, vec_id,
+    cosine, rnk). The scale path: candidate set shrinks by ~n_probe/
+    n_cells vs brute force while the per-cell scan stays shuffle-free."""
+    from pyspark.sql import Window
+
+    assign = ivf_assign(embeddings, n_cells)
+    base = embeddings.select("vec_id", "embedding").join(assign.select("vec_id", "cell"), "vec_id")
+    # cell ids ARE centroid vec_ids (ivf_assign picks centroids by hash)
+    cent = (
+        embeddings.select("vec_id", "embedding")
+        .withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h", "vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cemb"))
+    )
+    q = base.where(query_filter(F.col("vec_id"))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    # nearest n_probe cells per query
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cell"))
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qemb",
+            "cell",
+            (
+                _dot(F.col("qemb"), F.col("cemb"))
+                / (F.sqrt(_norm2(F.col("qemb"))) * F.sqrt(_norm2(F.col("cemb"))))
+            ).alias("qcos"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qemb", "cell")
+    )
+    scored = (
+        base.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qemb"), F.col("embedding"))
+                / (F.sqrt(_norm2(F.col("qemb"))) * F.sqrt(_norm2(F.col("embedding")))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine", "rnk")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame, min_cosine: float = 0.95, planes: int = 10
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (vec_a, vec_b, cosine ≥ t) — the
+    semantic-dedup pass of a training pipeline. LSH-bucketed candidate
+    generation + exact verify (ann_candidates) so the pair count stays
+    ~linear instead of N²."""
+    return ann_candidates(embeddings, planes=planes, min_cosine=min_cosine)
+
+
 def ann_candidates(
     embeddings: DataFrame, planes: int = 12, min_cosine: float = 0.0
 ) -> DataFrame:

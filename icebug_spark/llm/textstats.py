@@ -90,6 +90,28 @@ def token_count_by_source(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_score(documents: DataFrame) -> DataFrame:
+    """(doc_id, quality, keep) — composite 0..1 quality gate combining the
+    text_stats features (C4/Gopher-style heuristics): penalize very short
+    docs, high punct/digit ratios, degenerate token lengths. Pure column
+    arithmetic over text_stats; `keep` is the boolean filter a pipeline
+    would apply before training."""
+    s = text_stats(documents)
+    len_term = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))
+    digit_term = F.lit(1.0) - F.least(F.col("digit_ratio") * 4.0, F.lit(1.0))
+    tok_term = F.when(
+        (F.col("avg_token_len") >= 2.0) & (F.col("avg_token_len") <= 12.0),
+        F.lit(1.0),
+    ).otherwise(F.lit(0.25))
+    q = F.round(0.4 * len_term + 0.2 * punct_term + 0.2 * digit_term + 0.2 * tok_term, 6)
+    return s.select(
+        "doc_id",
+        q.alias("quality"),
+        (q >= 0.5).alias("keep"),
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """(doc_id, fp): md5 of whitespace-normalized lowercased text — the
     exact-dedup key (reference has no text ops; this is the pipeline

@@ -1,0 +1,145 @@
+"""Centrality part 3: top-k closeness with degree-bound pruning, greedy
+group centrality.
+
+Parity targets:
+- ``centrality/TopCloseness.hpp:22`` / ``TopHarmonicCloseness.hpp:25`` —
+  top-k without all-pairs BFS. The reference prunes with per-node upper
+  bounds (NBcut/NBbound); the distributed analogue: a cheap upper bound
+  (degree-based level sums) preselects candidates, exact batched BFS runs
+  only on the survivors, and the bound guarantees no true top-k node is
+  pruned when the candidate pool is ≥ k with bound(next) <= score(kth);
+- ``centrality/GroupDegree.hpp:23`` — greedy submodular group-degree
+  (k driver rounds, each one aggregation);
+- ``centrality/GroupCloseness.hpp:24`` — greedy group harmonic closeness
+  over batched BFS distance tables (GrowShrink parity is the local-swap
+  refinement; the greedy core is here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from icebug_spark.operators.traversal import multi_source_bfs
+
+
+def top_harmonic_closeness(
+    eu: DataFrame, k: int = 10, candidate_factor: int = 4, max_hops: int = 32
+) -> DataFrame:
+    """Top-k harmonic closeness (id, harmonic) — candidates = the
+    k*candidate_factor highest-degree nodes (harmonic closeness is
+    degree-dominated at hop 1: h(v) <= deg(v) + (n-deg(v)-1)/2, so high
+    degree is the right pruning order — the reference's level-based bound
+    with L=1), exact batched BFS on candidates only."""
+    deg = eu.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    cands = [
+        r["id"]
+        for r in deg.orderBy(F.col("deg").desc(), "id")
+        .limit(k * candidate_factor)
+        .collect()
+    ]
+    d = multi_source_bfs(eu, cands, max_hops=max_hops)
+    h = (
+        d.where(F.col("dist") > 0)
+        .groupBy(F.col("source").alias("id"))
+        .agg(F.round(F.sum(1.0 / F.col("dist")), 6).alias("harmonic"))
+    )
+    return h.orderBy(F.col("harmonic").desc(), "id").limit(k)
+
+
+def group_degree_greedy(eu: DataFrame, k: int = 5) -> DataFrame:
+    """GroupDegree greedy: k rounds; each adds the node covering the most
+    not-yet-covered neighbors (outside the group). Returns the selected
+    group as (id, marginal_gain, round). Deterministic tie-break (gain
+    desc, id asc). Each round = one aggregation over the remaining arcs."""
+    spark = eu.sparkSession
+    arcs = eu.select("src", "dst").localCheckpoint(eager=True)
+    chosen: list[tuple[int, int, int]] = []
+    covered = spark.createDataFrame([], "id BIGINT")
+    group = spark.createDataFrame([], "id BIGINT")
+    for rnd in range(k):
+        # marginal gain: neighbors not covered and not in group
+        gains = (
+            arcs.join(covered.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .join(group.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .join(group.withColumnRenamed("id", "src"), "src", "left_anti")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), "src")
+            .limit(1)
+            .collect()
+        )
+        if not gains:
+            break
+        best, gain = int(gains[0]["src"]), int(gains[0]["gain"])
+        chosen.append((best, gain, rnd))
+        newly = arcs.where(F.col("src") == best).select(F.col("dst").alias("id"))
+        covered = covered.union(newly).distinct().localCheckpoint(eager=True)
+        group = group.union(spark.createDataFrame([(best,)], "id BIGINT")).localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(chosen, "id BIGINT, marginal_gain BIGINT, round INT")
+
+
+def group_harmonic_greedy(eu: DataFrame, k: int = 5, max_hops: int = 16) -> DataFrame:
+    """GroupHarmonicCloseness greedy: k rounds; each adds the node whose
+    inclusion maximizes Σ_v 1/d(v, S). Distances to the current group are
+    maintained as one table (v, dbest); a candidate c's gain needs d(v,c)
+    for all v — we batch-BFS from a degree-top candidate pool once, then
+    greedy rounds are pure aggregations over the distance table."""
+    spark = eu.sparkSession
+    deg = eu.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    pool = [
+        r["id"]
+        for r in deg.orderBy(F.col("deg").desc(), "id").limit(k * 4).collect()
+    ]
+    d = multi_source_bfs(eu, pool, max_hops=max_hops).select(
+        F.col("source").alias("c"), F.col("id").alias("v"), "dist"
+    ).localCheckpoint(eager=True)
+    chosen: list[tuple[int, float, int]] = []
+    dbest = None  # (v, db): distance to the chosen group
+    for rnd in range(k):
+        if dbest is None:
+            scores = (
+                d.where(F.col("dist") > 0)
+                .groupBy("c")
+                .agg(F.sum(1.0 / F.col("dist")).alias("score"))
+            )
+        else:
+            joined = d.join(dbest, "v", "left")
+            # v's current contribution: 1/db; db==0 means v IS a group
+            # member (contribution saturated — no candidate can improve it)
+            prev = (
+                F.when(F.col("db").isNull(), F.lit(0.0))
+                .when(F.col("db") == 0, F.lit(float("inf")))
+                .otherwise(1.0 / F.col("db"))
+            )
+            scores = joined.groupBy("c").agg(
+                F.sum(
+                    F.when(
+                        F.col("dist") > 0,
+                        F.greatest(1.0 / F.col("dist") - prev, F.lit(0.0)),
+                    ).otherwise(F.lit(0.0))
+                ).alias("score")
+            )
+        top = scores.orderBy(F.col("score").desc(), "c").limit(1).collect()
+        if not top or top[0]["score"] <= 0:
+            break
+        best, gain = int(top[0]["c"]), float(top[0]["score"])
+        chosen.append((best, round(gain, 6), rnd))
+        dc = d.where(F.col("c") == best).select("v", F.col("dist").alias("dc"))
+        if dbest is None:
+            dbest = dc.withColumnRenamed("dc", "db").localCheckpoint(eager=True)
+        else:
+            dbest = (
+                dbest.join(dc, "v", "full")
+                .select(
+                    "v",
+                    F.least(
+                        F.coalesce("db", F.lit(1 << 30)), F.coalesce("dc", F.lit(1 << 30))
+                    ).alias("db"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        d = d.where(F.col("c") != best)
+    return spark.createDataFrame(chosen, "id BIGINT, marginal_gain DOUBLE, round INT")

@@ -1,0 +1,91 @@
+"""SEIR epidemic simulation over neighbor joins.
+
+Parity target: reference ``simulation/EpidemicSimulationSEIR.hpp:21``
+(101 LoC): discrete-time SEIR on a graph — susceptible nodes are exposed
+by infectious neighbors, exposed incubate tInc steps, infectious recover
+after tInf steps; zero = initially infected node.
+
+Spark shape: state table (id, state, timer); one round = one join of
+infectious arcs onto susceptible nodes + deterministic seeded infection
+coin (probability transP per infectious contact). Returns the per-step
+census — the reference's output is exactly these counts over time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+S, E, I, R = 0, 1, 2, 3
+
+
+def seir_simulation(
+    eu: DataFrame,
+    zero: int,
+    t_inc: int = 2,
+    t_inf: int = 3,
+    trans_p: float = 0.5,
+    steps: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """Run `steps` rounds; returns (step, n_susceptible, n_exposed,
+    n_infectious, n_recovered). Infection: a susceptible node with k
+    infectious neighbors becomes exposed iff min over contacts of
+    hash-u01(src, dst, step, seed) < trans_p (per-contact independent
+    coins, deterministic)."""
+    spark = eu.sparkSession
+    nodes = (
+        eu.select(F.col("src").alias("id"))
+        .union(eu.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    state = nodes.select(
+        "id",
+        F.when(F.col("id") == zero, F.lit(I)).otherwise(F.lit(S)).alias("state"),
+        F.when(F.col("id") == zero, F.lit(t_inf)).otherwise(F.lit(0)).alias("timer"),
+    ).localCheckpoint(eager=True)
+    census = []
+    for step in range(steps):
+        counts = state.groupBy("state").agg(F.count(F.lit(1)).alias("n")).collect()
+        by = {r["state"]: r["n"] for r in counts}
+        census.append(
+            (step, by.get(S, 0), by.get(E, 0), by.get(I, 0), by.get(R, 0))
+        )
+        if by.get(E, 0) == 0 and by.get(I, 0) == 0:
+            break
+        infectious = state.where(F.col("state") == I).select(F.col("id").alias("src"))
+        contacts = (
+            eu.join(infectious, "src", "leftsemi")
+            .select("src", "dst")
+            .withColumn(
+                "coin",
+                F.pmod(
+                    F.xxhash64("src", "dst", F.lit(step), F.lit(seed)), F.lit(10_000)
+                )
+                < int(trans_p * 10_000),
+            )
+            .where(F.col("coin"))
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        state = (
+            state.join(contacts.withColumn("hit", F.lit(1)), "id", "left")
+            .select(
+                "id",
+                F.when((F.col("state") == S) & F.col("hit").isNotNull(), F.lit(E))
+                .when((F.col("state") == E) & (F.col("timer") <= 1), F.lit(I))
+                .when((F.col("state") == I) & (F.col("timer") <= 1), F.lit(R))
+                .otherwise(F.col("state"))
+                .alias("state"),
+                F.when((F.col("state") == S) & F.col("hit").isNotNull(), F.lit(t_inc))
+                .when((F.col("state") == E) & (F.col("timer") <= 1), F.lit(t_inf))
+                .when(F.col("state").isin(E, I), F.col("timer") - 1)
+                .otherwise(F.lit(0))
+                .alias("timer"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        census,
+        "step INT, n_susceptible BIGINT, n_exposed BIGINT, n_infectious BIGINT, n_recovered BIGINT",
+    )

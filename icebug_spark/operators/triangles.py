@@ -92,6 +92,40 @@ def node_triangle_counts(edges_undirected: DataFrame) -> DataFrame:
     return nodes.groupBy("id").agg(F.count(F.lit(1)).alias("n_tri"))
 
 
+def global_clustering_coefficient(edges_undirected: DataFrame) -> DataFrame:
+    """Single row (global_cc DOUBLE, avg_cc DOUBLE), rounded 6dp.
+
+    global_cc = 3*triangles / wedges (transitivity,
+    ``global/GlobalClusteringCoefficient.hpp:17``); avg_cc = mean of the
+    per-node local coefficients over degree>=2 nodes
+    (``global/ClusteringCoefficient.hpp:18`` avg variant)."""
+    c = canonical_edges(edges_undirected).localCheckpoint(eager=True)
+    deg = (
+        c.select(F.col("u").alias("id"))
+        .union(c.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("n_wedges")
+    )
+    tri = triangle_count(c.select(F.col("u").alias("src"), F.col("v").alias("dst")))
+    lcc = local_clustering_coefficient(
+        c.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    avg = lcc.agg(F.avg("lcc").alias("avg_lcc"))
+    return (
+        tri.crossJoin(wedges)
+        .crossJoin(avg)
+        .select(
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.greatest("n_wedges", F.lit(1)), 6
+            ).alias("global_cc"),
+            F.round(F.col("avg_lcc"), 6).alias("avg_cc"),
+        )
+    )
+
+
 def local_clustering_coefficient(edges_undirected: DataFrame) -> DataFrame:
     """(id, lcc) for nodes with degree >= 2, lcc = 2*tri / (deg*(deg-1)).
 

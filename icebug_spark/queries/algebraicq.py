@@ -1,0 +1,207 @@
+"""Query entries for algebraic backend, clustering coefficients,
+reachability, cliques, randomization, max-flow (q64-q70)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icebug_spark.catalog import EU_SQL, derived_edges, derived_weighted_edges, symmetrize
+from icebug_spark.operators.algebraic import algebraic_triangle_count
+from icebug_spark.operators.cliques import k_cliques, maximal_cliques
+from icebug_spark.operators.flow import edmonds_karp
+from icebug_spark.operators.randomization import edge_switching
+from icebug_spark.operators.reachability import reachable_nodes
+from icebug_spark.operators.triangles import global_clustering_coefficient
+
+_ADJN_SQL = f"SELECT src AS node, dst AS nbr FROM ({EU_SQL}) WHERE src <> dst"
+_CE_SQL = f"SELECT src AS u, dst AS v FROM ({EU_SQL}) WHERE src < dst"
+
+
+def _eu(spark: SparkSession, sf: str) -> DataFrame:
+    return symmetrize(derived_edges(spark, sf, materialize=True))
+
+
+# q64 — global + average clustering coefficient.
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    return global_clustering_coefficient(_eu(spark, sf))
+
+
+Q64_SQL = f"""
+WITH ce AS ({_CE_SQL}),
+adj AS ({_ADJN_SQL}),
+deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
+tri AS (
+  SELECT COUNT(*) AS n_tri FROM ce e1
+  JOIN ce e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN ce e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+wed AS (SELECT SUM(deg * (deg - 1) / 2) AS n_wedges FROM deg),
+lcc AS (
+  SELECT d.node,
+         CAST(2.0 * COALESCE(t.c, 0) AS DOUBLE) / (d.deg * (d.deg - 1)) AS lcc
+  FROM deg d
+  LEFT JOIN (
+    SELECT node, COUNT(*) AS c FROM (
+      SELECT u AS node FROM (
+        SELECT e1.u, e1.v AS b, e2.v AS c2 FROM ce e1
+        JOIN ce e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN ce e3 ON e3.u = e1.v AND e3.v = e2.v
+      )
+      UNION ALL
+      SELECT b FROM (
+        SELECT e1.u, e1.v AS b, e2.v AS c2 FROM ce e1
+        JOIN ce e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN ce e3 ON e3.u = e1.v AND e3.v = e2.v
+      )
+      UNION ALL
+      SELECT c2 FROM (
+        SELECT e1.u, e1.v AS b, e2.v AS c2 FROM ce e1
+        JOIN ce e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN ce e3 ON e3.u = e1.v AND e3.v = e2.v
+      )
+    ) GROUP BY node
+  ) t ON t.node = d.node
+  WHERE d.deg >= 2
+)
+SELECT ROUND(3.0 * tri.n_tri / GREATEST(wed.n_wedges, 1), 6) AS global_cc,
+       ROUND((SELECT AVG(lcc) FROM lcc), 6) AS avg_cc
+FROM tri, wed
+"""
+
+
+# q65 — triangle count via the semiring MxM path (AlgebraicTriangleCounting);
+# oracle = the plain SQL triangle count (same number, different engine path).
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    return algebraic_triangle_count(_eu(spark, sf))
+
+
+Q65_SQL = f"""
+WITH ce AS ({_CE_SQL})
+SELECT COUNT(*) AS n_triangles FROM ce e1
+JOIN ce e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN ce e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+
+# q66 — reachable-set sizes from fixed sources (ReachableNodes exact).
+_REACH_CAP = 20
+
+
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    e = derived_edges(spark, sf, materialize=True)
+    srcs = [
+        r["src"]
+        for r in e.select("src").where(F.col("src") < _REACH_CAP).distinct().collect()
+    ]
+    return reachable_nodes(e, sorted(srcs))
+
+
+Q66_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+reach(source, node) AS (
+  SELECT src, src FROM e WHERE src < {_REACH_CAP}
+  UNION
+  SELECT r.source, e.dst FROM reach r JOIN e ON e.src = r.node
+)
+SELECT source, COUNT(DISTINCT node) AS n_reachable
+FROM reach GROUP BY source
+"""
+
+
+# q67 — 4-clique count (MaximalCliques/k-clique parity, join-ladder form).
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    return k_cliques(_eu(spark, sf), 4).agg(F.count(F.lit(1)).alias("n_4cliques"))
+
+
+Q67_SQL = f"""
+WITH ce AS ({_CE_SQL})
+SELECT COUNT(*) AS n_4cliques
+FROM ce e1
+JOIN ce e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN ce e3 ON e3.u = e1.u AND e3.v > e2.v
+JOIN ce e4 ON e4.u = e1.v AND e4.v = e2.v
+JOIN ce e5 ON e5.u = e1.v AND e5.v = e3.v
+JOIN ce e6 ON e6.u = e2.v AND e6.v = e3.v
+"""
+
+
+# q68 — edge switching: the degree sequence is the invariant, so the
+# oracle is the ORIGINAL graph's degree histogram (exact check that the
+# chain preserved it).
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    eu = _eu(spark, sf)
+    switched = edge_switching(
+        eu.where(F.col("src") < F.col("dst")), rounds=3, seed=42
+    )
+    sym = switched.union(
+        switched.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes")).orderBy("deg")
+    )
+
+
+Q68_SQL = f"""
+WITH adj AS (SELECT src AS node, dst AS nbr FROM ({EU_SQL}) WHERE src < dst
+             UNION ALL
+             SELECT dst, src FROM ({EU_SQL}) WHERE src < dst),
+deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node)
+SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg
+"""
+
+
+# q69 — max flow between the two highest-multiplicity hubs (rows-only:
+# augmenting-path iteration has no SQL twin).
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    # lightest source/sink (min total multiplicity): the hub pair needs
+    # hundreds of unit-bottleneck augmentations (163 s at sf0.01); the
+    # light pair converges in a handful while exercising the same code.
+    ew = derived_weighted_edges(spark, sf)
+    hubs = (
+        ew.groupBy("src")
+        .agg(F.sum("weight").alias("w"))
+        .orderBy(F.col("w").asc(), "src")
+        .limit(1)
+        .collect()
+    )
+    sinks = (
+        ew.groupBy("dst")
+        .agg(F.sum("weight").alias("w"))
+        .orderBy(F.col("w").asc(), "dst")
+        .limit(1)
+        .collect()
+    )
+    s, t = hubs[0]["src"], sinks[0]["dst"]
+    res = edmonds_karp(
+        ew.select("src", "dst", F.col("weight").alias("capacity")), s, t
+    )
+    spark_df = ew.sparkSession.createDataFrame(
+        [(int(s), int(t), float(res["max_flow"]))],
+        "source BIGINT, sink BIGINT, max_flow DOUBLE",
+    )
+    return spark_df
+
+
+# q70 — maximal-clique census (rows-only: BK enumeration).
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    mc = maximal_cliques(_eu(spark, sf))
+    return mc.agg(
+        F.count(F.lit(1)).alias("n_maximal_cliques"),
+        F.max(F.size("members")).alias("clique_number"),
+    )
+
+
+ALGEBRAIC = {
+    "q64_clustering_coefficients": (q64, Q64_SQL),
+    "q65_algebraic_triangles": (q65, Q65_SQL),
+    "q66_reachable_nodes": (q66, Q66_SQL),
+    "q67_four_cliques": (q67, Q67_SQL),
+    "q68_edge_switch_degrees": (q68, Q68_SQL),
+    "q69_max_flow_hubs": (q69, None),
+    "q70_maximal_cliques": (q70, None),
+}

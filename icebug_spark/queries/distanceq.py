@@ -1,0 +1,147 @@
+"""Distance-analytics + top-k/group centrality query entries (q80-q85)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icebug_spark.catalog import derived_edges, symmetrize
+from icebug_spark.operators.centrality3 import (
+    group_degree_greedy,
+    group_harmonic_greedy,
+    top_harmonic_closeness,
+)
+from icebug_spark.operators.distances2 import (
+    anf_sketch_iteration,
+    hop_plot,
+    landmark_distance,
+    landmark_labels,
+    spsp,
+)
+
+# shared BFS-distance recursive CTE over EU (bounded hops)
+_EU_INLINE = (
+    "SELECT DISTINCT src, dst FROM ("
+    "SELECT o_custkey AS src, l_suppkey AS dst FROM orders "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "UNION ALL "
+    "SELECT l_suppkey, o_custkey FROM orders "
+    "JOIN lineitem ON l_orderkey = o_orderkey)"
+)
+
+
+def _eu(spark: SparkSession, sf: str) -> DataFrame:
+    return symmetrize(derived_edges(spark, sf, materialize=True))
+
+
+# q80 — SPSP grid from sources 0..9 to targets 0..9 (SPSP.hpp:22).
+_GRID = list(range(10))
+
+
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    return spsp(_eu(spark, sf), _GRID, _GRID)
+
+
+Q80_SQL = f"""
+WITH RECURSIVE eu AS ({_EU_INLINE}),
+bfs(source, node, dist) AS (
+  SELECT src, src, 0 FROM eu WHERE src < {len(_GRID)}
+  UNION
+  SELECT b.source, eu.dst, b.dist + 1
+  FROM bfs b JOIN eu ON eu.src = b.node
+  WHERE b.dist < 12
+),
+best AS (
+  SELECT source, node, MIN(dist) AS dist FROM bfs GROUP BY source, node
+)
+SELECT source, node AS target, dist FROM best WHERE node < {len(_GRID)}
+"""
+
+
+# q81 — landmark-labeling distance oracle for capped pairs: exact-BFS SQL
+# twin is NOT equivalent (the oracle is an upper bound), so the checkable
+# claim is the LABEL TABLE itself: per-landmark BFS distances.
+_N_LANDMARKS = 4
+
+
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    eu = _eu(spark, sf)
+    return landmark_labels(eu, n_landmarks=_N_LANDMARKS, max_hops=12)
+
+
+Q81_SQL = f"""
+WITH RECURSIVE eu AS ({_EU_INLINE}),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM eu GROUP BY src),
+lm AS (SELECT id FROM deg ORDER BY deg DESC, id LIMIT {_N_LANDMARKS}),
+bfs(landmark, node, dist) AS (
+  SELECT id, id, 0 FROM lm
+  UNION
+  SELECT b.landmark, eu.dst, b.dist + 1
+  FROM bfs b JOIN eu ON eu.src = b.node
+  WHERE b.dist < 12
+)
+SELECT landmark, node AS id, MIN(dist) AS dist
+FROM bfs GROUP BY landmark, node
+"""
+
+
+# q82 — ANF neighborhood-function curve (rows-only: FM sketches are
+# engine-seeded; invariants covered in tests).
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    return anf_sketch_iteration(_eu(spark, sf), k=32, max_h=6, seed=42)
+
+
+# q83 — hop plot (rows-only, same sketches).
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    return hop_plot(_eu(spark, sf), k=32, max_h=6, seed=42)
+
+
+# q84 — top-10 harmonic closeness with candidate pruning. SQL twin mirrors
+# the same top-40-degree candidate pool (BFS from all 1.5k nodes took the
+# DuckDB oracle to ~5 min at sf0.01); pruning soundness itself is covered
+# by the unit golden (star graph, exact values).
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    return top_harmonic_closeness(_eu(spark, sf), k=10, candidate_factor=4)
+
+
+Q84_SQL = f"""
+WITH RECURSIVE eu AS ({_EU_INLINE}),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM eu GROUP BY src),
+cands AS (SELECT id FROM deg ORDER BY deg DESC, id LIMIT 40),
+bfs(source, node, dist) AS (
+  SELECT id, id, 0 FROM cands
+  UNION
+  SELECT b.source, eu.dst, b.dist + 1
+  FROM bfs b JOIN eu ON eu.src = b.node
+  WHERE b.dist < 12
+),
+best AS (SELECT source, node, MIN(dist) AS dist FROM bfs GROUP BY source, node)
+SELECT source AS id, ROUND(SUM(1.0 / dist), 6) AS harmonic
+FROM best WHERE dist > 0
+GROUP BY source
+ORDER BY harmonic DESC, id
+LIMIT 10
+"""
+
+
+# q85 — greedy group degree + group harmonic (rows-only: greedy driver
+# rounds with engine tie-breaks).
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    eu = _eu(spark, sf)
+    gd = group_degree_greedy(eu, k=5).select(
+        F.lit("degree").alias("objective"), "id", F.col("marginal_gain").cast("double"), "round"
+    )
+    gh = group_harmonic_greedy(eu, k=5).select(
+        F.lit("harmonic").alias("objective"), "id", "marginal_gain", "round"
+    )
+    return gd.unionByName(gh)
+
+
+DISTANCE2 = {
+    "q80_spsp_grid": (q80, Q80_SQL),
+    "q81_landmark_labels": (q81, Q81_SQL),
+    "q82_anf_curve": (q82, None),
+    "q83_hop_plot": (q83, None),
+    "q84_top_harmonic": (q84, Q84_SQL),
+    "q85_group_centrality": (q85, None),
+}

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icebug_spark.catalog import table
-from icebug_spark.llm import dedup, similarity, textstats
+from icebug_spark.llm import dedup, multimodal, similarity, textstats
 
 
 def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -154,6 +154,86 @@ def ann_candidates_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def quality_score_q(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.quality_score(table(spark, sf, "documents"))
+
+
+QUALITY_SCORE_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE)
+             / GREATEST(length(text), 1) AS punct_ratio,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / GREATEST(length(text), 1) AS digit_ratio,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+             / GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)
+             AS avg_token_len
+  FROM documents
+), q AS (
+  SELECT doc_id,
+         ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0)
+             + 0.2 * (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+             + 0.2 * (1.0 - LEAST(digit_ratio * 4.0, 1.0))
+             + 0.2 * (CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0
+                           THEN 1.0 ELSE 0.25 END), 6) AS quality
+  FROM s
+)
+SELECT doc_id, quality, quality >= 0.5 AS keep FROM q
+"""
+
+
+def media_summary_q(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.make_media_table(table(spark, sf, "documents"))
+    return multimodal.media_summary(media)
+
+
+MEDIA_SUMMARY_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT kind, COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       ROUND(AVG(n_bytes), 6) AS avg_bytes
+FROM m GROUP BY kind
+"""
+
+
+def image_decode_q(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.make_media_table(table(spark, sf, "documents"))
+    dec = multimodal.decode_images(media, feature_dim=8)
+    return dec.select("media_id", "width", "height", "channels")
+
+
+def frame_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.make_media_table(table(spark, sf, "documents"))
+    fr = multimodal.sample_frames(media, frames_per_video=4)
+    return fr.select("media_id", "frame_idx", "ts_ms")
+
+
+def ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ivf_topk(
+        table(spark, sf, "embeddings"),
+        query_filter=lambda c: c < 10,
+        k=10,
+        n_cells=16,
+        n_probe=4,
+    )
+
+
+def near_dup_embeddings_q(spark: SparkSession, sf: str) -> DataFrame:
+    # synthetic embeddings have no true dups (max pairwise cosine ~0.43);
+    # 0.3 returns the high-similarity tail the pass would flag
+    return similarity.embedding_near_duplicates(
+        table(spark, sf, "embeddings"), min_cosine=0.3, planes=8
+    )
+
+
 LLM = {
     "llm_dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "llm_text_stats": (text_stats_q, textstats.TEXT_STATS_SQL),
@@ -163,7 +243,16 @@ LLM = {
     "llm_ngram_jaccard_pairs": (ngram_jaccard_q, NGRAM_JACCARD_SQL),
     "llm_embedding_topk": (embedding_topk_q, EMBEDDING_TOPK_SQL),
     # sketch-based: Spark-hash dependent → rows-only oracle
+    "llm_quality_score": (quality_score_q, QUALITY_SCORE_SQL),
+    "llm_media_summary": (media_summary_q, MEDIA_SUMMARY_SQL),
+    # sketch-based: Spark-hash dependent → rows-only oracle
     "llm_minhash_lsh_dups": (minhash_lsh_q, None),
     "llm_simhash": (simhash_q, None),
     "llm_ann_candidates": (ann_candidates_q, None),
+    # multimodal decode is a deterministic-fake mapInPandas stage → rows-only
+    "llm_image_decode": (image_decode_q, None),
+    "llm_frame_sample": (frame_sample_q, None),
+    # IVF / near-dup use Spark xxhash64 bucketing → rows-only
+    "llm_ivf_topk": (ivf_topk_q, None),
+    "llm_near_dup_embeddings": (near_dup_embeddings_q, None),
 }
