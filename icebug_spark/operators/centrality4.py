@@ -1,0 +1,376 @@
+"""Centrality part 4: ε-δ approximate betweenness, k-path centrality,
+square clustering, GedWalk group centrality, complex paths.
+
+Parity targets (reference centrality/, 11,564 LoC):
+- ApproxBetweenness (ε,δ pair sampling, VC bound)
+  ``centrality/ApproxBetweenness.hpp:21``
+- KPathCentrality              ``centrality/KPathCentrality.hpp:18``
+- LocalSquareClusteringCoefficient
+  ``centrality/LocalSquareClusteringCoefficient.hpp:18``
+- GedWalk (greedy group exposure) ``centrality/GedWalk.hpp:19`` (889 LoC)
+- ComplexPaths (threshold spreading) ``centrality/ComplexPaths.hpp:45``
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from icebug_spark.operators.distances import diameter_double_sweep
+
+
+def approx_betweenness(
+    edges_undirected: DataFrame,
+    eps: float = 0.1,
+    delta: float = 0.1,
+    c: float = 0.5,
+    max_samples: int = 200,
+    seed: int = 7,
+) -> DataFrame:
+    """ApproxBetweenness (Riondato-Kornaropoulos): sample r (s,t) pairs,
+    walk ONE uniform shortest path per pair, count interior-node visits;
+    bc(v) ≈ visits(v)/r. r = (c/ε²)·(⌊log2(VD−2)⌋+1+ln(1/δ)) with VD the
+    vertex-diameter estimate (double sweep), capped at ``max_samples``
+    (reference ``centrality/ApproxBetweenness.hpp:21``).
+
+    Spark shape: ALL pairs advance together — one multi-source BFS keyed
+    by pair id builds (pair, node, dist, sigma); the backward pass walks
+    all pairs one level per round, choosing predecessors σ-weighted via
+    seeded hash (deterministic). → (id, approx_bc) 6dp."""
+    spark = edges_undirected.sparkSession
+    eu = edges_undirected.select("src", "dst")
+    eu = eu.union(
+        eu.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+
+    nodes = eu.select(F.col("src").alias("id")).distinct()
+    n = nodes.count()
+    vd = diameter_double_sweep(edges_undirected).collect()[0][0] or 2
+    vd = max(int(vd), 2)
+    r = int(math.ceil((c / eps**2) * (math.floor(math.log2(max(vd - 2, 1))) + 1 + math.log(1 / delta))))
+    r = max(1, min(r, max_samples))
+
+    # deterministic pair sample: rank nodes by seeded hash, pair i-th with
+    # (i+offset)-th
+    ranked = nodes.withColumn("h", F.xxhash64(F.lit(seed), "id")).withColumn(
+        "rn", F.row_number().over(Window.orderBy("h", "id")) - 1
+    )
+    s_side = ranked.where(F.col("rn") < r).select(
+        F.col("rn").alias("pair"), F.col("id").alias("s")
+    )
+    t_side = ranked.withColumn("rn2", (F.col("rn") + r + 1) % n).where(
+        F.col("rn2") < r
+    ).select(F.col("rn2").alias("pair"), F.col("id").alias("t"))
+    pairs = s_side.join(t_side, "pair").where(F.col("s") != F.col("t")).localCheckpoint(
+        eager=True
+    )
+
+    # forward multi-source BFS with path counts sigma, keyed by pair
+    frontier = pairs.select("pair", F.col("s").alias("id"), F.lit(0).alias("dist"), F.lit(1.0).alias("sigma"))
+    settled = frontier
+    for _d in range(vd + 2):
+        nxt = (
+            frontier.join(eu.withColumnRenamed("src", "id"), "id")
+            .select("pair", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"), "sigma")
+            .groupBy("pair", "id", "dist")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(settled.select("pair", F.col("id").alias("id"), F.lit(1).alias("seen")).distinct(), ["pair", "id"], "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        settled = settled.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+
+    # backward pass: walk from t toward s one level per round, all pairs
+    # simultaneously; predecessor chosen σ-weighted via seeded hash
+    t_dist = (
+        pairs.join(
+            settled.select("pair", F.col("id").alias("t"), "dist", "sigma"), ["pair", "t"]
+        )
+        .select("pair", F.col("t").alias("cur"), "dist")
+    ).localCheckpoint(eager=True)
+    visits = []
+    cur = t_dist
+    for _lvl in range(vd + 2):
+        active = cur.where(F.col("dist") > 1)
+        if active.limit(1).count() == 0:
+            break
+        preds = (
+            active.join(eu.withColumnRenamed("dst", "cur").withColumnRenamed("src", "pred"), "cur")
+            .join(
+                settled.select(
+                    "pair", F.col("id").alias("pred"), F.col("dist").alias("pd"), F.col("sigma").alias("psig")
+                ),
+                ["pair", "pred"],
+            )
+            .where(F.col("pd") == F.col("dist") - 1)
+        )
+        # σ-weighted deterministic choice: rank by hash scaled by sigma
+        wnd = Window.partitionBy("pair", "cur").orderBy(
+            F.desc(F.col("psig") * F.abs(F.xxhash64(F.lit(seed), "pair", "pred", "dist")) ), F.asc("pred")
+        )
+        chosen = (
+            preds.withColumn("rn", F.row_number().over(wnd))
+            .where(F.col("rn") == 1)
+            .select("pair", F.col("pred").alias("cur"), (F.col("dist") - 1).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        visits.append(chosen.where(F.col("dist") >= 1).select("pair", F.col("cur").alias("id")))
+        cur = chosen
+
+    if not visits:
+        return nodes.select("id", F.lit(0.0).alias("approx_bc"))
+    allv = visits[0]
+    for v in visits[1:]:
+        allv = allv.union(v)
+    counts = allv.groupBy("id").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        nodes.join(counts, "id", "left")
+        .select(
+            "id",
+            F.round(F.coalesce("cnt", F.lit(0)).cast("double") / F.lit(float(r)), 6).alias(
+                "approx_bc"
+            ),
+        )
+    )
+
+
+def k_path_centrality(
+    edges_undirected: DataFrame,
+    k: int = 4,
+    walks_per_node: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """KPathCentrality (``centrality/KPathCentrality.hpp:18``): random
+    simple paths of length ≤ k from every node; score(v) = visits of v as
+    an interior node / total walks. Walks advance in lock-step (one join
+    per hop, all walks at once); next hop chosen by seeded hash over
+    not-yet-visited neighbors (visited kept as an array column).
+    → (id, kpath) 6dp."""
+    eu = edges_undirected.select("src", "dst")
+    eu = eu.union(
+        eu.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    nodes = eu.select(F.col("src").alias("id")).distinct()
+    total_walks = nodes.count() * walks_per_node
+
+    walks = nodes.crossJoin(
+        F.broadcast(
+            nodes.sparkSession.range(walks_per_node).select(F.col("id").alias("w"))
+        )
+    ).select(
+        F.concat_ws("_", "id", "w").alias("walk"),
+        F.col("id").alias("cur"),
+        F.array("id").alias("visited"),
+    ).localCheckpoint(eager=True)
+
+    visits = []
+    cur = walks
+    for hop in range(k):
+        step = (
+            cur.join(eu.withColumnRenamed("src", "cur"), "cur")
+            .where(~F.array_contains("visited", F.col("dst")))
+        )
+        wnd = Window.partitionBy("walk").orderBy(
+            F.asc(F.xxhash64(F.lit(seed), "walk", "dst", F.lit(hop))), F.asc("dst")
+        )
+        nxt = (
+            step.withColumn("rn", F.row_number().over(wnd))
+            .where(F.col("rn") == 1)
+            .select(
+                "walk",
+                F.col("dst").alias("cur"),
+                F.array_union("visited", F.array("dst")).alias("visited"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        if hop < k - 1:  # interior visits only (endpoints excluded)
+            visits.append(nxt.select(F.col("cur").alias("id")))
+        cur = nxt
+
+    if not visits:
+        return nodes.select("id", F.lit(0.0).alias("kpath"))
+    allv = visits[0]
+    for v in visits[1:]:
+        allv = allv.union(v)
+    return (
+        nodes.join(allv.groupBy("id").agg(F.count(F.lit(1)).alias("c")), "id", "left")
+        .select(
+            "id",
+            F.round(
+                F.coalesce("c", F.lit(0)).cast("double") / F.lit(float(total_walks)), 6
+            ).alias("kpath"),
+        )
+    )
+
+
+def square_clustering(edges_undirected: DataFrame) -> DataFrame:
+    """LocalSquareClusteringCoefficient
+    (``centrality/LocalSquareClusteringCoefficient.hpp:18``): per node v,
+    C4(v) = #squares through v / #potential squares =
+    Σ_{u<w ∈ N(v)} q(u,w) / Σ_{u<w ∈ N(v)} [deg-based potential], using
+    the standard formula with q(u,w) = |N(u)∩N(w)∖{v}|.
+    Spark shape: wedge join (2-paths centered at v) then common-neighbor
+    count per outer pair. → (id, square_cc) 6dp."""
+    eu = edges_undirected.select("src", "dst")
+    eu = eu.union(
+        eu.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+
+    # wedges centered at v: u - v - w with u < w
+    e1 = eu.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    e2 = eu.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = e1.join(e2, "v").where(F.col("u") < F.col("w"))
+
+    # q(u,w): common neighbors of u and w (any x adjacent to both)
+    nu = eu.select(F.col("src").alias("u"), F.col("dst").alias("x"))
+    nw = eu.select(F.col("src").alias("w"), F.col("dst").alias("x"))
+    common = (
+        nu.join(nw, "x")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("q_all"))
+    )
+    deg = eu.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    # edge indicator between u and w (a(u,w) term of the Lind et al formula)
+    uw_edge = eu.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.lit(1).alias("is_edge")
+    )
+
+    j = (
+        wedges.join(common, ["u", "w"], "left")
+        .na.fill({"q_all": 0})
+        .join(uw_edge, ["u", "w"], "left")
+        .na.fill({"is_edge": 0})
+        .join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("id", "w").withColumnRenamed("deg", "dw"), "w")
+    )
+    # squares through (v,u,w): common neighbors of u,w other than v
+    # q_v = q_all − 1 (v itself is always a common neighbor in a wedge)
+    per_pair = j.select(
+        "v",
+        (F.col("q_all") - 1).alias("squares"),
+        (
+            (F.col("du") - (1 + F.col("q_all") - 1 + F.col("is_edge")))
+            + (F.col("dw") - (1 + F.col("q_all") - 1 + F.col("is_edge")))
+            + (F.col("q_all") - 1)
+        ).alias("potential"),
+    )
+    agg = per_pair.groupBy(F.col("v").alias("id")).agg(
+        F.sum("squares").alias("sq"), F.sum(F.col("squares") + F.col("potential")).alias("pot")
+    )
+    return agg.select(
+        "id",
+        F.round(
+            F.when(F.col("pot") > 0, F.col("sq") / F.col("pot")).otherwise(0.0), 6
+        ).alias("square_cc"),
+    )
+
+
+def gedwalk_group(
+    edges_undirected: DataFrame, k: int = 3, alpha: float = 0.5, depth: int = 3
+) -> DataFrame:
+    """GedWalk greedy group selection (``centrality/GedWalk.hpp:19``):
+    group score = Σ_ℓ α^ℓ · (#walks of length ℓ that TOUCH the group);
+    greedily add the node with max marginal gain, k times. Walk counts to
+    a set come from ``depth`` rounds of neighbor aggregation (one join
+    each) — the same bounded-walk iteration the reference uses, evaluated
+    per candidate set exactly rather than with its bound-based pruning.
+    → (rank, id, gain) in selection order."""
+    spark = edges_undirected.sparkSession
+    eu = edges_undirected.select("src", "dst")
+    eu = eu.union(
+        eu.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    nodes = eu.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+
+    def group_score(members: list[int]) -> float:
+        """Σ_ℓ α^ℓ · #walks of length ℓ ending inside the group — the
+        'exposure' proxy: x0 = indicator(group); iterate x ← A·x."""
+        x = nodes.select(
+            "id", F.when(F.col("id").isin(members), 1.0).otherwise(0.0).alias("x")
+        )
+        total = 0.0
+        a = 1.0
+        for _ in range(depth):
+            x = (
+                eu.join(x.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("x").alias("x"))
+                .localCheckpoint(eager=True)
+            )
+            a *= alpha
+            total += a * (x.agg(F.sum("x")).collect()[0][0] or 0.0)
+        return total
+
+    chosen: list[int] = []
+    out = []
+    # candidate pool: top-degree nodes (the reference prunes by degree
+    # bounds too); deterministic
+    cands = [
+        int(r["id"])
+        for r in eu.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.desc("d"), F.asc("id"))
+        .limit(max(3 * k, 12))
+        .collect()
+    ]
+    base = 0.0
+    for rank in range(k):
+        best, best_gain = None, -1.0
+        for cand in cands:
+            if cand in chosen:
+                continue
+            s = group_score(chosen + [cand])
+            gain = s - base
+            if gain > best_gain + 1e-12:
+                best, best_gain = cand, gain
+        if best is None:
+            break
+        chosen.append(best)
+        base += best_gain
+        out.append((rank, best, round(best_gain, 6)))
+    return spark.createDataFrame(out, "rank long, id long, gain double")
+
+
+def complex_paths(
+    edges_undirected: DataFrame, source: int, threshold: int = 2, max_rounds: int = 30
+) -> DataFrame:
+    """ComplexPaths (``centrality/ComplexPaths.hpp:45``): complex-contagion
+    spreading — a node activates once ≥ ``threshold`` of its neighbors are
+    active (source seeds its whole neighborhood). Returns activation round
+    per node: (id, round) with round=0 for seeds, null-free (unreached
+    nodes omitted). Each round = one join + groupBy over active set."""
+    eu = edges_undirected.select("src", "dst")
+    eu = eu.union(
+        eu.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+
+    seeds = (
+        eu.where(F.col("src") == source)
+        .select(F.col("dst").alias("id"))
+        .union(eu.sparkSession.createDataFrame([(source,)], ["id"]))
+        .distinct()
+        .withColumn("round", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    active = seeds
+    for rnd in range(1, max_rounds + 1):
+        newly = (
+            eu.join(active.withColumnRenamed("id", "src").select("src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.count(F.lit(1)).alias("k_active"))
+            .where(F.col("k_active") >= threshold)
+            .join(active.select("id"), "id", "left_anti")
+            .select("id", F.lit(rnd).alias("round"))
+            .localCheckpoint(eager=True)
+        )
+        if newly.limit(1).count() == 0:
+            break
+        active = active.union(newly).localCheckpoint(eager=True)
+    return active

@@ -43,7 +43,9 @@ def label_propagation(
     """
     eu = edges_undirected.select("src", "dst")
     labels = (
-        eu.select(F.col("src").alias("id")).distinct().withColumn("subset", F.col("id"))
+        eu.select(F.col("src").alias("id"))
+        .union(eu.select(F.col("dst").alias("id")))
+        .distinct().withColumn("subset", F.col("id"))
     )
 
     changed = [None]
@@ -104,9 +106,9 @@ def louvain(
     e = e.select("src", "dst", "weight").localCheckpoint(eager=True)
 
     # mapping: original id → current community (identity at start)
-    mapping = e.select(F.col("src").alias("id")).distinct().withColumn(
-        "subset", F.col("id")
-    )
+    mapping = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct().withColumn("subset", F.col("id"))
 
     for _level in range(levels):
         part = _local_move(e, gamma, move_rounds)

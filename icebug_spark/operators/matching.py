@@ -104,3 +104,90 @@ def matching_coarsening(
         .groupBy(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
         .agg(F.sum("weight").alias("weight"))
     )
+
+
+def b_suitor_matching(
+    edges_weighted: DataFrame, b: int = 2, max_rounds: int = 40
+) -> DataFrame:
+    """b-matching via synchronous suitor-style rounds (reference
+    ``matching/BSuitorMatcher.hpp:24``, ``SuitorMatcher.hpp:23`` for b=1):
+    every node may be matched to at most ``b`` neighbors.
+
+    Round: each node with remaining capacity ranks its available incident
+    edges by (weight desc, partner asc) and claims its top remaining slots;
+    an edge is accepted when BOTH endpoints claimed it this round (mutual
+    proposal — the bulk-synchronous analog of suitor stealing). Accepted
+    edges consume capacity on both sides; repeat until no mutual claims.
+    Same ½-approximation class as the sequential suitor algorithm.
+    Returns (u, v, weight) with u < v."""
+    from pyspark.sql import Window
+
+    e = edges_weighted
+    if "weight" not in e.columns:
+        e = e.select("src", "dst", F.lit(1.0).alias("weight"))
+    canon = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            "weight",
+        )
+        .groupBy("u", "v")
+        .agg(F.max("weight").alias("weight"))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges_weighted.sparkSession
+    cap = (
+        canon.select(F.col("u").alias("id"))
+        .union(canon.select(F.col("v").alias("id")))
+        .distinct()
+        .withColumn("cap", F.lit(b))
+        .localCheckpoint(eager=True)
+    )
+    matched = []
+    for _ in range(max_rounds):
+        if canon.limit(1).count() == 0:
+            break
+        both = canon.select(F.col("u").alias("id"), "u", "v", "weight").union(
+            canon.select(F.col("v").alias("id"), "u", "v", "weight")
+        ).join(cap.where(F.col("cap") > 0), "id")
+        w = Window.partitionBy("id").orderBy(
+            F.desc("weight"), F.asc("u"), F.asc("v")
+        )
+        claims = (
+            both.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= F.col("cap"))
+            .select("u", "v", "weight")
+        )
+        mutual = (
+            claims.groupBy("u", "v", "weight")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") == 2)
+            .select("u", "v", "weight")
+            .localCheckpoint(eager=True)
+        )
+        if mutual.limit(1).count() == 0:
+            break
+        matched.append(mutual)
+        # consume capacity and remove accepted edges
+        used = mutual.select(F.col("u").alias("id")).union(
+            mutual.select(F.col("v").alias("id"))
+        ).groupBy("id").agg(F.count(F.lit(1)).alias("n_used"))
+        cap = (
+            cap.join(used, "id", "left")
+            .select("id", (F.col("cap") - F.coalesce("n_used", F.lit(0))).alias("cap"))
+            .localCheckpoint(eager=True)
+        )
+        canon = (
+            canon.join(mutual.select("u", "v"), ["u", "v"], "left_anti")
+            .join(cap.where(F.col("cap") <= 0).select(F.col("id").alias("u")), "u", "left_anti")
+            .join(cap.where(F.col("cap") <= 0).select(F.col("id").alias("v")), "v", "left_anti")
+            .select("u", "v", "weight")
+            .localCheckpoint(eager=True)
+        )
+    if not matched:
+        return spark.createDataFrame([], "u long, v long, weight double")
+    out = matched[0]
+    for df in matched[1:]:
+        out = out.union(df)
+    return out

@@ -1,0 +1,235 @@
+"""Distributed numerics: conjugate gradient on the graph Laplacian and the
+electrical family built on it.
+
+Parity targets (reference):
+- ConjugateGradient           ``numerics/ConjugateGradient.hpp:25``
+- CommuteTimeDistance         ``distance/CommuteTimeDistance.hpp:24`` (303 LoC)
+- SpanningEdgeCentrality      ``centrality/SpanningEdgeCentrality.hpp:23``
+- ApproxElectricalCloseness   ``centrality/ApproxElectricalCloseness.hpp:28``
+- LAMG multigrid (``numerics/LAMG/Lamg.hpp:32``) is explicitly out of
+  scope (SURVEY §7); CG over distributed MxV replaces it. CG iteration
+  count on a Laplacian is O(sqrt(kappa)) — acceptable for the moderate
+  per-query solves these centralities need; at 100 TB you precondition
+  (Jacobi = divide by degree, included) and cap iterations.
+
+Vectors are DataFrames ``(id, x)``; each CG step is one MxV (join edges →
+groupBy) plus two scalar reductions — all shuffle-partitioned by node id,
+no driver-side matrix ever materializes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(edges_undirected: DataFrame) -> DataFrame:
+    e = edges_undirected
+    if "weight" not in e.columns:
+        e = e.select("src", "dst", F.lit(1.0).alias("weight"))
+    return e.select("src", "dst", "weight").union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+
+
+def laplacian_mxv(eu: DataFrame, deg: DataFrame, x: DataFrame) -> DataFrame:
+    """y = L·x = D·x − A·x, distributed: one join+groupBy (A·x) plus a
+    join with the degree vector."""
+    ax = (
+        eu.join(x.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum(F.col("weight") * F.col("x")).alias("ax"))
+    )
+    return (
+        deg.join(x, "id")
+        .join(ax, "id", "left")
+        .select("id", (F.col("deg") * F.col("x") - F.coalesce("ax", F.lit(0.0))).alias("x"))
+    )
+
+
+def _dot(a: DataFrame, b: DataFrame) -> float:
+    return (
+        a.join(b.withColumnRenamed("x", "y"), "id")
+        .agg(F.sum(F.col("x") * F.col("y")))
+        .collect()[0][0]
+        or 0.0
+    )
+
+
+def _axpy(alpha: float, x: DataFrame, y: DataFrame) -> DataFrame:
+    """y + alpha·x (full outer, missing = 0)."""
+    return (
+        x.withColumnRenamed("x", "xv")
+        .join(y.withColumnRenamed("x", "yv"), "id", "full_outer")
+        .select(
+            "id",
+            (
+                F.coalesce("yv", F.lit(0.0)) + F.lit(alpha) * F.coalesce("xv", F.lit(0.0))
+            ).alias("x"),
+        )
+    )
+
+
+def conjugate_gradient(
+    edges_undirected: DataFrame,
+    b: DataFrame,
+    max_iter: int = 50,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Solve L·x = b on the graph Laplacian with Jacobi-preconditioned CG
+    (reference ``numerics/ConjugateGradient.hpp:25``). ``b`` must sum to 0
+    (L is singular; solution pinned to mean-zero). Returns (id, x).
+
+    Each iteration: 1 MxV + 2 dot products + 2 axpy's — 3 shuffles keyed
+    by id; vectors localCheckpoint'ed to keep lineage flat."""
+    eu = _sym(edges_undirected).localCheckpoint(eager=True)
+    deg = eu.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("deg"))
+    deg = deg.localCheckpoint(eager=True)
+
+    x = deg.select("id", F.lit(0.0).alias("x"))
+    r = b.select("id", F.col("x"))
+    # Jacobi preconditioner z = r / deg
+    z = r.join(deg, "id").select("id", (F.col("x") / F.col("deg")).alias("x"))
+    p = z
+    rz = _dot(r, z)
+    b_norm = math.sqrt(_dot(b, b)) or 1.0
+
+    for _ in range(max_iter):
+        lp = laplacian_mxv(eu, deg, p).localCheckpoint(eager=True)
+        plp = _dot(p, lp)
+        if abs(plp) < 1e-30:
+            break
+        alpha = rz / plp
+        x = _axpy(alpha, p, x).localCheckpoint(eager=True)
+        r = _axpy(-alpha, lp, r).localCheckpoint(eager=True)
+        if math.sqrt(max(_dot(r, r), 0.0)) / b_norm < tol:
+            break
+        z = r.join(deg, "id").select("id", (F.col("x") / F.col("deg")).alias("x"))
+        rz_new = _dot(r, z)
+        beta = rz_new / rz if rz else 0.0
+        rz = rz_new
+        p = (_axpy(beta, p, z) if beta else z).localCheckpoint(eager=True)
+
+    # pin to mean zero (nullspace of L is the constant vector)
+    mean = x.agg(F.avg("x")).collect()[0][0] or 0.0
+    return x.select("id", (F.col("x") - F.lit(mean)).alias("x"))
+
+
+def effective_resistance(
+    edges_undirected: DataFrame, u: int, v: int, max_iter: int = 50
+) -> float:
+    """R_eff(u,v) = (e_u − e_v)ᵀ L⁺ (e_u − e_v) via one CG solve
+    (CommuteTimeDistance core, ``distance/CommuteTimeDistance.hpp:24``)."""
+    spark = edges_undirected.sparkSession
+    b = spark.createDataFrame([(u, 1.0), (v, -1.0)], ["id", "x"])
+    x = conjugate_gradient(edges_undirected, b, max_iter=max_iter)
+    vals = {r["id"]: r["x"] for r in x.where(F.col("id").isin([u, v])).collect()}
+    return float(vals.get(u, 0.0) - vals.get(v, 0.0))
+
+
+def commute_time_distances(
+    edges_undirected: DataFrame, pairs: list[tuple[int, int]], max_iter: int = 50
+) -> DataFrame:
+    """CommuteTimeDistance for the given pairs: C(u,v) = vol(G)·R_eff(u,v)
+    → (u, v, commute_time) rounded 6dp. One CG solve per pair (the
+    reference solves per-pair too; its ``runApproximation`` uses random
+    projections — future optimization)."""
+    spark = edges_undirected.sparkSession
+    eu = _sym(edges_undirected)
+    vol = eu.agg(F.sum("weight")).collect()[0][0] or 0.0
+    rows = []
+    for u, v in pairs:
+        reff = effective_resistance(edges_undirected, u, v, max_iter=max_iter)
+        rows.append((u, v, round(vol * reff, 6)))
+    return spark.createDataFrame(rows, "u long, v long, commute_time double")
+
+
+def spanning_edge_centrality(
+    edges_undirected: DataFrame, sample_edges: int = 20, max_iter: int = 40
+) -> DataFrame:
+    """SpanningEdgeCentrality (``centrality/SpanningEdgeCentrality.hpp:23``):
+    per-edge effective resistance × weight = probability the edge is in a
+    uniform random spanning tree. Exact per-edge solves are O(m) CG runs;
+    this computes the top-``sample_edges`` canonical edges by weight then
+    id (deterministic sample — the reference's approximation samples too).
+    → (u, v, sec) rounded 6dp."""
+    e = edges_undirected
+    if "weight" not in e.columns:
+        e = e.select("src", "dst", F.lit(1.0).alias("weight"))
+    canon = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"), "weight")
+        .groupBy("u", "v")
+        .agg(F.max("weight").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("u"), F.asc("v"))
+        .limit(sample_edges)
+    )
+    spark = e.sparkSession
+    rows = []
+    for r in canon.collect():
+        reff = effective_resistance(edges_undirected, int(r["u"]), int(r["v"]), max_iter)
+        rows.append((int(r["u"]), int(r["v"]), round(float(r["weight"]) * reff, 6)))
+    return spark.createDataFrame(rows, "u long, v long, sec double")
+
+
+def trace_lplus(
+    edges_undirected: DataFrame, probes: int = 4, max_iter: int = 40
+) -> float:
+    """Hutchinson estimator of trace(L⁺): (1/k)·Σ zᵀ·L⁺·z over
+    mean-centered ±1 probe vectors z (deterministic from xxhash64 parity
+    — reproducible across runs). One CG solve per probe."""
+    eu = _sym(edges_undirected)
+    all_nodes = eu.select(F.col("src").alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
+    total = 0.0
+    for p in range(probes):
+        z = all_nodes.select(
+            "id",
+            F.when(F.pmod(F.xxhash64(F.lit(p), F.col("id")), 2) == 0, 1.0)
+            .otherwise(-1.0)
+            .alias("x"),
+        )
+        mean = z.agg(F.avg("x")).collect()[0][0] or 0.0
+        z = z.select("id", (F.col("x") - F.lit(mean)).alias("x")).localCheckpoint(
+            eager=True
+        )
+        x = conjugate_gradient(edges_undirected, z, max_iter=max_iter)
+        total += _dot(z, x)
+    return total / max(probes, 1)
+
+
+def electrical_closeness(
+    edges_undirected: DataFrame,
+    nodes: list[int],
+    max_iter: int = 40,
+    trace_probes: int = 4,
+) -> DataFrame:
+    """Electrical (current-flow) closeness: for node u,
+    closeness = (n−1) / Σ_v R_eff(u,v) with the exact identity
+    Σ_v R_eff(u,v) = n·L⁺[u,u] + trace(L⁺)  (rows of L⁺ sum to 0).
+    L⁺ column u comes from one CG solve of L·x = e_u − (1/n)·1; trace(L⁺)
+    from a Hutchinson estimate (the reference's
+    ``centrality/ApproxElectricalCloseness.hpp:28`` samples USTs instead
+    — same approximation class). → (id, electrical_closeness) 6dp."""
+    spark = edges_undirected.sparkSession
+    eu = _sym(edges_undirected)
+    all_nodes = (
+        eu.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    )
+    n = all_nodes.count()
+    tr = trace_lplus(edges_undirected, probes=trace_probes, max_iter=max_iter)
+    rows = []
+    for u in nodes:
+        b = all_nodes.select(
+            "id",
+            (F.when(F.col("id") == u, 1.0).otherwise(0.0) - F.lit(1.0 / n)).alias("x"),
+        )
+        x = conjugate_gradient(edges_undirected, b, max_iter=max_iter)
+        xu = x.where(F.col("id") == u).collect()
+        xu_val = xu[0]["x"] if xu else 0.0
+        farness = n * xu_val + tr
+        rows.append((u, round((n - 1) / farness, 6) if farness > 0 else None))
+    return spark.createDataFrame(rows, "id long, electrical_closeness double")
