@@ -101,8 +101,21 @@ class Graph:
         return Graph(self.edges.select(*cols), self._vertices, self.directed, self.weighted)
 
     def to_undirected(self) -> "Graph":
-        """Reference GraphTools::toUndirected (``graph/GraphTools.hpp:303``)."""
-        return Graph(self.symmetrized(), self._vertices, directed=False, weighted=False)
+        """Reference GraphTools::toUndirected (``graph/GraphTools.hpp:303``)
+        — preserves edge weights (reference addEdge(u,v,w)); parallel arcs
+        from symmetrization keep the max weight per direction pair."""
+        if not self.weighted:
+            return Graph(
+                self.symmetrized(), self._vertices, directed=False, weighted=False
+            )
+        e = self.edges.select("src", "dst", "weight")
+        both = e.union(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("weight")
+            )
+        )
+        sym = both.groupBy("src", "dst").agg(F.max("weight").alias("weight"))
+        return Graph(sym, self._vertices, directed=False, weighted=True)
 
     # -- degrees (reference DegreeCentrality.hpp:20, graph.pyx:335-446) ----
     def out_degrees(self) -> DataFrame:

@@ -114,20 +114,32 @@ def laplacian_centrality(edges_weighted_undirected: DataFrame) -> DataFrame:
 def closeness_sampled(
     edges_undirected: DataFrame, sources: list[int], max_hops: int = 20
 ) -> DataFrame:
-    """Closeness 1/avg(dist) for a source sample (reference
-    Closeness.hpp:29 standard variant on the reachable set). →
+    """Generalized closeness (reference Closeness.hpp:29, variant=
+    GENERALIZED): c(u) = ((r-1)/Σd) · ((r-1)/(n-1)) where r = |reachable
+    set incl. u| and n = |V| — well-defined on disconnected graphs. →
     (id, closeness) 6dp."""
     from icebug_spark.operators.traversal import multi_source_bfs
 
+    n_total = (
+        edges_undirected.select(F.col("src").alias("id"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
     d = multi_source_bfs(edges_undirected, sources, max_hops)
     return (
         d.where(F.col("dist") > 0)
         .groupBy(F.col("source").alias("id"))
         .agg(
+            F.count(F.lit(1)).cast("double").alias("r1"),
+            F.sum("dist").alias("sd"),
+        )
+        .join(F.broadcast(n_total))
+        .select(
+            "id",
             F.round(
-                F.count(F.lit(1)).cast("double") / F.sum("dist"),
+                (F.col("r1") / F.col("sd")) * (F.col("r1") / (F.col("n_total") - 1)),
                 6,
-            ).alias("closeness")
+            ).alias("closeness"),
         )
     )
 

@@ -364,12 +364,16 @@ def cover_hub_dominance(
     member / (n_c − 1), internal degree counted within the subset.
     → (subset, hub_dominance) 6dp."""
     eu = edges_undirected.select("src", "dst")
-    eu = eu.union(eu.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # distinct: correct whether the input is one-orientation-per-edge or
+    # already symmetrized (no double-counted arcs either way)
+    eu = eu.union(
+        eu.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
     c_s = cover.select(F.col("id").alias("src"), "subset")
-    c_d = cover.select(F.col("id").alias("dst"), F.col("subset").alias("sd"))
+    c_d = cover.select(F.col("id").alias("dst2"), F.col("subset").alias("sd"))
     internal = (
         eu.join(c_s, "src")
-        .join(c_d, (F.col("dst") == c_d["dst"]) & (F.col("subset") == F.col("sd")))
+        .join(c_d, (F.col("dst") == F.col("dst2")) & (F.col("subset") == F.col("sd")))
         .groupBy("subset", "src")
         .agg(F.count(F.lit(1)).alias("ideg"))
     )

@@ -325,38 +325,58 @@ def random_edge_score(edges_undirected: DataFrame, seed: int = 42) -> DataFrame:
 def prefix_jaccard_score(
     edges_scored: DataFrame, score_col: str = "score", k: int = 10
 ) -> DataFrame:
-    """PrefixJaccardScore: per node rank neighbors by score desc (ties by
-    neighbor id), keep the top-k prefix; per edge (u,v) the score is the
-    Jaccard similarity of the two prefix sets."""
+    """PrefixJaccardScore (reference
+    ``sparsification/PrefixJaccardScore.hpp``): per node rank neighbors by
+    score desc; per edge (u,v) the score is the Jaccard similarity of the
+    two rank-k prefixes with (a) ties sharing a rank slot (``rank()``, so a
+    tie group at the boundary is included whole, as the reference's
+    sorted-prefix does) and (b) each endpoint excluded from the other's
+    prefix. Deliberate simplification vs the reference: a single fixed-k
+    prefix instead of max-over-all-prefixes (documented; the max variant
+    needs one Jaccard per rank level)."""
     e = edges_scored.select("u", "v", F.col(score_col).alias("s"))
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr"), "s").union(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"), "s")
     )
-    w = Window.partitionBy("node").orderBy(F.col("s").desc(), F.col("nbr"))
-    prefix = adj.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
-    sizes = prefix.groupBy("node").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("node").orderBy(F.col("s").desc())
+    prefix = adj.withColumn("r", F.rank().over(w)).where(F.col("r") <= k)
     pa = prefix.select(F.col("node").alias("u"), F.col("nbr").alias("m"))
     pb = prefix.select(F.col("node").alias("v"), F.col("nbr").alias("m"))
+    # per-edge prefix of u excluding v (and vice versa); intersection via
+    # leftsemi against the opposite prefix.
+    eu_pref = e.select("u", "v").join(pa, "u").where(F.col("m") != F.col("v"))
+    ev_pref = e.select("u", "v").join(pb, "v").where(F.col("m") != F.col("u"))
+    su = eu_pref.groupBy("u", "v").agg(F.count(F.lit(1)).alias("su"))
+    sv = ev_pref.groupBy("u", "v").agg(F.count(F.lit(1)).alias("sv"))
     inter = (
-        e.select("u", "v")
-        .join(pa, "u")
-        .join(pb, ["v", "m"], "leftsemi")
+        eu_pref.join(pb, ["v", "m"], "leftsemi")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("cap"))
     )
     return (
         e.select("u", "v")
         .join(inter, ["u", "v"], "left")
-        .join(sizes.select(F.col("node").alias("u"), F.col("sz").alias("su")), "u")
-        .join(sizes.select(F.col("node").alias("v"), F.col("sz").alias("sv")), "v")
+        .join(su, ["u", "v"], "left")
+        .join(sv, ["u", "v"], "left")
         .select(
             "u",
             "v",
-            F.round(
-                F.coalesce("cap", F.lit(0)).cast("double")
-                / (F.col("su") + F.col("sv") - F.coalesce("cap", F.lit(0))).cast("double"),
-                6,
-            ).alias("pj_score"),
+            F.when(
+                F.coalesce("su", F.lit(0)) + F.coalesce("sv", F.lit(0)) == 0,
+                F.lit(0.0),
+            )
+            .otherwise(
+                F.round(
+                    F.coalesce("cap", F.lit(0)).cast("double")
+                    / (
+                        F.coalesce("su", F.lit(0))
+                        + F.coalesce("sv", F.lit(0))
+                        - F.coalesce("cap", F.lit(0))
+                    ).cast("double"),
+                    6,
+                )
+            )
+            .alias("pj_score"),
         )
     )
 

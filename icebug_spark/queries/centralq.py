@@ -71,7 +71,8 @@ WITH eu AS ({EU_SQL}),
 deg AS (SELECT src AS id, COUNT(*) AS deg FROM eu GROUP BY src),
 nb AS (SELECT eu.src AS id, SUM(dd.deg) AS sum_nd
        FROM eu JOIN deg dd ON dd.id = eu.dst GROUP BY eu.src)
-SELECT deg.id, deg.deg * deg.deg + deg.deg + 2 * COALESCE(nb.sum_nd, 0) AS lap
+SELECT deg.id,
+       CAST(deg.deg * deg.deg + deg.deg + 2 * COALESCE(nb.sum_nd, 0) AS BIGINT) AS lap
 FROM deg LEFT JOIN nb ON nb.id = deg.id
 """
 
@@ -109,7 +110,10 @@ Q46_SQL = f"""
 WITH RECURSIVE eu AS ({EU_SQL}),
 nodes AS (SELECT DISTINCT src AS id FROM eu),
 {_MSBFS_SQL}
-SELECT s AS id, ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(dist), 6) AS closeness
+SELECT s AS id,
+       ROUND((CAST(COUNT(*) AS DOUBLE) / SUM(dist))
+             * (CAST(COUNT(*) AS DOUBLE)
+                / ((SELECT COUNT(*) FROM nodes) - 1)), 6) AS closeness
 FROM d WHERE dist > 0 GROUP BY s
 """
 

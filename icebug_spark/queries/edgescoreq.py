@@ -165,7 +165,7 @@ cross_edges AS (
   WHERE nu.node < nv.node AND nu.node < {_FM_CAP} AND nv.node < {_FM_CAP}
   GROUP BY nu.node, nv.node
 )
-SELECT u, v, SUM(s) AS neighbors_measure
+SELECT u, v, CAST(SUM(s) AS BIGINT) AS neighbors_measure
 FROM (SELECT * FROM cn UNION ALL SELECT * FROM cross_edges)
 GROUP BY u, v
 """

@@ -120,9 +120,10 @@ def test_prefix_jaccard_full_prefix_equals_jaccard_of_neighborhoods(spark):
         [(u, v, 1.0) for u, v in DIAMOND], "u BIGINT, v BIGINT, score DOUBLE"
     )
     out = {(r["u"], r["v"]): r["pj_score"] for r in prefix_jaccard_score(s, "score", k=10).collect()}
-    # edge (2,3): N(2)={0,1}, N(3)={0,1} -> jaccard... (2,3) not an edge here.
-    # edge (0,1): N(0)={1,2,3}, N(1)={0,2,3} -> |{2,3}|/|{0,1,2,3}| = 0.5
-    assert out[(0, 1)] == pytest.approx(0.5, abs=1e-6)
+    # Endpoint-excluded prefixes (reference semantics): edge (0,1):
+    # N(0)\{1}={2,3}, N(1)\{0}={2,3} -> 1.0; edge (0,2): N(0)\{2}={1,3},
+    # N(2)\{0}={1,3} -> 1.0 (DIAMOND is 0-1,0-2,0-3,1-2,1-3,2-3 minus one).
+    assert out[(0, 1)] == pytest.approx(1.0, abs=1e-6)
 
 
 def test_simmelian_overlap(spark):
