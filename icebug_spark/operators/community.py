@@ -94,8 +94,13 @@ def louvain(
 
     Local move: node v joins the neighbor community maximizing
     ΔQ = w(v→c)/m − gamma·deg(v)·vol(c∖v)/(2m²), ties → smaller community
-    id. Moves with positive gain apply simultaneously (bulk-synchronous —
-    the reference applies them in thread order, ``community/PLM.hpp:55``).
+    id. The reference applies moves in thread order
+    (``community/PLM.hpp:55``); a fully bulk-synchronous apply oscillates
+    on dense graphs (all of an attractive community's neighbors jump at
+    once and overshoot), so each round only a deterministic hash-color
+    class of vertices may move (the coloring trick from parallel Louvain
+    literature, e.g. Grappolo) — other vertices observe fresh community
+    volumes next round.
     Coarsening is the groupBy-aggregation the reference implements as
     ``ParallelPartitionCoarsening``; the lazy CoarsenedGraphView is free
     in Spark (plans are lazy until an action)."""
@@ -134,9 +139,21 @@ def louvain(
     )
 
 
-def _local_move(e: DataFrame, gamma: float, rounds: int) -> DataFrame:
-    """One Louvain level's synchronous local-move phase on weighted,
-    symmetrized-on-the-fly edges. Returns (id, subset)."""
+def _local_move(
+    e: DataFrame, gamma: float, rounds: int, phases: int = 2
+) -> DataFrame:
+    """One Louvain level's local-move phase on weighted, symmetrized-on-
+    the-fly edges. Returns (id, subset).
+
+    Each round only vertices whose deterministic hash color equals
+    ``round % phases`` apply their best move (block Gauss-Seidel); a
+    same-round bulk apply overshoots on dense graphs and can leave
+    modularity worse than singleton. Same-color vertices can still pile
+    into one attractive community (each prices the move as if alone), so
+    the round-end modularity is evaluated (one aggregate over the already
+    checkpointed labels) and the best-scoring round's labels are
+    returned — more rounds can then never degrade the result, mirroring
+    the reference's monotone sequential sweep (community/PLM.hpp:55)."""
     eu = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
     eu = eu.localCheckpoint(eager=True)
     total_w = eu.agg(F.sum("weight")).collect()[0][0] or 1.0  # = 2m
@@ -144,7 +161,28 @@ def _local_move(e: DataFrame, gamma: float, rounds: int) -> DataFrame:
     deg = eu.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("deg"))
     labels = deg.select("id", F.col("id").alias("subset")).localCheckpoint(eager=True)
 
-    for _ in range(rounds):
+    def _q(lbl: DataFrame) -> float:
+        """Modularity of ``lbl`` over eu: Σ w_in/2m − γ·Σ vol²/(2m)²,
+        folded into ONE job (internal-weight and volume aggregates
+        combined via a union'd keyed aggregate)."""
+        l_s = lbl.select(F.col("id").alias("src"), F.col("subset").alias("cs"))
+        l_d = lbl.select(F.col("id").alias("dst"), F.col("subset").alias("cd"))
+        internal = (
+            eu.join(l_s, "src").join(l_d, "dst")
+            .where(F.col("cs") == F.col("cd"))
+            .agg(F.sum("weight").alias("w_in"))
+        )
+        volsq = (
+            lbl.join(deg, "id")
+            .groupBy("subset").agg(F.sum("deg").alias("vol"))
+            .agg(F.sum(F.col("vol") * F.col("vol")).alias("sq"))
+        )
+        row = internal.crossJoin(volsq).collect()[0]
+        return (row["w_in"] or 0.0) / m2 - gamma * (row["sq"] or 0.0) / (m2 * m2)
+
+    best_labels, best_q = labels, _q(labels)
+
+    for _round in range(rounds):
         lbl_deg = labels.join(deg, "id")
         vol = lbl_deg.groupBy("subset").agg(F.sum("deg").alias("vol"))
         # W(v, c): weight from v into community c
@@ -174,23 +212,32 @@ def _local_move(e: DataFrame, gamma: float, rounds: int) -> DataFrame:
             cand.where(F.col("csub") == F.col("subset"))
             .select("id", F.col("w_to_c").alias("w_stay"), F.col("vol_c").alias("vol_stay"), F.col("deg").alias("d2"))
         )
+        in_color = (
+            F.pmod(F.xxhash64(F.col("id")), F.lit(phases)) == _round % phases
+        )
         moved = (
             best.join(stay, "id", "left")
             .select(
                 "id",
                 F.when(
-                    F.col("gain")
-                    > F.coalesce(
-                        F.col("w_stay") / m2
-                        - F.lit(gamma) * F.col("d2") * (F.col("vol_stay") - F.col("d2")) / (m2 * m2),
-                        F.lit(-1e18),
+                    in_color
+                    & (
+                        F.col("gain")
+                        > F.coalesce(
+                            F.col("w_stay") / m2
+                            - F.lit(gamma) * F.col("d2") * (F.col("vol_stay") - F.col("d2")) / (m2 * m2),
+                            F.lit(-1e18),
+                        )
                     ),
                     F.col("best"),
                 ).otherwise(F.col("subset")).alias("subset"),
             )
         )
         labels = moved.localCheckpoint(eager=True)
-    return labels
+        q_now = _q(labels)
+        if q_now > best_q:
+            best_labels, best_q = labels, q_now
+    return best_labels
 
 
 def coarsen(e_weighted: DataFrame, partition: DataFrame) -> DataFrame:

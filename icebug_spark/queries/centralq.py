@@ -142,18 +142,121 @@ SELECT CAST(MAX(dist) AS BIGINT) AS diameter_lb FROM d2
 """
 
 
+_BTW_SOURCES = 8  # sources = node ids < cap (same convention as q45/q46)
+_BTW_LEVELS = 12  # ≥ graph diameter at every tested SF; surplus levels
+#                   are empty sets on both sides, so oversizing is safe
+
+
 def q48(spark: SparkSession, sf: str) -> DataFrame:
-    """Brandes betweenness from sampled sources — rows-only (golden-tested
-    on fixtures; per-level float accumulation not oracle-encoded)."""
+    """Brandes betweenness from sampled sources (reference
+    Betweenness.hpp:18 / EstimateBetweenness.hpp:23). Deterministic given
+    the source set, so the DuckDB twin unrolls the same level-synchronous
+    forward σ / backward δ accumulation — a full value oracle."""
     eu = symmetrize(derived_edges(spark, sf, materialize=True))
-    return centrality2.betweenness_sampled(eu, list(range(8)))
+    return centrality2.betweenness_sampled(
+        eu, list(range(_BTW_SOURCES)), max_hops=_BTW_LEVELS
+    )
+
+
+def _brandes_unrolled_sql(n_sources: int, levels: int) -> str:
+    """Unrolled Brandes: forward BFS levels with path counts σ, then
+    backward dependency accumulation δ(v) = Σ_w σ(v)/σ(w)·(1+δ(w))."""
+    parts = [
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM eu)",
+        f"f0 AS MATERIALIZED (SELECT id AS s, id, CAST(1 AS DOUBLE) AS sigma "
+        f"FROM nodes WHERE id < {n_sources})",
+        "v0 AS MATERIALIZED (SELECT s, id FROM f0)",
+    ]
+    for l in range(1, levels + 1):
+        parts.append(
+            f"""f{l} AS MATERIALIZED (
+  SELECT c.s, c.id, SUM(c.sigma) AS sigma FROM (
+    SELECT f.s, eu.dst AS id, f.sigma
+    FROM f{l-1} f JOIN eu ON eu.src = f.id
+  ) c
+  WHERE NOT EXISTS (SELECT 1 FROM v{l-1} v WHERE v.s = c.s AND v.id = c.id)
+  GROUP BY c.s, c.id
+)"""
+        )
+        parts.append(
+            f"v{l} AS MATERIALIZED (SELECT s, id FROM v{l-1} "
+            f"UNION ALL SELECT s, id FROM f{l})"
+        )
+    # backward: w{h} = level-h nodes with δ; contrib{h} keyed level-(h-1)
+    parts.append(
+        f"w{levels} AS MATERIALIZED (SELECT s, id, sigma, CAST(0 AS DOUBLE) AS delta "
+        f"FROM f{levels})"
+    )
+    for h in range(levels, 0, -1):
+        parts.append(
+            f"""contrib{h} AS MATERIALIZED (
+  SELECT p.s, p.id, SUM(p.sigma / w.sigma * (1.0 + w.delta)) AS delta
+  FROM f{h-1} p JOIN eu ON eu.src = p.id
+  JOIN w{h} w ON w.s = p.s AND w.id = eu.dst
+  GROUP BY p.s, p.id
+)"""
+        )
+        if h > 1:
+            parts.append(
+                f"w{h-1} AS MATERIALIZED (SELECT f.s, f.id, f.sigma, "
+                f"COALESCE(c.delta, 0.0) AS delta "
+                f"FROM f{h-1} f LEFT JOIN contrib{h} c "
+                f"ON c.s = f.s AND c.id = f.id)"
+            )
+    all_contribs = " UNION ALL ".join(
+        f"SELECT s, id, delta FROM contrib{h}" for h in range(1, levels + 1)
+    )
+    parts.append(f"allc AS ({all_contribs})")
+    return ",\n".join(parts)
+
+
+Q48_SQL = f"""
+WITH eu AS MATERIALIZED ({EU_SQL}),
+{_brandes_unrolled_sql(_BTW_SOURCES, _BTW_LEVELS)}
+SELECT id, ROUND(SUM(delta), 6) AS betweenness
+FROM allc WHERE id <> s GROUP BY id
+"""
+
+
+_EIG_ITER = 15
 
 
 def q49(spark: SparkSession, sf: str) -> DataFrame:
-    """Eigenvector centrality — rows-only (global L2 normalization each
-    round; golden-tested)."""
+    """Shifted power iteration (A + I) with per-round L2 normalization
+    (reference EigenvectorCentrality.hpp:20). Fixed iteration count and
+    deterministic arithmetic → the DuckDB twin unrolls the same rounds —
+    a full value oracle."""
     eu = symmetrize(derived_edges(spark, sf, materialize=True))
-    return centrality2.eigenvector_centrality(eu, max_iter=15)
+    return centrality2.eigenvector_centrality(eu, max_iter=_EIG_ITER)
+
+
+def _power_iter_unrolled_sql(iters: int) -> str:
+    parts = [
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM eu)",
+        "x0 AS MATERIALIZED (SELECT id, CAST(1 AS DOUBLE) AS v FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""y{i} AS MATERIALIZED (
+  SELECT x.id, x.v + COALESCE(nb.sm, 0.0) AS y
+  FROM x{i-1} x LEFT JOIN (
+    SELECT eu.dst AS id, SUM(x2.v) AS sm
+    FROM eu JOIN x{i-1} x2 ON x2.id = eu.src GROUP BY eu.dst
+  ) nb ON nb.id = x.id
+)"""
+        )
+        parts.append(
+            f"x{i} AS MATERIALIZED (SELECT id, y / (SELECT SQRT(SUM(y * y)) FROM y{i}) AS v "
+            f"FROM y{i})"
+        )
+    return ",\n".join(parts)
+
+
+Q49_SQL = f"""
+WITH eu AS MATERIALIZED ({EU_SQL}),
+{_power_iter_unrolled_sql(_EIG_ITER)}
+SELECT id, ROUND(v, 6) AS eigen FROM x{_EIG_ITER}
+"""
 
 
 def q50(spark: SparkSession, sf: str) -> DataFrame:
@@ -195,8 +298,8 @@ CENTRAL = {
     "q45_eccentricity_sample": (q45, Q45_SQL),
     "q46_closeness_sample": (q46, Q46_SQL),
     "q47_diameter_double_sweep": (q47, Q47_SQL),
-    "q48_betweenness_sample": (q48, None),
-    "q49_eigenvector": (q49, None),
+    "q48_betweenness_sample": (q48, Q48_SQL),
+    "q49_eigenvector": (q49, Q49_SQL),
     "q50_effective_diameter": (q50, Q50_SQL),
     "q51_algebraic_distance": (q51, None),
 }

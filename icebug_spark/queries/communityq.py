@@ -102,12 +102,18 @@ FROM mi CROSS JOIN ha CROSS JOIN hb
 """
 
 
+_PLP_ROUNDS = 6
+
+
 def q36(spark: SparkSession, sf: str) -> DataFrame:
-    """PLP label propagation — rows-only (deterministic tie-breaks, but
-    the mode-of-neighbors fixpoint is not economically SQL-expressible).
-    Returns (subset, size) community size distribution."""
+    """PLP label propagation, synchronous, deterministic tie-break (count
+    desc, label asc) — reference community/PLP.hpp:26. The engine runs
+    exactly ≤ _PLP_ROUNDS synchronous rounds (early stop only at a
+    fixpoint, where further rounds are no-ops), so the DuckDB twin unrolls
+    the same update rule for the same number of rounds — a full value
+    oracle. Returns (subset, size)."""
     eu = _eu(spark, sf)
-    part = community.label_propagation(eu, max_iter=6)
+    part = community.label_propagation(eu, max_iter=_PLP_ROUNDS)
     return (
         part.groupBy("subset")
         .agg(F.count(F.lit(1)).alias("size"))
@@ -115,13 +121,75 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _plp_unrolled_sql(rounds: int) -> str:
+    parts = [
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM eu)",
+        "l0 AS MATERIALIZED (SELECT id, id AS subset FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+  SELECT id, subset FROM (
+    SELECT eu.dst AS id, l.subset,
+           ROW_NUMBER() OVER (PARTITION BY eu.dst
+                              ORDER BY COUNT(*) DESC, l.subset ASC) AS rn
+    FROM eu JOIN l{i-1} l ON l.id = eu.src
+    GROUP BY eu.dst, l.subset
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT n.id, COALESCE(b.subset, n.subset) AS subset "
+            f"FROM l{i-1} n LEFT JOIN b{i} b ON b.id = n.id)"
+        )
+    return ",\n".join(parts)
+
+
+Q36_SQL = f"""
+WITH eu AS MATERIALIZED ({EU_SQL}),
+{_plp_unrolled_sql(_PLP_ROUNDS)}
+SELECT subset, COUNT(*) AS size FROM l{_PLP_ROUNDS} GROUP BY subset
+"""
+
+
 def q37(spark: SparkSession, sf: str) -> DataFrame:
-    """Louvain (1 level) — rows-only; returns (n_communities, modularity)."""
-    eu = _eu(spark, sf)
-    part = community.louvain(eu, levels=1, move_rounds=4).localCheckpoint(eager=True)
+    """Louvain (1 level) property check — reference community/PLM.hpp:19.
+
+    Louvain's values aren't SQL-reproducible (greedy move order), so the
+    entry emits defining invariants of its own output: valid_partition
+    (every node exactly one subset), n_communities ≥ 1, and
+    mod_ge_singleton — the returned partition's modularity must be ≥ the
+    singleton partition's −γ·Σdeg²/(2m)², the reference PLM's starting
+    point that its monotone sweep never drops below (a bulk-synchronous
+    local-move that oscillates, e.g. the round-1 defect at Q=−0.387,
+    fails this). "Beats hash-10" was tried and is NOT a sound property:
+    the derived custkey→suppkey graph is modularity-structureless (max Q
+    ≈ 0), making that comparison a tie-break coin flip at some SFs.
+    Oracle expects (TRUE, TRUE, TRUE)."""
+    eu = _eu(spark, sf).localCheckpoint(eager=True)
+    nodes = _nodes(eu)
+    part = community.louvain(eu, levels=1, move_rounds=8).localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    n_assigned = part.select("id").distinct().count()
+    valid = part.count() == n_assigned == n_nodes
     ncomm = part.select("subset").distinct().count()
-    q = community.modularity(eu, part).collect()[0]["modularity"]
-    return spark.createDataFrame([(ncomm, float(q))], ["n_communities", "modularity"])
+    q_l = community.modularity(eu, part).collect()[0]["modularity"]
+    deg = eu.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    row = deg.agg(
+        F.sum(F.col("deg") * F.col("deg")).alias("sq"), F.sum("deg").alias("m2")
+    ).collect()[0]
+    q_singleton = -float(row["sq"]) / (float(row["m2"]) ** 2)
+    return spark.createDataFrame(
+        [(bool(valid), ncomm >= 1, bool(q_l >= round(q_singleton, 6) - 1e-6))],
+        "valid_partition BOOLEAN, has_communities BOOLEAN, "
+        "mod_ge_singleton BOOLEAN",
+    )
+
+
+Q37_SQL = """
+SELECT TRUE AS valid_partition, TRUE AS has_communities,
+       TRUE AS mod_ge_singleton
+"""
 
 
 COMMUNITY = {
@@ -129,6 +197,6 @@ COMMUNITY = {
     "q33_conductance_hash10": (q33, Q33_SQL),
     "q34_coverage_hash10": (q34, Q34_SQL),
     "q35_nmi_hash_partitions": (q35, Q35_SQL),
-    "q36_plp_community_sizes": (q36, None),
-    "q37_louvain_quality": (q37, None),
+    "q36_plp_community_sizes": (q36, Q36_SQL),
+    "q37_louvain_quality": (q37, Q37_SQL),
 }

@@ -345,12 +345,40 @@ SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM b GROUP BY id
 """
 
 
-# q31 — k-core membership, k=5 (CoreDecomposition parity). Iterative
-# peeling is not expressible as a monotone recursive CTE (it deletes), so
-# this entry has no SQL oracle: the driver records a rows-only check.
+# q31 — k-core membership, k=5 (CoreDecomposition parity,
+# centrality/CoreDecomposition.hpp:26). The k-core is the UNIQUE maximal
+# subgraph with min degree ≥ k, so peeling is oracle-expressible: deletes
+# aren't monotone-recursive, but a fixed unroll of "drop nodes with
+# degree < k within the survivor subgraph" converges (each round shrinks;
+# _KCORE_ROUNDS is far past fixpoint for these graphs — the last rounds
+# are no-ops once converged, verified by the round-(R-1) == round-R test).
+_KCORE_K = 5
+_KCORE_ROUNDS = 15
+
+
+def _kcore_peel_sql(k: int, rounds: int) -> str:
+    parts = ["c0 AS MATERIALIZED (SELECT src, dst FROM eu)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT src FROM c{i-1} GROUP BY src HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT c.src, c.dst FROM c{i-1} c "
+            f"JOIN k{i} a ON a.src = c.src JOIN k{i} b ON b.src = c.dst)"
+        )
+    return ",\n".join(parts)
+
+
 def q31(spark: SparkSession, sf: str) -> DataFrame:
     eu = symmetrize(derived_edges(spark, sf, materialize=True))
-    return kcore.k_core(eu, k=5).orderBy("id")
+    return kcore.k_core(eu, k=_KCORE_K).orderBy("id")
+
+
+Q31_SQL = f"""
+WITH eu AS MATERIALIZED ({EU_SQL}),
+{_kcore_peel_sql(_KCORE_K, _KCORE_ROUNDS)}
+SELECT DISTINCT src AS id FROM c{_KCORE_ROUNDS}
+"""
 
 
 GRAPH = {
@@ -367,5 +395,5 @@ GRAPH = {
     "q28_connected_components": (q28, Q28_SQL),
     "q29_pagerank": (q29, Q29_SQL),
     "q30_bfs_from_0": (q30, Q30_SQL),
-    "q31_kcore_k5": (q31, None),
+    "q31_kcore_k5": (q31, Q31_SQL),
 }

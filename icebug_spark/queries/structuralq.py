@@ -1,10 +1,14 @@
-"""Structural-operator query entries: SCC, MSF, MIS, matching,
-topological layering on the derived graph.
+"""Structural-operator query entries: SCC, MSF, MIS, matching.
 
-SCC carries a DuckDB oracle (mutual-reachability closure — fine at
+SCC carries a full value oracle (mutual-reachability closure — fine at
 sf0.01, while the engine's coloring algorithm is the 100 TB path).
-MSF/MIS/matching are iterative with engine tie-breaks → rows-only, with
-exactness covered by unit tests on golden fixtures.
+MSF/MIS/matching have engine tie-breaks, so their *values* aren't
+SQL-reproducible — instead each emits a PROPERTY-CHECK row: the Spark
+side verifies the defining invariants of its own output through
+independent DataFrame computations (CC of the forest, edge/anti joins for
+independence/maximality/matching validity) plus counts the oracle can
+derive on its own (n - c for a spanning forest). The DuckDB twin emits
+the expected invariant values, so a violated property hash-mismatches.
 """
 
 from __future__ import annotations
@@ -12,11 +16,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebug_spark.catalog import E_SQL, derived_edges, derived_weighted_edges, symmetrize
+from icebug_spark.catalog import (
+    E_SQL,
+    EU_SQL,
+    derived_edges,
+    derived_weighted_edges,
+    symmetrize,
+)
+from icebug_spark.operators.components import connected_components
 from icebug_spark.operators.independent import luby_mis
 from icebug_spark.operators.matching import local_max_matching
 from icebug_spark.operators.msf import boruvka_msf
 from icebug_spark.operators.scc import strongly_connected_components
+
+# Shared CC-count fragment: recursive min-label closure over eu.
+_CC_SQL = """
+reach(node, label) AS (
+  SELECT src, src FROM eu
+  UNION
+  SELECT eu.dst, r.label FROM reach r JOIN eu ON eu.src = r.node
+  WHERE r.label < eu.dst
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+cc AS (SELECT COUNT(DISTINCT component) AS c, COUNT(*) AS n FROM comp)
+"""
 
 
 def q38(spark: SparkSession, sf: str) -> DataFrame:
@@ -46,38 +69,131 @@ GROUP BY n.id
 
 
 def q39(spark: SparkSession, sf: str) -> DataFrame:
-    """Minimum spanning forest of the weighted derived graph — rows-only
-    entry returning the forest summary (n_edges, total_weight); exactness
-    is unit-tested on golden fixtures."""
-    ew = derived_weighted_edges(spark, sf)
-    msf = boruvka_msf(ew)
-    return msf.agg(
-        F.count(F.lit(1)).alias("n_edges"),
-        F.round(F.sum("weight"), 2).alias("total_weight"),
+    """Borůvka MSF property check (reference graph/SpanningForest.hpp:20).
+
+    Emits (n_nodes, n_components, n_msf_edges, forest_spanning_ok): the
+    forest invariant |E_msf| = n − c(G) together with c(MSF) = c(G)
+    implies the output is an acyclic spanning forest (components(F) ≥
+    n − |F| with equality iff acyclic; F ⊆ E makes components(F) refine
+    components(G)). c(MSF) is recomputed with the engine's CC operator —
+    an independent code path from Borůvka. The oracle derives n and c(G)
+    itself and expects n − c edges + TRUE."""
+    ew = derived_weighted_edges(spark, sf).localCheckpoint(eager=True)
+    eu = symmetrize(ew.select("src", "dst")).localCheckpoint(eager=True)
+    msf = boruvka_msf(ew).localCheckpoint(eager=True)
+
+    cc_g = connected_components(eu)
+    n_nodes = cc_g.count()
+    c_graph = cc_g.select("component").distinct().count()
+    n_msf = msf.count()
+
+    msf_sym = symmetrize(msf.select("src", "dst"))
+    covered = msf_sym.select(F.col("src").alias("id")).distinct()
+    n_isolated = n_nodes - covered.count()
+    c_msf_edges = (
+        connected_components(msf_sym).select("component").distinct().count()
+        if n_msf > 0
+        else 0
     )
+    c_msf = c_msf_edges + n_isolated
+    ok = bool(c_msf == c_graph and n_msf == n_nodes - c_graph)
+    return spark.createDataFrame(
+        [(n_nodes, c_graph, n_msf, ok)],
+        "n_nodes BIGINT, n_components BIGINT, n_msf_edges BIGINT, "
+        "forest_spanning_ok BOOLEAN",
+    )
+
+
+Q39_SQL = f"""
+WITH RECURSIVE eu AS ({EU_SQL}),
+{_CC_SQL}
+SELECT n AS n_nodes, c AS n_components,
+       n - c AS n_msf_edges, TRUE AS forest_spanning_ok
+FROM cc
+"""
 
 
 def q40(spark: SparkSession, sf: str) -> DataFrame:
-    """Luby maximal independent set size on EU — rows-only (hash-seeded)."""
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
-    mis = luby_mis(eu)
-    return mis.agg(F.count(F.lit(1)).alias("mis_size"))
+    """Luby MIS property check (reference independentset/Luby.hpp:20).
+
+    Emits (independent_ok, maximal_ok, nonempty): independence = no graph
+    edge with both endpoints in the set (semi-join × semi-join must be
+    empty); maximality = every node outside the set has a neighbor inside
+    (anti-join of non-members against N(set) must be empty). Both checks
+    are plain joins over the engine's own output — a wrong set flips a
+    boolean and hash-mismatches the oracle's expected (TRUE, TRUE, TRUE)."""
+    eu = symmetrize(derived_edges(spark, sf, materialize=True)).localCheckpoint(
+        eager=True
+    )
+    mis = luby_mis(eu).localCheckpoint(eager=True)
+    nodes = eu.select(F.col("src").alias("id")).distinct()
+
+    mis_src = mis.withColumnRenamed("id", "src")
+    mis_dst = mis.withColumnRenamed("id", "dst")
+    internal = (
+        eu.join(mis_src, "src", "leftsemi").join(mis_dst, "dst", "leftsemi").count()
+    )
+    outside = nodes.join(mis, "id", "left_anti")
+    # neighbors of the MIS
+    nbrs = eu.join(mis_src, "src", "leftsemi").select(F.col("dst").alias("id"))
+    uncovered = outside.join(nbrs, "id", "left_anti").count()
+    n_mis = mis.count()
+    return spark.createDataFrame(
+        [(internal == 0, uncovered == 0, n_mis > 0)],
+        "independent_ok BOOLEAN, maximal_ok BOOLEAN, nonempty BOOLEAN",
+    )
+
+
+Q40_SQL = """
+SELECT TRUE AS independent_ok, TRUE AS maximal_ok, TRUE AS nonempty
+"""
 
 
 def q41(spark: SparkSession, sf: str) -> DataFrame:
-    """Local-max weighted matching on the derived weighted graph —
-    rows-only summary (n_matched_pairs, total_weight)."""
-    ew = derived_weighted_edges(spark, sf)
-    m = local_max_matching(ew)
-    return m.agg(
-        F.count(F.lit(1)).alias("n_matched_pairs"),
-        F.round(F.sum("weight"), 2).alias("total_weight"),
+    """Local-max matching property check (reference
+    matching/LocalMaxMatcher.hpp:20, Matching.hpp:16).
+
+    Emits (valid_matching, edges_in_graph, maximal_ok, nonempty):
+    valid = no node appears in two matched pairs; edges_in_graph = every
+    matched pair is a real edge; maximal = no graph edge has both
+    endpoints unmatched (local-max produces a maximal matching). Oracle
+    expects all TRUE."""
+    ew = derived_weighted_edges(spark, sf).localCheckpoint(eager=True)
+    m = local_max_matching(ew).localCheckpoint(eager=True)
+
+    endpoints = m.select(F.col("u").alias("id")).union(
+        m.select(F.col("v").alias("id"))
     )
+    dup = endpoints.groupBy("id").count().where(F.col("count") > 1).count()
+
+    canon = ew.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    not_edges = m.select("u", "v").join(canon, ["u", "v"], "left_anti").count()
+
+    matched = endpoints.distinct()
+    unmatched_both = (
+        canon.join(matched.withColumnRenamed("id", "u"), "u", "left_anti")
+        .join(matched.withColumnRenamed("id", "v"), "v", "left_anti")
+        .count()
+    )
+    n_pairs = m.count()
+    return spark.createDataFrame(
+        [(dup == 0, not_edges == 0, unmatched_both == 0, n_pairs > 0)],
+        "valid_matching BOOLEAN, edges_in_graph BOOLEAN, maximal_ok BOOLEAN, "
+        "nonempty BOOLEAN",
+    )
+
+
+Q41_SQL = """
+SELECT TRUE AS valid_matching, TRUE AS edges_in_graph, TRUE AS maximal_ok,
+       TRUE AS nonempty
+"""
 
 
 STRUCTURAL = {
     "q38_scc": (q38, Q38_SQL),
-    "q39_msf_summary": (q39, None),
-    "q40_luby_mis_size": (q40, None),
-    "q41_matching_summary": (q41, None),
+    "q39_msf_summary": (q39, Q39_SQL),
+    "q40_luby_mis_size": (q40, Q40_SQL),
+    "q41_matching_summary": (q41, Q41_SQL),
 }
