@@ -9,12 +9,13 @@ from icebug_spark.queries.distanceq import DISTANCE2
 from icebug_spark.queries.edgescoreq import EDGESCORE
 from icebug_spark.queries.graphq import GRAPH
 from icebug_spark.queries.llmq import LLM
+from icebug_spark.queries.pointq import POINT
 from icebug_spark.queries.qualityq import QUALITY
 from icebug_spark.queries.relational import RELATIONAL
 from icebug_spark.queries.scdq import SCD
 from icebug_spark.queries.structuralq import STRUCTURAL
 
-ALL = {**RELATIONAL, **GRAPH, **COMMUNITY, **STRUCTURAL, **CENTRAL, **LLM, **EDGESCORE, **SCD, **ALGEBRAIC, **QUALITY, **DISTANCE2}
+ALL = {**RELATIONAL, **GRAPH, **COMMUNITY, **STRUCTURAL, **CENTRAL, **LLM, **EDGESCORE, **SCD, **ALGEBRAIC, **QUALITY, **DISTANCE2, **POINT}
 
 
 def queries():
