@@ -318,13 +318,13 @@ def _clique_detect(adj, truedeg, allowed, seeds):
 
 
 _EXPANDERS = {
-    "gce_m": lambda a, d, al, s: _gce(a, d, al, s, objective="M"),
-    "gce_l": lambda a, d, al, s: _gce(a, d, al, s, objective="L"),
-    "tce": _tce,
-    "lte": _lte,
-    "local_t": _local_t,
-    "two_phase_l": _two_phase_l,
-    "clique": lambda a, d, al, s: _clique_detect(a, d, al, s),
+    "gce_m": lambda a, d, al, s, ms=500: _gce(a, d, al, s, objective="M", max_size=ms),
+    "gce_l": lambda a, d, al, s, ms=500: _gce(a, d, al, s, objective="L", max_size=ms),
+    "tce": lambda a, d, al, s, ms=500: _tce(a, d, al, s, max_size=ms),
+    "lte": lambda a, d, al, s, ms=500: _lte(a, d, al, s, max_size=ms),
+    "local_t": lambda a, d, al, s, ms=500: _local_t(a, d, al, s, max_size=ms),
+    "two_phase_l": lambda a, d, al, s, ms=500: _two_phase_l(a, d, al, s, max_size=ms),
+    "clique": lambda a, d, al, s, ms=500: _clique_detect(a, d, al, s),
 }
 
 
@@ -333,12 +333,16 @@ def expand_communities(
     seeds: list[int],
     algo: str = "gce_m",
     radius: int = 3,
+    max_size: int = 500,
+    balls: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Expand one community per seed → (seed, id). ``algo`` ∈
-    gce_m | gce_l | tce | lte | local_t | two_phase_l | clique."""
+    gce_m | gce_l | tce | lte | local_t | two_phase_l | clique.
+    ``balls``: pre-computed ``seed_balls(eu, seeds, radius)`` output,
+    shared across algorithms to amortize the batched BFS."""
     if algo not in _EXPANDERS:
         raise ValueError(f"unknown SCD algo {algo!r}")
-    nodes, edges = seed_balls(eu, seeds, radius)
+    nodes, edges = balls if balls is not None else seed_balls(eu, seeds, radius)
     fn = _EXPANDERS[algo]
 
     def run(key, edge_pdf, node_pdf):
@@ -347,7 +351,7 @@ def expand_communities(
         if len(node_pdf) == 0:
             return pd.DataFrame({"seed": [], "id": []})
         adj, truedeg, allowed, seed_nodes = _build_local(edge_pdf, node_pdf)
-        C = fn(adj, truedeg, allowed, seed_nodes)
+        C = fn(adj, truedeg, allowed, seed_nodes, max_size)
         return pd.DataFrame({"seed": int(key[0]), "id": sorted(C)})
 
     return (
@@ -363,6 +367,7 @@ def combined_scd(
     first: str = "clique",
     second: str = "gce_m",
     radius: int = 3,
+    max_size: int = 500,
 ) -> DataFrame:
     """CombinedSCD.hpp:16: run ``first``, use its community as the seed
     set of ``second`` — one cogrouped pass, both stages per executor."""
@@ -377,8 +382,8 @@ def combined_scd(
         if len(node_pdf) == 0:
             return pd.DataFrame({"seed": [], "id": []})
         adj, truedeg, allowed, seed_nodes = _build_local(edge_pdf, node_pdf)
-        mid = f1(adj, truedeg, allowed, seed_nodes)
-        C = f2(adj, truedeg, allowed, sorted(mid)) if mid else set()
+        mid = f1(adj, truedeg, allowed, seed_nodes, max_size)
+        C = f2(adj, truedeg, allowed, sorted(mid), max_size) if mid else set()
         return pd.DataFrame({"seed": int(key[0]), "id": sorted(C)})
 
     return (

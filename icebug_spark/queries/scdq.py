@@ -42,7 +42,139 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _restricted_eu(spark: SparkSession, sf: str, cap: int = 400) -> DataFrame:
+    """Id-capped subgraph of the derived customer–supplier graph: keeps
+    every supplier hub (ids ≤ 100) plus customers below ``cap`` so the
+    radius-2 seed balls stay bounded at every sf (the SCD expanders are
+    local algorithms — the cap models the 'small seed neighborhood'
+    regime they are built for, not a scalability workaround: the batched
+    ball extraction itself is one BFS regardless of graph size)."""
+    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    return eu.where((F.col("src") < cap) & (F.col("dst") < cap)).localCheckpoint(
+        eager=True
+    )
+
+
+_SCD_SEEDS = [101, 102, 103]
+
+
+def _scd_props(eu: DataFrame, members: DataFrame, seeds: list[int], weak: bool = False):
+    """Per-seed property checks over the engine's own output:
+    seed ∈ C, and (unless weak) every non-seed member has ≥1 neighbor
+    inside C (expansion never adds a node with no tie to the community).
+    ``weak`` (TwoPhaseL) additionally allows the documented empty result."""
+    m = members.localCheckpoint(eager=True)
+    ms = m.select("seed", F.col("id").alias("src"))
+    md = m.select("seed", F.col("id").alias("dst"))
+    internal = eu.join(ms, "src").join(md, ["seed", "dst"])
+    covered = internal.select("seed", F.col("src").alias("id")).distinct()
+    need = m.where(F.col("id") != F.col("seed"))
+    uncovered = (
+        need.join(covered, ["seed", "id"], "left_anti")
+        .groupBy("seed")
+        .agg(F.count(F.lit(1)).alias("n_uncovered"))
+    )
+    sizes = m.groupBy("seed").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.max(F.when(F.col("id") == F.col("seed"), 1).otherwise(0)).alias("has_seed"),
+    )
+    spark = eu.sparkSession
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "seed BIGINT")
+    props = (
+        seed_df.join(sizes, "seed", "left")
+        .join(uncovered, "seed", "left")
+        .na.fill({"size": 0, "has_seed": 0, "n_uncovered": 0})
+    )
+    if weak:
+        ok = (F.col("size") == 0) | (F.col("has_seed") == 1)
+    else:
+        ok = (
+            (F.col("size") > 0)
+            & (F.col("has_seed") == 1)
+            & (F.col("n_uncovered") == 0)
+        )
+    return props.select("seed", ok.alias("ok"))
+
+
+def _expansion_query(algos: list[tuple[str, bool]], cap: int = 400, max_size: int = 20):
+    from icebug_spark.operators.scd2 import expand_communities
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        from icebug_spark.operators.scd2 import seed_balls
+
+        eu = _restricted_eu(spark, sf, cap)
+        balls = seed_balls(eu, _SCD_SEEDS, radius=2)
+        out = None
+        for algo, weak in algos:
+            members = expand_communities(
+                eu, _SCD_SEEDS, algo=algo, radius=2, max_size=max_size, balls=balls
+            )
+            props = _scd_props(eu, members, _SCD_SEEDS, weak=weak).select(
+                F.lit(algo).alias("algo"), "seed", "ok"
+            )
+            out = props if out is None else out.unionByName(props)
+        return out.orderBy("algo", "seed")
+
+    return q
+
+
+def _expansion_oracle(algos: list[str]) -> str:
+    rows = ", ".join(
+        f"('{a}', {s})" for a in sorted(algos) for s in _SCD_SEEDS
+    )
+    return (
+        f"SELECT algo, CAST(seed AS BIGINT) AS seed, TRUE AS ok "
+        f"FROM (VALUES {rows}) AS t(algo, seed) ORDER BY algo, seed"
+    )
+
+
+q92 = _expansion_query([("gce_m", False), ("gce_l", False)])
+q93 = _expansion_query([("tce", False), ("lte", False)])
+q94 = _expansion_query(
+    [("local_t", False), ("two_phase_l", True)], cap=250, max_size=12
+)
+q95 = _expansion_query([("clique", False)])
+
+
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    """CombinedSCD (clique → GCE-M) + SCDGroundTruthComparison against a
+    hash ground truth (subset = id % 5): per seed, score-bounds property
+    checks (reference scd/CombinedSCD.hpp:16,
+    SCDGroundTruthComparison.cpp)."""
+    from icebug_spark.operators.scd2 import combined_scd, ground_truth_comparison
+
+    eu = _restricted_eu(spark, sf)
+    members = combined_scd(
+        eu, _SCD_SEEDS, first="clique", second="gce_m", radius=2, max_size=20
+    ).localCheckpoint(eager=True)
+    nodes = eu.select(F.col("src").alias("id")).distinct()
+    gt = nodes.select("id", (F.col("id") % 5).alias("subset"))
+    scored = ground_truth_comparison(members, gt)
+    return scored.select(
+        "seed",
+        (
+            (F.col("tp") <= F.col("detected_size"))
+            & (F.col("tp") <= F.col("truth_size"))
+            & (F.col("precision") >= 0) & (F.col("precision") <= 1)
+            & (F.col("recall") >= 0) & (F.col("recall") <= 1)
+            & (F.col("f1") >= 0) & (F.col("f1") <= 1)
+            & (F.col("jaccard") >= 0) & (F.col("jaccard") <= 1)
+        ).alias("ok"),
+    ).orderBy("seed")
+
+
+Q96_SQL = (
+    "SELECT CAST(seed AS BIGINT) AS seed, TRUE AS ok FROM (VALUES (101), (102), "
+    "(103)) AS t(seed) ORDER BY seed"
+)
+
+
 SCD = {
     "q62_pagerank_nibble": (q62, None),
     "q63_node2vec_walks": (q63, None),
+    "q92_gce_expansion": (q92, _expansion_oracle(["gce_m", "gce_l"])),
+    "q93_tce_lte_expansion": (q93, _expansion_oracle(["tce", "lte"])),
+    "q94_local_t_two_phase": (q94, _expansion_oracle(["local_t", "two_phase_l"])),
+    "q95_clique_detect": (q95, _expansion_oracle(["clique"])),
+    "q96_scd_ground_truth": (q96, Q96_SQL),
 }
