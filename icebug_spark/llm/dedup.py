@@ -56,15 +56,34 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.5
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs above threshold, jaccard on
     distinct word-n-gram sets, rounded 6dp. Exact (no sketch) — the
     oracle-checkable baseline for near-dup detection.
 
+    ``max_doc_freq``: drop shingles appearing in more than this many
+    documents (from numerator AND denominator — "jaccard over
+    non-boilerplate shingles"). The standard cap: a single hot
+    boilerplate n-gram makes the self-join quadratic in its document
+    frequency, so at scale the cap bounds the join's skew; semantics
+    stay well-defined and SQL-expressible.
+
     The shingle table feeds three consumers (sizes + both join sides), so
     it is materialized once instead of re-tokenizing the corpus per branch."""
-    sh = shingles(documents, n).localCheckpoint(eager=True)
+    sh = shingles(documents, n)
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "leftsemi")
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -97,11 +116,16 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    documents: DataFrame, n: int = 3, num_hashes: int = 16
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>): MinHash over word-n-gram shingles.
-    Hash family: xxhash64 seeded by permutation index (JVM-side)."""
-    sh = shingles(documents, n)
+    Hash family: xxhash64 seeded by permutation index (JVM-side).
+    ``shingle_df``: pre-computed ``shingles(documents, n)``, shared with
+    the verify stage so the corpus is tokenized once."""
+    sh = shingles(documents, n) if shingle_df is None else shingle_df
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -125,8 +149,12 @@ def minhash_lsh_duplicates(
     Bands of r = num_hashes/bands rows are hashed to buckets; pairs
     colliding in >= 1 band become candidates (probability 1-(1-s^r)^b for
     true similarity s). Candidates are then verified exactly, so output
-    precision is 1.0 and only recall depends on the sketch."""
-    sig = minhash_signatures(documents, n, num_hashes)
+    precision is 1.0 and only recall depends on the sketch.
+
+    One shingle table is materialized and shared by the signature build
+    and the exact-verify stage — the corpus is tokenized once."""
+    sh_all = shingles(documents, n).localCheckpoint(eager=True)
+    sig = minhash_signatures(documents, n, num_hashes, shingle_df=sh_all)
     r = num_hashes // bands
     band_rows = sig.select(
         "doc_id",
@@ -161,8 +189,10 @@ def minhash_lsh_duplicates(
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = shingles(documents, n).join(cand_docs, "doc_id", "leftsemi")
-    sh = sh.localCheckpoint(eager=True)
+    sh = (
+        sh_all.join(cand_docs, "doc_id", "leftsemi")
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a2 = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b2 = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

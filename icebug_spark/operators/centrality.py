@@ -58,27 +58,33 @@ def pagerank(
     ranks = base.withColumn("rank", F.lit(1.0 / n))
 
     def step(r: DataFrame, _i: int) -> DataFrame:
-        sink_sum = (
-            r.where(F.col("outdeg").isNull()).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        ) if distribute_sinks else 0.0
         contribs = (
             e.join(r.select("id", "rank", "outdeg"), e.src == F.col("id"))
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
         )
-        return (
-            base.join(contribs, "id", "left")
-            .select(
-                "id",
-                "outdeg",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(sink_sum / n))
-                ).alias("rank"),
+        out = base.join(contribs, "id", "left")
+        if distribute_sinks:
+            # Fold the sink aggregate into the plan (broadcast 1-row cross
+            # join) instead of collect()ing it — one Spark action per
+            # checkpoint instead of two per round; at cluster scale each
+            # avoided action is a full job submission.
+            sink = r.where(F.col("outdeg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("sink_sum")
             )
+            out = out.crossJoin(F.broadcast(sink))
+            sink_term = F.col("sink_sum") / n
+        else:
+            sink_term = F.lit(0.0)
+        return out.select(
+            "id",
+            "outdeg",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + sink_term)
+            ).alias("rank"),
         )
 
     final = iterate(ranks, step, max_iter, converged=None, checkpoint_every=2)

@@ -66,8 +66,18 @@ def eigenvector_centrality(
         y = x.join(nb, "id", "left").select(
             "id", (F.col("v") + F.coalesce("nbsum", F.lit(0.0))).alias("y")
         )
-        norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y")))).collect()[0][0] or 1.0
-        x = y.select("id", (F.col("y") / norm).alias("v")).localCheckpoint(eager=True)
+        # Norm folded into the plan (broadcast 1-row cross join) — one
+        # action per round (the checkpoint) instead of two.
+        norm = y.agg(
+            F.greatest(
+                F.sqrt(F.sum(F.col("y") * F.col("y"))), F.lit(1e-300)
+            ).alias("norm")
+        )
+        x = (
+            y.crossJoin(F.broadcast(norm))
+            .select("id", (F.col("y") / F.col("norm")).alias("v"))
+            .localCheckpoint(eager=True)
+        )
     return x.select("id", F.round("v", 6).alias("eigen"))
 
 

@@ -32,7 +32,9 @@ def canonical_edges(edges_undirected: DataFrame) -> DataFrame:
     )
 
 
-def triangles(edges_undirected: DataFrame) -> DataFrame:
+def triangles(
+    edges_undirected: DataFrame, canon: DataFrame | None = None
+) -> DataFrame:
     """All triangles as (a, b, c), each exactly once, a < b < c by id.
 
     Degree-ordered orientation (the standard distributed algorithm): every
@@ -40,8 +42,15 @@ def triangles(edges_undirected: DataFrame) -> DataFrame:
     higher one, so each node's out-degree is O(sqrt(m)) and the wedge join
     is bounded by sum(outdeg^2) ≈ m^1.5 — id-ordered orientation instead
     explodes on hub nodes (a degree-d hub in the middle contributes
-    O(d_lo·d_hi) wedges)."""
-    c = canonical_edges(edges_undirected).localCheckpoint(eager=True)
+    O(d_lo·d_hi) wedges).
+
+    ``canon``: pre-materialized ``canonical_edges`` output, shared across
+    the coefficient functions so the edge set is canonicalized once."""
+    c = (
+        canonical_edges(edges_undirected).localCheckpoint(eager=True)
+        if canon is None
+        else canon
+    )
     deg = (
         c.select(F.col("u").alias("id"))
         .union(c.select(F.col("v").alias("id")))
@@ -74,16 +83,23 @@ def triangles(edges_undirected: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges_undirected: DataFrame) -> DataFrame:
+def triangle_count(
+    edges_undirected: DataFrame, canon: DataFrame | None = None
+) -> DataFrame:
     """Single row (n_triangles BIGINT)."""
-    return triangles(edges_undirected).agg(
+    return triangles(edges_undirected, canon=canon).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
 
 
-def node_triangle_counts(edges_undirected: DataFrame) -> DataFrame:
-    """(id, n_tri): triangles incident to each node."""
-    t = triangles(edges_undirected)
+def node_triangle_counts(
+    edges_undirected: DataFrame,
+    canon: DataFrame | None = None,
+    tri: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_tri): triangles incident to each node. ``tri``: a
+    pre-computed ``triangles`` output to reuse."""
+    t = triangles(edges_undirected, canon=canon) if tri is None else tri
     nodes = (
         t.select(F.col("a").alias("id"))
         .union(t.select(F.col("b").alias("id")))
@@ -92,27 +108,33 @@ def node_triangle_counts(edges_undirected: DataFrame) -> DataFrame:
     return nodes.groupBy("id").agg(F.count(F.lit(1)).alias("n_tri"))
 
 
+def _canon_degrees(c: DataFrame) -> DataFrame:
+    return (
+        c.select(F.col("u").alias("id"))
+        .union(c.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
 def global_clustering_coefficient(edges_undirected: DataFrame) -> DataFrame:
     """Single row (global_cc DOUBLE, avg_cc DOUBLE), rounded 6dp.
 
     global_cc = 3*triangles / wedges (transitivity,
     ``global/GlobalClusteringCoefficient.hpp:17``); avg_cc = mean of the
     per-node local coefficients over degree>=2 nodes
-    (``global/ClusteringCoefficient.hpp:18`` avg variant)."""
+    (``global/ClusteringCoefficient.hpp:18`` avg variant).
+
+    One canonical edge set and ONE triangle enumeration feed all three
+    aggregates (total count, per-node counts, wedge count)."""
     c = canonical_edges(edges_undirected).localCheckpoint(eager=True)
-    deg = (
-        c.select(F.col("u").alias("id"))
-        .union(c.select(F.col("v").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    deg = _canon_degrees(c)
     wedges = deg.agg(
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("n_wedges")
     )
-    tri = triangle_count(c.select(F.col("u").alias("src"), F.col("v").alias("dst")))
-    lcc = local_clustering_coefficient(
-        c.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    )
+    tri_df = triangles(edges_undirected, canon=c).localCheckpoint(eager=True)
+    tri = tri_df.agg(F.count(F.lit(1)).alias("n_triangles"))
+    lcc = local_clustering_coefficient(edges_undirected, canon=c, tri=tri_df)
     avg = lcc.agg(F.avg("lcc").alias("avg_lcc"))
     return (
         tri.crossJoin(wedges)
@@ -126,25 +148,27 @@ def global_clustering_coefficient(edges_undirected: DataFrame) -> DataFrame:
     )
 
 
-def local_clustering_coefficient(edges_undirected: DataFrame) -> DataFrame:
+def local_clustering_coefficient(
+    edges_undirected: DataFrame,
+    canon: DataFrame | None = None,
+    tri: DataFrame | None = None,
+) -> DataFrame:
     """(id, lcc) for nodes with degree >= 2, lcc = 2*tri / (deg*(deg-1)).
 
     Degree = distinct-neighbor count on the symmetrized view (matches the
-    reference's simple-graph assumption). The canonical edge set is
-    materialized once and shared by the degree and triangle passes."""
-    c = canonical_edges(edges_undirected).localCheckpoint(eager=True)
-    deg = (
-        c.select(F.col("u").alias("id"))
-        .union(c.select(F.col("v").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("deg"))
+    reference's simple-graph assumption). The canonical edge set (and
+    optionally the triangle list) can be passed in so callers share one
+    materialization across the coefficient family."""
+    c = (
+        canonical_edges(edges_undirected).localCheckpoint(eager=True)
+        if canon is None
+        else canon
     )
-    tri = node_triangle_counts(
-        c.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-    )
+    deg = _canon_degrees(c)
+    ntri = node_triangle_counts(edges_undirected, canon=c, tri=tri)
     return (
         deg.where(F.col("deg") >= 2)
-        .join(tri, "id", "left")
+        .join(ntri, "id", "left")
         .select(
             "id",
             F.round(

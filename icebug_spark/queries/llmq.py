@@ -76,8 +76,11 @@ SELECT doc_id, {case} AS pred_lang, CAST(best AS BIGINT) AS stopword_hits FROM b
 
 
 def ngram_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
+    # max_doc_freq=100: boilerplate shingles (df > 100) are dropped from
+    # both numerator and denominator — kills the hot-shingle quadratic
+    # blowup in the self-join; the oracle applies the identical cap.
     return dedup.ngram_jaccard_pairs(
-        table(spark, sf, "documents"), n=3, threshold=0.2
+        table(spark, sf, "documents"), n=3, threshold=0.2, max_doc_freq=100
     )
 
 
@@ -87,12 +90,18 @@ WITH toks AS (
          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
   FROM documents
 ),
-sh AS (
+sh_all AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
            unnest(list_transform(range(0, len(t) - 2),
                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
     FROM toks WHERE len(t) >= 3
+  )
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  WHERE shingle IN (
+    SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) <= 100
   )
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
