@@ -66,7 +66,25 @@ def approx_betweenness(
     pairs = s_side.join(t_side, "pair").where(F.col("s") != F.col("t")).localCheckpoint(
         eager=True
     )
+    counts = _pair_path_visits(eu, pairs, vd, seed)
+    return (
+        nodes.join(counts, "id", "left")
+        .select(
+            "id",
+            F.round(F.coalesce("cnt", F.lit(0)).cast("double") / F.lit(float(r)), 6).alias(
+                "approx_bc"
+            ),
+        )
+    )
 
+
+def _pair_path_visits(
+    eu: DataFrame, pairs: DataFrame, vd: int, seed: int
+) -> DataFrame:
+    """Sample ONE uniform shortest s→t path per (pair, s, t) row; return
+    interior-node visit counts (id, cnt). All pairs advance together:
+    one pair-keyed multi-source BFS forward (dist, σ), then a σ-weighted
+    backward walk one level per round."""
     # forward multi-source BFS with path counts sigma, keyed by pair
     frontier = pairs.select("pair", F.col("s").alias("id"), F.lit(0).alias("dist"), F.lit(1.0).alias("sigma"))
     settled = frontier
@@ -121,20 +139,129 @@ def approx_betweenness(
         visits.append(chosen.where(F.col("dist") >= 1).select("pair", F.col("cur").alias("id")))
         cur = chosen
 
+    spark = eu.sparkSession
     if not visits:
-        return nodes.select("id", F.lit(0.0).alias("approx_bc"))
+        return spark.createDataFrame([], "id BIGINT, cnt BIGINT")
     allv = visits[0]
     for v in visits[1:]:
         allv = allv.union(v)
-    counts = allv.groupBy("id").agg(F.count(F.lit(1)).alias("cnt"))
-    return (
-        nodes.join(counts, "id", "left")
-        .select(
-            "id",
-            F.round(F.coalesce("cnt", F.lit(0)).cast("double") / F.lit(float(r)), 6).alias(
-                "approx_bc"
-            ),
+    return allv.groupBy("id").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def kadabra_betweenness(
+    edges_undirected: DataFrame,
+    err: float = 0.05,
+    delta: float = 0.1,
+    start_factor: int = 100,
+    max_rounds: int = 8,
+    seed: int = 13,
+) -> DataFrame:
+    """KADABRA adaptive betweenness (Borassi-Natale 2016; reference
+    ``centrality/KadabraBetweenness.hpp:82``, absolute k=0 variant):
+    sample shortest-path batches; after each batch, per-node lower/upper
+    Chernoff-style error bounds f/g decide stopping — every node must be
+    within ``err`` with confidence 1−δ, or the VC-dimension budget
+    ω = 0.5/err²·(log₂(VD−1)+1+ln(0.5/δ)) is exhausted
+    (KadabraBetweenness.cpp:309,475).
+
+    Per-node δ guesses use the uniform δ/(2n) split (the reference's
+    starting guess; its computeDeltaGuess binary-search refinement
+    re-allocates the same total confidence and is a constant-factor
+    sample-size tweak — documented divergence).
+
+    Spark shape: the sampling batch is ONE pair-keyed multi-source BFS
+    (all pairs advance together); the stopping rule is a scalar aggregate
+    per round — the adaptive loop is driver-coordinated, the data work is
+    fully distributed. → (id, kadabra_bc, err_lower, err_upper)."""
+    import math as _math
+
+    spark = edges_undirected.sparkSession
+    eu = edges_undirected.select("src", "dst")
+    eu = eu.union(
+        eu.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    nodes = eu.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+    vd = diameter_double_sweep(edges_undirected).collect()[0][0] or 2
+    vd = max(int(vd), 2)
+
+    omega = 0.5 / err / err * (_math.log2(max(vd - 1, 2)) + 1 + _math.log(0.5 / delta))
+    batch = max(32, int(omega / start_factor))
+    delta_node = delta / (2.0 * n)
+    log_inv_d = _math.log(1.0 / delta_node)
+
+    counts = None
+    n_pairs = 0
+    for rnd in range(max_rounds):
+        ranked = nodes.withColumn(
+            "h", F.xxhash64(F.lit(seed * 1000 + rnd), "id")
+        ).withColumn("rn", F.row_number().over(Window.orderBy("h", "id")) - 1)
+        s_side = ranked.where(F.col("rn") < batch).select(
+            F.col("rn").alias("pair"), F.col("id").alias("s")
         )
+        t_side = (
+            ranked.withColumn("rn2", (F.col("rn") + batch + 1 + rnd) % n)
+            .where(F.col("rn2") < batch)
+            .select(F.col("rn2").alias("pair"), F.col("id").alias("t"))
+        )
+        pairs = (
+            s_side.join(t_side, "pair")
+            .where(F.col("s") != F.col("t"))
+            .localCheckpoint(eager=True)
+        )
+        n_pairs += pairs.count()
+        new = _pair_path_visits(eu, pairs, vd, seed + rnd)
+        counts = (
+            new
+            if counts is None
+            else counts.unionByName(new)
+            .groupBy("id")
+            .agg(F.sum("cnt").alias("cnt"))
+        ).localCheckpoint(eager=True)
+
+        # stopping rule: all nodes' f/g error bounds below err, or budget
+        # spent (KadabraBetweenness.cpp:45-104,475) — ONE scalar aggregate.
+        bet = F.coalesce(F.col("cnt"), F.lit(0)).cast("double") / n_pairs
+        tmp_l = F.lit(omega / n_pairs - 1.0 / 3)
+        tmp_u = F.lit(omega / n_pairs + 1.0 / 3)
+        err_l = F.least(
+            F.lit(log_inv_d / n_pairs)
+            * (-tmp_l + F.sqrt(tmp_l * tmp_l + 2 * bet * omega / log_inv_d)),
+            bet,
+        )
+        err_u = F.least(
+            F.lit(log_inv_d / n_pairs)
+            * (tmp_u + F.sqrt(tmp_u * tmp_u + 2 * bet * omega / log_inv_d)),
+            1 - bet,
+        )
+        worst = (
+            nodes.join(counts, "id", "left")
+            .agg(F.max(F.greatest(err_l, err_u)).alias("w"))
+            .collect()[0][0]
+        )
+        if worst is not None and worst < err:
+            break
+        if n_pairs >= omega:
+            break
+
+    bet = F.coalesce(F.col("cnt"), F.lit(0)).cast("double") / n_pairs
+    tmp_l = F.lit(omega / n_pairs - 1.0 / 3)
+    tmp_u = F.lit(omega / n_pairs + 1.0 / 3)
+    err_l = F.least(
+        F.lit(log_inv_d / n_pairs)
+        * (-tmp_l + F.sqrt(tmp_l * tmp_l + 2 * bet * omega / log_inv_d)),
+        bet,
+    )
+    err_u = F.least(
+        F.lit(log_inv_d / n_pairs)
+        * (tmp_u + F.sqrt(tmp_u * tmp_u + 2 * bet * omega / log_inv_d)),
+        1 - bet,
+    )
+    return nodes.join(counts, "id", "left").select(
+        "id",
+        F.round(bet, 6).alias("kadabra_bc"),
+        F.round(err_l, 6).alias("err_lower"),
+        F.round(err_u, 6).alias("err_upper"),
     )
 
 

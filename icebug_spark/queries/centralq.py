@@ -291,6 +291,54 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
     return distances.algebraic_distance(eu, n_systems=2, rounds=3)
 
 
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    """KADABRA adaptive betweenness ε-bound check (reference
+    centrality/KadabraBetweenness.hpp:82): on an id-capped subgraph,
+    every node's estimate must lie within its own reported Chernoff
+    bound (+small-sample slack) of the EXACT Brandes probability
+    bc(v)/(n(n-1)) computed by the engine's exact path — a wrong sampler,
+    wrong normalization, or wrong bound formula flips the boolean."""
+    from icebug_spark.operators.centrality2 import betweenness_sampled
+    from icebug_spark.operators.centrality4 import kadabra_betweenness
+
+    eu = (
+        symmetrize(derived_edges(spark, sf, materialize=True))
+        .where((F.col("src") < 120) & (F.col("dst") < 120))
+        .localCheckpoint(eager=True)
+    )
+    kb = kadabra_betweenness(eu, err=0.1, delta=0.1, max_rounds=4).localCheckpoint(
+        eager=True
+    )
+    ids = [r[0] for r in eu.select(F.col("src").alias("id")).distinct().collect()]
+    n = len(ids)
+    exact = betweenness_sampled(eu, ids, max_hops=12).select(
+        "id", (F.col("betweenness") / (n * (n - 1))).alias("bc_exact")
+    )
+    j = kb.join(exact, "id", "left").na.fill({"bc_exact": 0.0})
+    bad_bound = F.when(
+        F.abs(F.col("kadabra_bc") - F.col("bc_exact"))
+        > F.greatest("err_lower", "err_upper") + F.lit(0.05),
+        1,
+    ).otherwise(0)
+    bad_sign = F.when(
+        (F.col("err_lower") < 0) | (F.col("err_upper") < 0), 1
+    ).otherwise(0)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_nodes_checked"),
+        F.sum(bad_bound).alias("n_out"),
+        F.sum(bad_sign).alias("n_neg"),
+    ).select(
+        (F.col("n_nodes_checked") > 0).alias("nonempty"),
+        (F.col("n_out") == 0).alias("within_bounds_ok"),
+        (F.col("n_neg") == 0).alias("bounds_nonneg_ok"),
+    )
+
+
+Q97_SQL = """
+SELECT TRUE AS nonempty, TRUE AS within_bounds_ok, TRUE AS bounds_nonneg_ok
+"""
+
+
 CENTRAL = {
     "q42_katz": (q42, Q42_SQL),
     "q43_sfigality": (q43, Q43_SQL),
@@ -302,4 +350,5 @@ CENTRAL = {
     "q49_eigenvector": (q49, Q49_SQL),
     "q50_effective_diameter": (q50, Q50_SQL),
     "q51_algebraic_distance": (q51, None),
+    "q97_kadabra_betweenness": (q97, Q97_SQL),
 }

@@ -108,3 +108,46 @@ def test_algebraic_distance_bridge_is_far(spark):
     d = {(r["src"], r["dst"]): r["alg_dist"] for r in algebraic_distance(g.symmetrized(), rounds=8).collect()}
     intra = (d[(0, 1)] + d[(0, 2)] + d[(1, 2)]) / 3
     assert d[(2, 3)] > intra
+
+
+def test_kadabra_betweenness_bounds_and_accuracy(spark):
+    """KADABRA estimate converges to the pair-sampling probability
+    Pr[v interior of SP(s,t)] = brandes_bc(v)/(n(n-1)); err bounds are
+    monotone sane and the center of a path graph outranks its leaves."""
+    from icebug_spark.operators.centrality2 import betweenness_sampled
+    from icebug_spark.operators.centrality4 import kadabra_betweenness
+
+    g = Graph.from_edge_list(
+        spark, [(0, 1), (1, 2), (2, 3), (3, 4)], directed=False
+    )
+    eu = g.symmetrized()
+    got = {
+        r["id"]: (r["kadabra_bc"], r["err_lower"], r["err_upper"])
+        for r in kadabra_betweenness(eu, err=0.2, delta=0.1, max_rounds=6).collect()
+    }
+    exact = {
+        r["id"]: r["betweenness"] / 20.0  # n(n-1) ordered pairs
+        for r in betweenness_sampled(eu, [0, 1, 2, 3, 4]).collect()
+    }
+    # exact: node 2 → 8/20 = 0.4; nodes 1,3 → 6/20 = 0.3; leaves 0
+    assert exact[2] == pytest.approx(0.4)
+    for v in range(5):
+        bc, el, eu_ = got[v]
+        assert 0.0 <= bc <= 1.0 and el >= 0.0 and eu_ >= 0.0
+        # estimate within the (loose, small-sample) error bound of exact
+        assert abs(bc - exact.get(v, 0.0)) <= max(el, eu_) + 0.25
+    assert got[2][0] >= got[0][0]
+    assert got[2][0] > 0.0
+
+
+def test_kadabra_star_center_dominates(spark):
+    from icebug_spark.operators.centrality4 import kadabra_betweenness
+
+    star = [(0, i) for i in range(1, 7)]
+    g = Graph.from_edge_list(spark, star, directed=False)
+    got = {
+        r["id"]: r["kadabra_bc"]
+        for r in kadabra_betweenness(g.symmetrized(), err=0.2, max_rounds=4).collect()
+    }
+    assert got[0] == max(got.values())
+    assert all(got[i] <= got[0] for i in range(1, 7))
