@@ -5,6 +5,7 @@ from __future__ import annotations
 from icebug_spark.queries.algebraicq import ALGEBRAIC
 from icebug_spark.queries.centralq import CENTRAL
 from icebug_spark.queries.communityq import COMMUNITY
+from icebug_spark.queries.communityq3 import COMMUNITY3
 from icebug_spark.queries.distanceq import DISTANCE2
 from icebug_spark.queries.edgescoreq import EDGESCORE
 from icebug_spark.queries.graphq import GRAPH
@@ -15,7 +16,7 @@ from icebug_spark.queries.relational import RELATIONAL
 from icebug_spark.queries.scdq import SCD
 from icebug_spark.queries.structuralq import STRUCTURAL
 
-ALL = {**RELATIONAL, **GRAPH, **COMMUNITY, **STRUCTURAL, **CENTRAL, **LLM, **EDGESCORE, **SCD, **ALGEBRAIC, **QUALITY, **DISTANCE2, **POINT}
+ALL = {**RELATIONAL, **GRAPH, **COMMUNITY, **COMMUNITY3, **STRUCTURAL, **CENTRAL, **LLM, **EDGESCORE, **SCD, **ALGEBRAIC, **QUALITY, **DISTANCE2, **POINT}
 
 
 def queries():
