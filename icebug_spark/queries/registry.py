@@ -14,9 +14,10 @@ from icebug_spark.queries.pointq import POINT
 from icebug_spark.queries.qualityq import QUALITY
 from icebug_spark.queries.relational import RELATIONAL
 from icebug_spark.queries.scdq import SCD
+from icebug_spark.queries.sparsifyq import SPARSIFY2
 from icebug_spark.queries.structuralq import STRUCTURAL
 
-ALL = {**RELATIONAL, **GRAPH, **COMMUNITY, **COMMUNITY3, **STRUCTURAL, **CENTRAL, **LLM, **EDGESCORE, **SCD, **ALGEBRAIC, **QUALITY, **DISTANCE2, **POINT}
+ALL = {**RELATIONAL, **GRAPH, **COMMUNITY, **COMMUNITY3, **STRUCTURAL, **CENTRAL, **LLM, **EDGESCORE, **SCD, **ALGEBRAIC, **QUALITY, **DISTANCE2, **POINT, **SPARSIFY2}
 
 
 def queries():
