@@ -13,12 +13,20 @@ ops; a 100 TB training-data pipeline needs them as first-class columns:
   scales to 1000 executors — the only thing swapped in production is the
   decoder body (PIL/ffmpeg), not the plumbing.
 
-**STUB NOTE:** real codecs (PIL, torchaudio, ffmpeg) are not installed in
-this container. Each operator therefore ships a clearly-marked
-DETERMINISTIC FAKE decoder derived from the payload bytes (sha256-seeded),
-so schemas, batch shapes, partitioning and tests are real while the pixel
-math is not. Set ``use_real_codecs=True`` to see the guarded
-NotImplementedError a production build would replace.
+Two decoder paths:
+
+* ``use_real_codecs=True`` — REAL decode for the stdlib-parseable
+  containers in :mod:`icebug_spark.llm.codecs`: netpbm PPM/PGM and
+  24-bit BMP images, RIFF/WAVE PCM audio (features = numpy-rfft log
+  band energies), and the ``ppmseq`` video container (concatenated PPM
+  frames, real boundary parsing). ``make_decodable_media_table``
+  synthesizes payloads in those formats so decoded geometry is asserted
+  exactly in tests. PIL/ffmpeg would only widen the accepted container
+  set — the Spark plumbing is unchanged.
+* default (False) — a clearly-marked DETERMINISTIC FAKE (sha256 counter
+  on the payload bytes) that accepts arbitrary bytes; used for the
+  text-derived corpus in ``make_media_table`` where payloads are not
+  valid containers.
 """
 
 from __future__ import annotations
@@ -26,6 +34,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -75,6 +84,49 @@ def make_media_table(documents: DataFrame) -> DataFrame:
     )
 
 
+def make_decodable_media_table(documents: DataFrame) -> DataFrame:
+    """Like :func:`make_media_table` but the payloads are REAL containers
+    (binary PPM images, PCM WAV audio, ppmseq video) synthesized
+    deterministically from ``doc_id`` inside an Arrow-batched stage, so
+    the ``use_real_codecs=True`` path decodes them and tests can assert
+    exact width/height/sample-rate round-trips."""
+    from . import codecs
+
+    out_schema = MEDIA_SCHEMA
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = _KINDS[did % 3]
+                rng = np.random.default_rng(did)  # seeded: deterministic payloads
+                if kind == "image":
+                    w, h = 16 + did % 48, 16 + (did // 3) % 48
+                    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    payload = (
+                        codecs.encode_bmp(px) if did % 2 else codecs.encode_ppm(px)
+                    )
+                    fmt = "bmp" if did % 2 else "ppm"
+                elif kind == "audio":
+                    sr = [8000, 16000, 22050, 44100][did % 4]
+                    n = sr // 10 + did % 1000  # ~0.1 s
+                    x = (rng.standard_normal(n) * 3000).astype(np.int16)
+                    payload, fmt = codecs.encode_wav(x, sr), "wav"
+                else:
+                    frames = [
+                        rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+                        for _ in range(3 + did % 3)
+                    ]
+                    payload, fmt = codecs.encode_ppmseq(frames, fps=10), "ppmseq"
+                rows.append((did, kind, payload, fmt, len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "fmt", "n_bytes"]
+            )
+
+    return documents.select("doc_id").mapInPandas(_gen, out_schema)
+
+
 def _fake_u32(payload: bytes, salt: bytes, n: int) -> list[int]:
     """Deterministic pseudo-values from the payload: sha256 counter mode.
     DETERMINISTIC FAKE — stands in for real decode output."""
@@ -104,31 +156,53 @@ def decode_images(
     """Decode image payloads → (media_id, width, height, channels,
     features). Arrow-batched ``mapInPandas``; filters to kind='image'
     BEFORE the Python stage so non-image bytes never cross the Arrow
-    boundary (predicate stays JVM-side)."""
+    boundary (predicate stays JVM-side). With ``use_real_codecs=True``
+    payloads are actually parsed (PPM/PGM/BMP — see llm/codecs.py) and
+    width/height/features come from real pixels; unparseable payloads
+    raise, as a production decode stage should."""
     if use_real_codecs:
-        raise NotImplementedError(
-            "real image decode (PIL) is not available in this container; "
-            "production swaps _fake_u32 for PIL.Image.open"
-        )
+        from . import codecs
 
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload or b"")
-                u = _fake_u32(b, b"img", 2 + feature_dim)
-                rows.append(
-                    (
-                        int(mid),
-                        int(16 + u[0] % 2032),  # plausible 16..2047 px
-                        int(16 + u[1] % 2032),
-                        3,
-                        [round((v % 10_000) / 10_000.0, 6) for v in u[2:]],
+        def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    px = codecs.decode_image(bytes(payload or b""))
+                    rows.append(
+                        (
+                            int(mid),
+                            int(px.shape[1]),
+                            int(px.shape[0]),
+                            int(px.shape[2]),
+                            codecs.image_features(px, feature_dim),
+                        )
                     )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "width", "height", "channels", "features"],
                 )
-            yield pd.DataFrame(
-                rows, columns=["media_id", "width", "height", "channels", "features"]
-            )
+
+    else:
+
+        def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    b = bytes(payload or b"")
+                    u = _fake_u32(b, b"img", 2 + feature_dim)
+                    rows.append(
+                        (
+                            int(mid),
+                            int(16 + u[0] % 2032),  # plausible 16..2047 px
+                            int(16 + u[1] % 2032),
+                            3,
+                            [round((v % 10_000) / 10_000.0, 6) for v in u[2:]],
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "width", "height", "channels", "features"],
+                )
 
     return (
         media.where(F.col("kind") == "image")
@@ -167,30 +241,48 @@ AUDIO_FEATURES_SCHEMA = StructType(
 def audio_features(
     media: DataFrame, n_mfcc: int = 13, use_real_codecs: bool = False
 ) -> DataFrame:
-    """Audio payloads → (media_id, sample_rate, duration_s, mfcc[n])."""
+    """Audio payloads → (media_id, sample_rate, duration_s, mfcc[n]).
+    With ``use_real_codecs=True`` WAV headers/samples are actually parsed
+    and the mfcc slot carries real numpy-rfft log band energies."""
     if use_real_codecs:
-        raise NotImplementedError(
-            "real audio decode (torchaudio/librosa) unavailable; "
-            "production swaps _fake_u32 for a real MFCC extractor"
-        )
+        from . import codecs
 
-    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload or b"")
-                u = _fake_u32(b, b"aud", 2 + n_mfcc)
-                rows.append(
-                    (
-                        int(mid),
-                        [8000, 16000, 22050, 44100][u[0] % 4],
-                        round(0.1 + (u[1] % 36_000) / 100.0, 2),
-                        [round((v % 20_000) / 1000.0 - 10.0, 6) for v in u[2:]],
+        def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    x, sr = codecs.decode_wav(bytes(payload or b""))
+                    rows.append(
+                        (
+                            int(mid),
+                            int(sr),
+                            round(len(x) / sr, 6),
+                            codecs.audio_band_energies(x, n_mfcc),
+                        )
                     )
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "sample_rate", "duration_s", "mfcc"]
                 )
-            yield pd.DataFrame(
-                rows, columns=["media_id", "sample_rate", "duration_s", "mfcc"]
-            )
+
+    else:
+
+        def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    b = bytes(payload or b"")
+                    u = _fake_u32(b, b"aud", 2 + n_mfcc)
+                    rows.append(
+                        (
+                            int(mid),
+                            [8000, 16000, 22050, 44100][u[0] % 4],
+                            round(0.1 + (u[1] % 36_000) / 100.0, 2),
+                            [round((v % 20_000) / 1000.0 - 10.0, 6) for v in u[2:]],
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "sample_rate", "duration_s", "mfcc"]
+                )
 
     return (
         media.where(F.col("kind") == "audio")
@@ -215,27 +307,45 @@ def sample_frames(
     """Video payloads → exploded frame rows (media_id, frame_idx, ts_ms,
     frame BINARY). One input row fans out to ``frames_per_video`` output
     rows inside the same Arrow batch (mapInPandas may return more rows
-    than it receives — that is the real frame-sampling batch shape)."""
+    than it receives — that is the real frame-sampling batch shape).
+    With ``use_real_codecs=True`` the ppmseq container is actually parsed
+    (real frame boundaries from each PPM header) and emitted frames are
+    standalone decodable PPM payloads, evenly strided like keyframe
+    sampling."""
     if use_real_codecs:
-        raise NotImplementedError(
-            "real frame extraction (ffmpeg) unavailable; production swaps "
-            "the slice below for actual keyframe decode"
-        )
+        from . import codecs
 
-    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload or b"")
-                dur_ms = 1000 + _fake_u32(b, b"vid", 1)[0] % 599_000
-                for i in range(frames_per_video):
-                    ts = (dur_ms * i) // max(frames_per_video, 1)
-                    # DETERMINISTIC FAKE frame: hash of (payload, index)
-                    frame = hashlib.sha256(b[:64] + i.to_bytes(4, "big")).digest()
-                    rows.append((int(mid), i, int(ts), frame))
-            yield pd.DataFrame(
-                rows, columns=["media_id", "frame_idx", "ts_ms", "frame"]
-            )
+        def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    frames, fps = codecs.decode_ppmseq(bytes(payload or b""))
+                    k = min(frames_per_video, len(frames))
+                    for j in range(k):
+                        idx = (len(frames) - 1) * j // max(k - 1, 1)
+                        rows.append(
+                            (int(mid), idx, int(idx * 1000 // fps), frames[idx])
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "frame_idx", "ts_ms", "frame"]
+                )
+
+    else:
+
+        def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    b = bytes(payload or b"")
+                    dur_ms = 1000 + _fake_u32(b, b"vid", 1)[0] % 599_000
+                    for i in range(frames_per_video):
+                        ts = (dur_ms * i) // max(frames_per_video, 1)
+                        # DETERMINISTIC FAKE frame: hash of (payload, index)
+                        frame = hashlib.sha256(b[:64] + i.to_bytes(4, "big")).digest()
+                        rows.append((int(mid), i, int(ts), frame))
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "frame_idx", "ts_ms", "frame"]
+                )
 
     return (
         media.where(F.col("kind") == "video")

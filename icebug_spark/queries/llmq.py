@@ -214,15 +214,75 @@ FROM m GROUP BY kind
 
 
 def image_decode_q(spark: SparkSession, sf: str) -> DataFrame:
-    media = multimodal.make_media_table(table(spark, sf, "documents"))
-    dec = multimodal.decode_images(media, feature_dim=8)
+    """REAL image decode (PPM/BMP parsers in llm/codecs.py) over the
+    synthesized decodable fixtures. Fixture geometry is closed-form in
+    doc_id, so the DuckDB twin value-checks that the decoder actually
+    recovered the encoded dimensions."""
+    docs = table(spark, sf, "documents").where(F.col("doc_id") % 3 == 0)
+    media = multimodal.make_decodable_media_table(docs)
+    dec = multimodal.decode_images(media, feature_dim=8, use_real_codecs=True)
     return dec.select("media_id", "width", "height", "channels")
 
 
+IMAGE_DECODE_SQL = """
+SELECT doc_id AS media_id,
+       16 + CAST(doc_id % 48 AS INT) AS width,
+       16 + CAST((doc_id // 3) % 48 AS INT) AS height,
+       3 AS channels
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def audio_features_q(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL WAV header/sample parse; emits (media_id, sample_rate,
+    n_samples) where n_samples round-trips duration_s — both closed-form
+    in doc_id for the fixtures, so DuckDB value-checks the decoder."""
+    docs = table(spark, sf, "documents").where(F.col("doc_id") % 3 == 1)
+    media = multimodal.make_decodable_media_table(docs)
+    au = multimodal.audio_features(media, n_mfcc=13, use_real_codecs=True)
+    return au.select(
+        "media_id",
+        "sample_rate",
+        F.round(F.col("duration_s") * F.col("sample_rate")).cast("long").alias("n_samples"),
+    )
+
+
+AUDIO_FEATURES_SQL = """
+WITH a AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+         CAST(doc_id % 1000 AS BIGINT) AS extra
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT media_id, sample_rate,
+       CAST(sample_rate // 10 + extra AS BIGINT) AS n_samples
+FROM a
+"""
+
+
 def frame_sample_q(spark: SparkSession, sf: str) -> DataFrame:
-    media = multimodal.make_media_table(table(spark, sf, "documents"))
-    fr = multimodal.sample_frames(media, frames_per_video=4)
+    """REAL ppmseq frame sampling (actual frame-boundary parsing). The
+    fixture has 3 + doc_id%3 frames; evenly-strided sample indices and
+    fps-derived timestamps are closed-form, value-checked by the twin."""
+    docs = table(spark, sf, "documents").where(F.col("doc_id") % 3 == 2)
+    media = multimodal.make_decodable_media_table(docs)
+    fr = multimodal.sample_frames(media, frames_per_video=4, use_real_codecs=True)
     return fr.select("media_id", "frame_idx", "ts_ms")
+
+
+FRAME_SAMPLE_SQL = """
+WITH v AS (
+  SELECT doc_id AS media_id, 3 + CAST(doc_id % 3 AS INT) AS n,
+         LEAST(4, 3 + CAST(doc_id % 3 AS INT)) AS k
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id,
+       CAST((n - 1) * j // GREATEST(k - 1, 1) AS INT) AS frame_idx,
+       CAST(((n - 1) * j // GREATEST(k - 1, 1)) * 1000 // 10 AS BIGINT) AS ts_ms
+FROM v, generate_series(0, 3) AS t(j)
+WHERE j < k
+"""
 
 
 def ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
@@ -258,9 +318,11 @@ LLM = {
     "llm_minhash_lsh_dups": (minhash_lsh_q, None),
     "llm_simhash": (simhash_q, None),
     "llm_ann_candidates": (ann_candidates_q, None),
-    # multimodal decode is a deterministic-fake mapInPandas stage → rows-only
-    "llm_image_decode": (image_decode_q, None),
-    "llm_frame_sample": (frame_sample_q, None),
+    # multimodal decode: REAL codecs over synthesized decodable fixtures;
+    # geometry is closed-form in doc_id → full value oracles
+    "llm_image_decode": (image_decode_q, IMAGE_DECODE_SQL),
+    "llm_audio_features": (audio_features_q, AUDIO_FEATURES_SQL),
+    "llm_frame_sample": (frame_sample_q, FRAME_SAMPLE_SQL),
     # IVF / near-dup use Spark xxhash64 bucketing → rows-only
     "llm_ivf_topk": (ivf_topk_q, None),
     "llm_near_dup_embeddings": (near_dup_embeddings_q, None),

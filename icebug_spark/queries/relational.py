@@ -425,7 +425,10 @@ FROM events GROUP BY 1, 2
 def q17(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    # testdata may carry ts as TIMESTAMP_NTZ; session tz is UTC so the cast is
+    # an identity on wall-clock values and unix_micros stays exact integer math.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
     flagged = e.select(
         "user_id",
         F.when(gap > 1800 * 1_000_000, 1).otherwise(0).alias("new_session"),

@@ -20,8 +20,11 @@ def streaming_events(spark: SparkSession, path_glob: str, schema) -> DataFrame:
 def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Streaming twin of Q16: per-window, per-type counts with late-data
     watermarking. Append-mode safe (watermark closes windows)."""
+    # Watermarks require TIMESTAMP (with zone); testdata may carry ts as
+    # TIMESTAMP_NTZ. Session tz is UTC so the cast is wall-clock identity.
     return (
-        stream.withWatermark("ts", watermark)
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -42,7 +45,7 @@ def run_batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests to prove stream/batch parity of the window logic."""
     from icebug_spark.catalog import table
 
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(

@@ -85,13 +85,62 @@ def test_sample_frames_fanout(media):
     assert all(len(r["frame"]) == 32 for r in rows)
 
 
-def test_real_codec_gate(media):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_images(media, use_real_codecs=True)
-    with pytest.raises(NotImplementedError):
-        multimodal.audio_features(media, use_real_codecs=True)
-    with pytest.raises(NotImplementedError):
-        multimodal.sample_frames(media, use_real_codecs=True)
+@pytest.fixture(scope="module")
+def real_media(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(60)
+    return multimodal.make_decodable_media_table(docs).cache()
+
+
+def test_real_codec_image_roundtrip(real_media):
+    """REAL decode path: decoded width/height must equal the synthesized
+    fixture geometry (doc_id-derived), not hash noise — VERDICT item 9."""
+    dec = multimodal.decode_images(real_media, feature_dim=8, use_real_codecs=True)
+    rows = dec.collect()
+    assert rows, "expected image rows"
+    for r in rows:
+        did = r["media_id"]
+        assert r["width"] == 16 + did % 48
+        assert r["height"] == 16 + (did // 3) % 48
+        assert r["channels"] == 3
+        assert len(r["features"]) == 8 and all(0 <= v <= 1 for v in r["features"])
+
+
+def test_real_codec_audio_roundtrip(real_media):
+    au = multimodal.audio_features(real_media, n_mfcc=13, use_real_codecs=True)
+    rows = au.collect()
+    assert rows, "expected audio rows"
+    for r in rows:
+        did = r["media_id"]
+        sr = [8000, 16000, 22050, 44100][did % 4]
+        n = sr // 10 + did % 1000
+        assert r["sample_rate"] == sr
+        assert abs(r["duration_s"] - n / sr) < 1e-6
+        assert len(r["mfcc"]) == 13
+
+
+def test_real_codec_frame_sampling(real_media):
+    from icebug_spark.llm import codecs
+
+    fr = multimodal.sample_frames(real_media, frames_per_video=3, use_real_codecs=True)
+    rows = fr.collect()
+    assert rows, "expected video frames"
+    for r in rows:
+        px = codecs.decode_netpbm(bytes(r["frame"]))  # frames are standalone PPMs
+        assert px.shape == (12, 16, 3)
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    for did, vs in by_vid.items():
+        n_frames = 3 + did % 3
+        idxs = sorted(v["frame_idx"] for v in vs)
+        assert len(idxs) == 3 and idxs[0] == 0 and idxs[-1] == n_frames - 1
+
+
+def test_real_codec_rejects_garbage(media):
+    """Text-derived payloads are not valid containers: the real path must
+    raise, the fake path must accept."""
+    with pytest.raises(Exception):
+        multimodal.decode_images(media, use_real_codecs=True).limit(1).collect()
 
 
 def test_media_summary_oracle(spark, sf_dir, media):
