@@ -86,6 +86,21 @@ def derived_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def derived_edges_undirected(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
+    """EU := symmetrize(E), materialized ONCE. Every iterative operator
+    joins EU per round; materializing only E (the old call-site pattern)
+    left the union+distinct in the loop lineage, re-shuffling it each
+    round — measured ~0.5-2 s/round at sf0.1. Checkpointing EU itself
+    truncates that: rounds re-read an in-memory edge table, which is also
+    the 100 TB shape (EU persisted/bucketed by src once per session)."""
+    eu = symmetrize(derived_edges(spark, sf_dir, materialize=False))
+    if materialize:
+        eu = eu.localCheckpoint(eager=True)
+    return eu
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """EU := E ∪ reverse(E) (distinct). Undirected view of a directed edge set."""
     rev = edges.select(

@@ -59,7 +59,10 @@ def pagerank(
 
     def step(r: DataFrame, _i: int) -> DataFrame:
         contribs = (
-            e.join(r.select("id", "rank", "outdeg"), e.src == F.col("id"))
+            # rank vector is node-bounded: broadcast it so the edge table
+            # stays put each round (vertex-mirror; at 1e9+ nodes use a
+            # bucketed edge table + co-partitioned shuffle instead)
+            e.join(F.broadcast(r.select("id", "rank", "outdeg")), e.src == F.col("id"))
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))

@@ -160,13 +160,26 @@ def betweenness_sampled(
     """Brandes dependency accumulation from a set of source nodes
     (reference Betweenness.hpp:18 exact = all sources;
     EstimateBetweenness.hpp:23 = sampled sources, unscaled partial sums).
+    → (id, betweenness) 6dp. See ``brandes_deltas`` for the machinery."""
+    deltas = brandes_deltas(edges_undirected, sources, max_hops)
+    return (
+        deltas.where(F.col("id") != F.col("source"))
+        .groupBy("id")
+        .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
+    )
+
+
+def brandes_deltas(
+    edges_undirected: DataFrame, sources: list[int], max_hops: int = 20
+) -> DataFrame:
+    """Per-source Brandes dependencies → (source, id, delta).
 
     Forward: multi-source BFS levels + σ path counts (one join round per
     level). Backward: walk levels from deepest to 0 accumulating
     δ(v) = Σ_{w: succ} σ(v)/σ(w) · (1 + δ(w)). Everything is joins keyed
     on (source, node); the per-level loop count is the graph diameter.
-    → (id, betweenness) 6dp (endpoints excluded, each pair counted once
-    per direction as in the standard undirected convention)."""
+    Exposed separately so incremental betweenness (DynBetweenness) can
+    recompute ONLY affected sources and splice the rest from cache."""
     eu = edges_undirected.select("src", "dst").localCheckpoint(eager=True)
     spark = edges_undirected.sparkSession
     init = spark.createDataFrame(
@@ -248,13 +261,8 @@ def betweenness_sampled(
         delta = contrib
 
     if not acc:
-        return spark.createDataFrame([], "id long, betweenness double")
+        return spark.createDataFrame([], "source long, id long, delta double")
     deltas = acc[0]
     for d in acc[1:]:
         deltas = deltas.union(d)
-    # exclude the source itself; sum over sources
-    return (
-        deltas.where(F.col("id") != F.col("source"))
-        .groupBy("id")
-        .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
-    )
+    return deltas.select("source", "id", "delta")

@@ -36,8 +36,11 @@ def connected_components(
     )
 
     def step(lbl: DataFrame, _i: int) -> DataFrame:
+        # labels are node-bounded vs m-sized edges: broadcast the label
+        # side so the loop-invariant edge table is never reshuffled
+        # (vertex-mirror pattern; bucketed co-location at extreme n).
         msgs = (
-            eu.join(lbl, eu.src == lbl.id)
+            eu.join(F.broadcast(lbl), eu.src == lbl.id)
             .select(F.col("dst").alias("id"), F.col("component"))
         )
         return (

@@ -107,7 +107,10 @@ def matching_coarsening(
 
 
 def b_suitor_matching(
-    edges_weighted: DataFrame, b: int = 2, max_rounds: int = 40
+    edges_weighted: DataFrame,
+    b: int = 2,
+    max_rounds: int = 40,
+    capacities: DataFrame | None = None,
 ) -> DataFrame:
     """b-matching via synchronous suitor-style rounds (reference
     ``matching/BSuitorMatcher.hpp:24``, ``SuitorMatcher.hpp:23`` for b=1):
@@ -137,13 +140,19 @@ def b_suitor_matching(
         .localCheckpoint(eager=True)
     )
     spark = edges_weighted.sparkSession
-    cap = (
+    nodes = (
         canon.select(F.col("u").alias("id"))
         .union(canon.select(F.col("v").alias("id")))
         .distinct()
-        .withColumn("cap", F.lit(b))
-        .localCheckpoint(eager=True)
     )
+    if capacities is not None:
+        # per-node residual capacities (DynamicBSuitorMatcher ball update)
+        cap = nodes.join(capacities, "id", "left").select(
+            "id", F.coalesce("cap", F.lit(b)).alias("cap")
+        )
+    else:
+        cap = nodes.withColumn("cap", F.lit(b))
+    cap = cap.localCheckpoint(eager=True)
     matched = []
     for _ in range(max_rounds):
         if canon.limit(1).count() == 0:

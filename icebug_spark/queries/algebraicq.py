@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebug_spark.catalog import EU_SQL, derived_edges, derived_weighted_edges, symmetrize
+from icebug_spark.catalog import EU_SQL, derived_edges, derived_weighted_edges, symmetrize, derived_edges_undirected
 from icebug_spark.operators.algebraic import algebraic_triangle_count
 from icebug_spark.operators.cliques import k_cliques, maximal_cliques
 from icebug_spark.operators.flow import edmonds_karp
@@ -19,7 +19,7 @@ _CE_SQL = f"SELECT src AS u, dst AS v FROM ({EU_SQL}) WHERE src < dst"
 
 
 def _eu(spark: SparkSession, sf: str) -> DataFrame:
-    return symmetrize(derived_edges(spark, sf, materialize=True))
+    return derived_edges_undirected(spark, sf)
 
 
 # q64 — global + average clustering coefficient.

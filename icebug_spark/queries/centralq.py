@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebug_spark.catalog import E_SQL, EU_SQL, derived_edges, symmetrize
+from icebug_spark.catalog import E_SQL, EU_SQL, derived_edges, symmetrize, derived_edges_undirected
 from icebug_spark.operators import centrality2, distances
 
 _KATZ_ALPHA = 0.05
@@ -46,7 +46,7 @@ SELECT id, ROUND(katz, 6) AS katz FROM k WHERE iter = {_KATZ_ITER}
 
 
 def q43(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     return centrality2.sfigality(eu)
 
 
@@ -62,7 +62,7 @@ GROUP BY eu.src
 
 
 def q44(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     return centrality2.laplacian_centrality(eu)
 
 
@@ -89,7 +89,7 @@ d AS (SELECT s, id, MIN(dist) AS dist FROM b GROUP BY s, id)
 
 
 def q45(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     return distances.eccentricity(eu, list(range(_SAMPLE_CAP)))
 
 
@@ -102,7 +102,7 @@ SELECT s AS id, MAX(dist) AS eccentricity FROM d GROUP BY s
 
 
 def q46(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     return centrality2.closeness_sampled(eu, list(range(_SAMPLE_CAP)))
 
 
@@ -119,7 +119,7 @@ FROM d WHERE dist > 0 GROUP BY s
 
 
 def q47(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     return distances.diameter_double_sweep(eu, start=0)
 
 
@@ -152,7 +152,7 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     Betweenness.hpp:18 / EstimateBetweenness.hpp:23). Deterministic given
     the source set, so the DuckDB twin unrolls the same level-synchronous
     forward σ / backward δ accumulation — a full value oracle."""
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     return centrality2.betweenness_sampled(
         eu, list(range(_BTW_SOURCES)), max_hops=_BTW_LEVELS
     )
@@ -226,7 +226,7 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
     (reference EigenvectorCentrality.hpp:20). Fixed iteration count and
     deterministic arithmetic → the DuckDB twin unrolls the same rounds —
     a full value oracle."""
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     return centrality2.eigenvector_centrality(eu, max_iter=_EIG_ITER)
 
 
@@ -260,7 +260,7 @@ SELECT id, ROUND(v, 6) AS eigen FROM x{_EIG_ITER}
 
 
 def q50(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     return distances.effective_diameter(
         eu, list(range(_SAMPLE_CAP)), ratio=0.9, max_h=8
     )
@@ -287,7 +287,7 @@ FROM nf CROSS JOIN tot WHERE n_pairs >= 0.9 * total
 
 def q51(spark: SparkSession, sf: str) -> DataFrame:
     """Algebraic distance per edge — rows-only (hash-seeded init)."""
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     return distances.algebraic_distance(eu, n_systems=2, rounds=3)
 
 
@@ -302,7 +302,7 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
     from icebug_spark.operators.centrality4 import kadabra_betweenness
 
     eu = (
-        symmetrize(derived_edges(spark, sf, materialize=True))
+        derived_edges_undirected(spark, sf)
         .where((F.col("src") < 120) & (F.col("dst") < 120))
         .localCheckpoint(eager=True)
     )

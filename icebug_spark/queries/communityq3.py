@@ -13,12 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebug_spark.catalog import EU_SQL, derived_edges, symmetrize
+from icebug_spark.catalog import EU_SQL, derived_edges, symmetrize, derived_edges_undirected
 from icebug_spark.operators import community3
 
 
 def _eu(spark: SparkSession, sf: str) -> DataFrame:
-    return symmetrize(derived_edges(spark, sf, materialize=True))
+    return derived_edges_undirected(spark, sf)
 
 
 def _nodes(eu: DataFrame) -> DataFrame:

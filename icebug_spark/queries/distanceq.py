@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebug_spark.catalog import derived_edges, symmetrize
+from icebug_spark.catalog import derived_edges, symmetrize, derived_edges_undirected
 from icebug_spark.operators.centrality3 import (
     group_degree_greedy,
     group_harmonic_greedy,
@@ -31,7 +31,7 @@ _EU_INLINE = (
 
 
 def _eu(spark: SparkSession, sf: str) -> DataFrame:
-    return symmetrize(derived_edges(spark, sf, materialize=True))
+    return derived_edges_undirected(spark, sf)
 
 
 # q80 — SPSP grid from sources 0..9 to targets 0..9 (SPSP.hpp:22).
@@ -137,8 +137,45 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
     return gd.unionByName(gh)
 
 
+# q110 — EXACT 2-hop pruned landmark labeling (PrunedLandmarkLabeling.hpp:12):
+# pairwise distances from the hub-label join for a 15x15 pair grid. Unlike
+# q81's approximate landmarks, PLL distances are exact, so the twin is the
+# plain recursive-BFS CTE — a full value oracle for the labeling.
+_PLL_GRID = 15
+
+
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.operators.pll import pll_distance, pll_label_table
+
+    eu = _eu(spark, sf)
+    labels = pll_label_table(eu)
+    pairs = (
+        spark.range(_PLL_GRID)
+        .select(F.col("id").alias("u"))
+        .crossJoin(spark.range(_PLL_GRID).select(F.col("id").alias("v")))
+        .where(F.col("u") != F.col("v"))
+    )
+    return pll_distance(labels, pairs)
+
+
+Q110_SQL = f"""
+WITH RECURSIVE eu AS ({_EU_INLINE}),
+bfs(source, node, dist) AS (
+  SELECT src, src, 0 FROM eu WHERE src < {_PLL_GRID}
+  UNION
+  SELECT b.source, eu.dst, b.dist + 1
+  FROM bfs b JOIN eu ON eu.src = b.node
+  WHERE b.dist < 12
+),
+best AS (SELECT source, node, MIN(dist) AS dist FROM bfs GROUP BY source, node)
+SELECT source AS u, node AS v, dist FROM best
+WHERE node < {_PLL_GRID} AND node != source
+"""
+
+
 DISTANCE2 = {
     "q80_spsp_grid": (q80, Q80_SQL),
+    "q110_pll_exact_distances": (q110, Q110_SQL),
     "q81_landmark_labels": (q81, Q81_SQL),
     "q82_anf_curve": (q82, None),
     "q83_hop_plot": (q83, None),

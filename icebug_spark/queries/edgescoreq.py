@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icebug_spark.catalog import (
+    derived_edges_undirected,
     EU_SQL,
     EW_SQL,
     derived_edges,
@@ -29,7 +30,7 @@ def _pair_filter(col):
 
 
 def _eu(spark: SparkSession, sf: str) -> DataFrame:
-    return symmetrize(derived_edges(spark, sf, materialize=True))
+    return derived_edges_undirected(spark, sf)
 
 
 def _adj(spark: SparkSession, sf: str) -> DataFrame:

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icebug_spark.catalog import (
+    derived_edges_undirected,
     E_SQL,
     EU_SQL,
     EW_SQL,
@@ -217,7 +218,7 @@ WHERE deg >= 2
 
 # Q26 — 2-hop reachable-set sizes (Volume / neighborhood function parity).
 def q26(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     return traversal.k_hop_neighborhood_sizes(eu, 2, node_filter=lambda c: c < 100)
 
 
@@ -234,7 +235,7 @@ GROUP BY u
 
 # Q27 — degree assortativity (Assortativity parity; exact integer sums).
 def q27(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     return linkpred.degree_assortativity(eu)
 
 
@@ -261,7 +262,7 @@ FROM s
 # Q28 — connected components of EU (ConnectedComponents parity; oracle is
 # a recursive min-label propagation, engine is the iterative operator).
 def q28(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     comp = components.connected_components(eu)
     return components.component_sizes(comp).select(
         F.col("component").alias("component_min_id"), F.col("size")
@@ -329,7 +330,7 @@ SELECT id, ROUND(rank, 6) AS pagerank FROM pr WHERE iter = {_PR_ITER}
 # q30 — BFS hop distances from node 0 on EU (distance/BFS.hpp parity;
 # oracle = recursive CTE min-over-paths).
 def q30(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     d = traversal.bfs_distances(eu, source=0, max_hops=20)
     return d.select("id", F.col("dist").cast("long").alias("dist"))
 
@@ -370,7 +371,7 @@ def _kcore_peel_sql(k: int, rounds: int) -> str:
 
 
 def q31(spark: SparkSession, sf: str) -> DataFrame:
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     return kcore.k_core(eu, k=_KCORE_K).orderBy("id")
 
 

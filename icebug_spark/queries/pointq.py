@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icebug_spark.catalog import (
+    derived_edges_undirected,
     E_SQL,
     EU_SQL,
     EW_SQL,
@@ -76,7 +77,7 @@ def _bf_unrolled_sql(source: int, rounds: int) -> str:
 def q86(spark: SparkSession, sf: str) -> DataFrame:
     """Bidirectional BFS s–t hop distance (reference
     distance/BidirectionalBFS.hpp:22)."""
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     return pp.bidirectional_bfs(eu, _SRC, _DST)
 
 
@@ -96,7 +97,7 @@ FROM b WHERE id = {_DST}
 def q87(spark: SparkSession, sf: str) -> DataFrame:
     """MultiTargetBFS: source→{{id < 25}} hop distances (reference
     distance/MultiTargetBFS.hpp:13); stops once the target set is done."""
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     nodes = eu.select(F.col("src").alias("id")).distinct()
     targets = [r["id"] for r in nodes.where(F.col("id") < 25).collect()]
     return pp.multi_target_bfs(eu, _SRC, targets).orderBy("id")

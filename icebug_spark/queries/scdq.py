@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebug_spark.catalog import derived_edges, symmetrize
+from icebug_spark.catalog import derived_edges, symmetrize, derived_edges_undirected
 from icebug_spark.operators.embedding import random_walks
 from icebug_spark.operators.scd import pagerank_nibble, set_conductance
 
@@ -17,7 +17,7 @@ _SEEDS = [1, 2, 3, 4, 5]
 def q62(spark: SparkSession, sf: str) -> DataFrame:
     """PageRankNibble communities around fixed seeds: (seed, size,
     conductance) — ApproximatePageRank + sweep cut parity."""
-    eu = symmetrize(derived_edges(spark, sf, materialize=True)).localCheckpoint(
+    eu = derived_edges_undirected(spark, sf).localCheckpoint(
         eager=True
     )
     members = pagerank_nibble(eu, _SEEDS, alpha=0.15, eps=1e-4)
@@ -30,7 +30,7 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     """node2vec walk statistics (deterministic, seeded): walks over the
     derived graph restricted to low-id nodes; (n_walks, n_full_length,
     distinct_nodes_visited)."""
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     small = eu.where((F.col("src") < 500) & (F.col("dst") < 500))
     walks = random_walks(small, walk_length=8, walks_per_node=1, seed=42)
     return walks.agg(
@@ -49,7 +49,7 @@ def _restricted_eu(spark: SparkSession, sf: str, cap: int = 400) -> DataFrame:
     local algorithms — the cap models the 'small seed neighborhood'
     regime they are built for, not a scalability workaround: the batched
     ball extraction itself is one BFS regardless of graph size)."""
-    eu = symmetrize(derived_edges(spark, sf, materialize=True))
+    eu = derived_edges_undirected(spark, sf)
     return eu.where((F.col("src") < cap) & (F.col("dst") < cap)).localCheckpoint(
         eager=True
     )

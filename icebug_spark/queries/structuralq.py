@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icebug_spark.catalog import (
+    derived_edges_undirected,
     E_SQL,
     EU_SQL,
     derived_edges,
@@ -122,7 +123,7 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
     (anti-join of non-members against N(set) must be empty). Both checks
     are plain joins over the engine's own output — a wrong set flips a
     boolean and hash-mismatches the oracle's expected (TRUE, TRUE, TRUE)."""
-    eu = symmetrize(derived_edges(spark, sf, materialize=True)).localCheckpoint(
+    eu = derived_edges_undirected(spark, sf).localCheckpoint(
         eager=True
     )
     mis = luby_mis(eu).localCheckpoint(eager=True)
