@@ -144,7 +144,7 @@ def edge_switching(
 
 
 def curveball_trades(
-    eu: DataFrame, rounds: int = 10, seed: int = 42
+    eu: DataFrame, rounds: int = 10, seed: int = 42, half_parity: int = 0
 ) -> DataFrame:
     """Curveball: per round, hash-pair the nodes; each pair (x, y) keeps
     its shared neighbors and re-deals the disjoint remainder between the
@@ -160,7 +160,10 @@ def curveball_trades(
     adj = eu.select("src", "dst")
     for r in range(rounds):
         nodes = adj.select(F.col("src").alias("id")).distinct()
-        half = nodes.where(F.pmod(F.xxhash64("id", F.lit(seed), F.lit(r), F.lit(0)), F.lit(2)) == 0)
+        half = nodes.where(
+            F.pmod(F.xxhash64("id", F.lit(seed), F.lit(r), F.lit(0)), F.lit(2))
+            == half_parity
+        )
         wn = Window.orderBy(F.xxhash64("id", F.lit(seed), F.lit(r)), "id")
         paired = half.withColumn("rn", F.row_number().over(wn) - 1).withColumn(
             "trade", (F.col("rn") / 2).cast("long")
@@ -223,4 +226,22 @@ def curveball_trades(
             .distinct()
             .localCheckpoint(eager=True)
         )
+    return adj
+
+
+def global_curveball(eu: DataFrame, global_trades: int = 5, seed: int = 42) -> DataFrame:
+    """GlobalCurveball (``randomization/GlobalCurveball.hpp:43``): each
+    global trade pairs EVERY node exactly once and trades all pairs. The
+    reference executes one global permutation sequentially; conflict-free
+    distributed execution splits each global trade into two half-round
+    batches of disjoint pairs (the existing ``curveball_trades`` round
+    trades a hash-chosen half) — after both halves every node has traded
+    once, which is exactly the global-trade schedule guarantee. Degrees
+    are preserved by the same argument as the single-round trade."""
+    adj = eu.select("src", "dst")
+    for t in range(global_trades):
+        # two half-rounds with complementary hash parity ⇒ every node
+        # participates in exactly one trade per global trade
+        adj = curveball_trades(adj, rounds=1, seed=seed + t, half_parity=0)
+        adj = curveball_trades(adj, rounds=1, seed=seed + t, half_parity=1)
     return adj
