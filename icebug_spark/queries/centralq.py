@@ -286,9 +286,38 @@ FROM nf CROSS JOIN tot WHERE n_pairs >= 0.9 * total
 
 
 def q51(spark: SparkSession, sf: str) -> DataFrame:
-    """Algebraic distance per edge — rows-only (hash-seeded init)."""
+    """Algebraic distance invariants (hash-seeded Jacobi vectors are not
+    SQL-expressible; the checkable claims): one row per symmetrized arc,
+    all distances finite and non-negative, and symmetric — ad(u,v) must
+    equal ad(v,u) exactly. The arc count is SQL-computable."""
     eu = derived_edges_undirected(spark, sf)
-    return distances.algebraic_distance(eu, n_systems=2, rounds=3)
+    ad = distances.algebraic_distance(eu, n_systems=2, rounds=3).localCheckpoint(
+        eager=True
+    )
+    sym_mismatch = (
+        ad.alias("a")
+        .join(
+            ad.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"),
+                F.col("alg_dist").alias("rev"),
+            ),
+            ["src", "dst"],
+        )
+        .where(F.col("alg_dist") != F.col("rev"))
+        .count()
+    )
+    return ad.agg(
+        F.count(F.lit(1)).alias("n_arcs"),
+        F.min(F.col("alg_dist") >= 0).alias("all_nonneg"),
+        F.min(~F.isnan("alg_dist") & ~F.col("alg_dist").isNull()).alias("all_finite"),
+        F.lit(sym_mismatch == 0).alias("symmetric"),
+    )
+
+
+Q51_SQL = f"""
+SELECT (SELECT COUNT(*) FROM ({EU_SQL})) AS n_arcs,
+       TRUE AS all_nonneg, TRUE AS all_finite, TRUE AS symmetric
+"""
 
 
 def q97(spark: SparkSession, sf: str) -> DataFrame:
@@ -349,6 +378,6 @@ CENTRAL = {
     "q48_betweenness_sample": (q48, Q48_SQL),
     "q49_eigenvector": (q49, Q49_SQL),
     "q50_effective_diameter": (q50, Q50_SQL),
-    "q51_algebraic_distance": (q51, None),
+    "q51_algebraic_distance": (q51, Q51_SQL),
     "q97_kadabra_betweenness": (q97, Q97_SQL),
 }

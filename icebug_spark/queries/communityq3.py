@@ -224,45 +224,88 @@ FROM mi CROSS JOIN ha CROSS JOIN hb
 
 
 def q103(spark: SparkSession, sf: str) -> DataFrame:
-    """LPDegreeOrdered community sizes (rows-only: bucketed sweep order is
-    engine-defined; semantics golden-tested in tests/test_community3.py)."""
+    """LPDegreeOrdered invariants (bucketed sweep order is engine-defined,
+    so sizes aren't SQL-reproducible; the checkable claims): a VALID
+    partition — every node exactly one label — with labels drawn from
+    node ids, and at least one community. Semantics golden-tested in
+    tests/test_community3.py."""
     eu = _eu(spark, sf).localCheckpoint(eager=True)
-    part = community3.lp_degree_ordered(eu, max_iter=6, degree_buckets=4)
-    return (
-        part.groupBy("subset")
-        .agg(F.count(F.lit(1)).alias("size"))
-        .orderBy(F.desc("size"), "subset")
-        .limit(100)
+    part = community3.lp_degree_ordered(eu, max_iter=6, degree_buckets=4
+                                        ).localCheckpoint(eager=True)
+    n_nodes = eu.select(F.col("src").alias("id")).distinct().count()
+    node_ids = eu.select(F.col("src").alias("subset")).distinct()
+    bad_labels = part.select("subset").distinct().join(
+        node_ids, "subset", "left_anti"
+    ).count()
+    return part.agg(
+        F.lit(
+            part.count() == part.select("id").distinct().count() == n_nodes
+        ).alias("valid_partition"),
+        (F.countDistinct("subset") >= 1).alias("has_communities"),
+        F.lit(bad_labels == 0).alias("labels_are_node_ids"),
     )
+
+
+Q103_SQL = (
+    "SELECT TRUE AS valid_partition, TRUE AS has_communities, "
+    "TRUE AS labels_are_node_ids"
+)
 
 
 def q104(spark: SparkSession, sf: str) -> DataFrame:
-    """ParallelAgglomerativeClusterer summary: (n_communities, n_nodes,
-    max_size) after Δmod score→match→coarsen levels (rows-only)."""
+    """ParallelAgglomerativeClusterer invariants after Δmod
+    score→match→coarsen levels: n_nodes is exact (SQL-computable), the
+    partition is valid, agglomeration is genuine (fewer communities than
+    nodes), and no community exceeds the node count."""
     eu = _eu(spark, sf).localCheckpoint(eager=True)
-    part = community3.parallel_agglomerative(eu, max_levels=4)
+    part = community3.parallel_agglomerative(eu, max_levels=4).localCheckpoint(
+        eager=True
+    )
+    n_nodes = eu.select(F.col("src").alias("id")).distinct().count()
     sizes = part.groupBy("subset").agg(F.count(F.lit(1)).alias("size"))
     return sizes.agg(
-        F.count(F.lit(1)).alias("n_communities"),
         F.sum("size").alias("n_nodes"),
-        F.max("size").alias("max_size"),
+        F.lit(part.select("id").distinct().count() == n_nodes).alias(
+            "valid_partition"
+        ),
+        (F.count(F.lit(1)) < n_nodes).alias("agglomerated"),
+        (F.max("size") <= n_nodes).alias("sizes_bounded"),
     )
+
+
+Q104_SQL = f"""
+SELECT COUNT(DISTINCT src) AS n_nodes, TRUE AS valid_partition,
+       TRUE AS agglomerated, TRUE AS sizes_bounded
+FROM ({EU_SQL})
+"""
 
 
 def q105(spark: SparkSession, sf: str) -> DataFrame:
     """Flake-Tarjan CutClustering on the id-capped (<60) subgraph,
-    alpha=0.3: (subset, size) clusters from nested s-t min cuts
-    (rows-only: max-flow has no SQL twin; golden-tested)."""
+    alpha=0.3: partition-validity invariants over the nested s-t min-cut
+    clusters (max-flow values have no SQL twin; semantics golden-tested;
+    n_nodes is exact and SQL-computable)."""
     eu = _eu(spark, sf)
     small = eu.where((F.col("src") < 60) & (F.col("dst") < 60)).localCheckpoint(
         eager=True
     )
-    part = community3.cut_clustering(small, alpha=0.3)
-    return (
-        part.groupBy("subset")
-        .agg(F.count(F.lit(1)).alias("size"))
-        .orderBy(F.desc("size"), "subset")
+    part = community3.cut_clustering(small, alpha=0.3).localCheckpoint(eager=True)
+    n_nodes = small.select(F.col("src").alias("id")).distinct().count()
+    sizes = part.groupBy("subset").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.agg(
+        F.sum("size").alias("n_nodes"),
+        F.lit(part.select("id").distinct().count() == n_nodes).alias(
+            "valid_partition"
+        ),
+        (F.count(F.lit(1)) >= 1).alias("has_clusters"),
     )
+
+
+Q105_SQL = f"""
+SELECT COUNT(DISTINCT src) AS n_nodes, TRUE AS valid_partition,
+       TRUE AS has_clusters
+FROM ({EU_SQL}) WHERE src < 60 AND dst < 60
+"""
 
 
 COMMUNITY3 = {
@@ -271,7 +314,7 @@ COMMUNITY3 = {
     "q100_rand_node_sampled": (q100, Q100_SQL),
     "q101_rand_graph_sampled": (q101, Q101_SQL),
     "q102_dynamic_nmi": (q102, Q102_SQL),
-    "q103_lp_degree_ordered": (q103, None),
-    "q104_parallel_agglomerative": (q104, None),
-    "q105_cut_clustering": (q105, None),
+    "q103_lp_degree_ordered": (q103, Q103_SQL),
+    "q104_parallel_agglomerative": (q104, Q104_SQL),
+    "q105_cut_clustering": (q105, Q105_SQL),
 }

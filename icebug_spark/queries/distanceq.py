@@ -85,15 +85,66 @@ FROM bfs GROUP BY landmark, node
 """
 
 
-# q82 — ANF neighborhood-function curve (rows-only: FM sketches are
-# engine-seeded; invariants covered in tests).
+# q82/q83 — ANF / hop-plot invariants: FM sketches are engine-seeded, so
+# the checkable claims are the neighborhood function's defining
+# properties: one row per hop 0..max_h, estimates positive and MONOTONE
+# NON-DECREASING in h (a union-sketch that loses bits flips this), and
+# the hop-plot fraction normalized to exactly 1.0 at the last hop.
+_ANF_H = 6
+
+
 def q82(spark: SparkSession, sf: str) -> DataFrame:
-    return anf_sketch_iteration(_eu(spark, sf), k=32, max_h=6, seed=42)
+    nf = anf_sketch_iteration(_eu(spark, sf), k=32, max_h=_ANF_H, seed=42
+                              ).localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("h")
+    flags = nf.select(
+        "h",
+        (F.col("n_pairs_est") > 0).alias("pos"),
+        (
+            F.col("n_pairs_est")
+            >= F.coalesce(F.lag("n_pairs_est").over(w), F.col("n_pairs_est"))
+        ).alias("mono"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_hops"),
+        F.min("pos").alias("all_positive"),
+        F.min("mono").alias("monotone"),
+    )
 
 
-# q83 — hop plot (rows-only, same sketches).
+Q82_SQL = f"SELECT {_ANF_H + 1} AS n_hops, TRUE AS all_positive, TRUE AS monotone"
+
+
 def q83(spark: SparkSession, sf: str) -> DataFrame:
-    return hop_plot(_eu(spark, sf), k=32, max_h=6, seed=42)
+    hp = hop_plot(_eu(spark, sf), k=32, max_h=_ANF_H, seed=42).localCheckpoint(
+        eager=True
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("h")
+    flags = hp.select(
+        "h",
+        ((F.col("fraction") >= 0) & (F.col("fraction") <= 1)).alias("in01"),
+        (
+            F.col("fraction")
+            >= F.coalesce(F.lag("fraction").over(w), F.col("fraction"))
+        ).alias("mono"),
+    )
+    last = hp.orderBy(F.desc("h")).limit(1).collect()[0]["fraction"]
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_hops"),
+        F.min("in01").alias("all_in_unit_range"),
+        F.min("mono").alias("monotone"),
+        F.lit(abs(last - 1.0) < 1e-9).alias("final_is_one"),
+    )
+
+
+Q83_SQL = (
+    f"SELECT {_ANF_H + 1} AS n_hops, TRUE AS all_in_unit_range, "
+    "TRUE AS monotone, TRUE AS final_is_one"
+)
 
 
 # q84 — top-10 harmonic closeness with candidate pruning. SQL twin mirrors
@@ -124,17 +175,41 @@ LIMIT 10
 """
 
 
-# q85 — greedy group degree + group harmonic (rows-only: greedy driver
-# rounds with engine tie-breaks).
+# q85 — greedy group centrality invariants (engine tie-breaks are not
+# SQL-expressible; the checkable claims): exactly k greedy rounds per
+# objective, selected members pairwise distinct, marginal gains
+# non-negative, and k distinct greedy rounds.
+_GROUP_K = 5
+
+
 def q85(spark: SparkSession, sf: str) -> DataFrame:
     eu = _eu(spark, sf)
-    gd = group_degree_greedy(eu, k=5).select(
-        F.lit("degree").alias("objective"), "id", F.col("marginal_gain").cast("double"), "round"
+    gd = group_degree_greedy(eu, k=_GROUP_K).select(
+        F.lit("degree").alias("objective"), "id",
+        F.col("marginal_gain").cast("double").alias("marginal_gain"), "round"
     )
-    gh = group_harmonic_greedy(eu, k=5).select(
+    gh = group_harmonic_greedy(eu, k=_GROUP_K).select(
         F.lit("harmonic").alias("objective"), "id", "marginal_gain", "round"
     )
-    return gd.unionByName(gh)
+    both = gd.unionByName(gh)
+    return (
+        both.groupBy("objective")
+        .agg(
+            F.count(F.lit(1)).alias("k_rounds"),
+            (F.countDistinct("id") == F.count(F.lit(1))).alias("members_distinct"),
+            F.min(F.col("marginal_gain") >= 0).alias("gains_nonneg"),
+            (F.countDistinct("round") == _GROUP_K).alias("rounds_complete"),
+        )
+        .orderBy("objective")
+    )
+
+
+Q85_SQL = f"""
+SELECT objective, {_GROUP_K} AS k_rounds, TRUE AS members_distinct,
+       TRUE AS gains_nonneg, TRUE AS rounds_complete
+FROM (VALUES ('degree'), ('harmonic')) t(objective)
+ORDER BY objective
+"""
 
 
 # q110 — EXACT 2-hop pruned landmark labeling (PrunedLandmarkLabeling.hpp:12):
@@ -177,8 +252,8 @@ DISTANCE2 = {
     "q80_spsp_grid": (q80, Q80_SQL),
     "q110_pll_exact_distances": (q110, Q110_SQL),
     "q81_landmark_labels": (q81, Q81_SQL),
-    "q82_anf_curve": (q82, None),
-    "q83_hop_plot": (q83, None),
+    "q82_anf_curve": (q82, Q82_SQL),
+    "q83_hop_plot": (q83, Q83_SQL),
     "q84_top_harmonic": (q84, Q84_SQL),
-    "q85_group_centrality": (q85, None),
+    "q85_group_centrality": (q85, Q85_SQL),
 }

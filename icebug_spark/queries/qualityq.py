@@ -180,9 +180,39 @@ LEFT JOIN tri_int t ON t.id = pn.id
 
 
 def q77(spark: SparkSession, sf: str) -> DataFrame:
-    """Partition fragmentation (iterative CC per cluster — rows-only)."""
+    """Partition fragmentation over the hash-K partition — FULL value
+    oracle: the DuckDB twin recomputes intra-cluster connected components
+    with a recursive CTE (same min-label semantics as the engine loop)
+    and the same 1 − max_piece/size formula."""
     eu = _eu(spark, sf)
     return quality.partition_fragmentation(eu, _part(eu)).orderBy("subset")
+
+
+Q77_SQL = f"""
+WITH RECURSIVE adj AS ({_ADJ_SQL}),
+part AS ({_PART_SQL}),
+intra AS (
+  SELECT ps.subset, a.node AS src, a.nbr AS dst
+  FROM adj a JOIN part ps ON ps.id = a.node JOIN part pd ON pd.id = a.nbr
+  WHERE ps.subset = pd.subset
+),
+reach(subset, node, label) AS (
+  SELECT subset, id, id FROM part
+  UNION
+  SELECT i.subset, i.dst, r.label
+  FROM reach r JOIN intra i ON i.subset = r.subset AND i.src = r.node
+  WHERE r.label < i.dst
+),
+comp AS (
+  SELECT subset, node, MIN(label) AS comp FROM reach GROUP BY subset, node
+),
+piece AS (SELECT subset, comp, COUNT(*) AS psz FROM comp GROUP BY subset, comp),
+largest AS (SELECT subset, MAX(psz) AS mx FROM piece GROUP BY subset),
+sz AS (SELECT subset, COUNT(*) AS n FROM part GROUP BY subset)
+SELECT s.subset, ROUND(1.0 - l.mx * 1.0 / s.n, 6) AS fragmentation
+FROM sz s JOIN largest l ON l.subset = s.subset
+ORDER BY s.subset
+"""
 
 
 def q78(spark: SparkSession, sf: str) -> DataFrame:
@@ -214,11 +244,44 @@ FROM sa LEFT JOIN best ON best.a = sa.a
 """
 
 
+_SEIR_STEPS = 12
+
+
 def q79(spark: SparkSession, sf: str) -> DataFrame:
-    """SEIR census from the lowest node id (rows-only, seeded)."""
+    """SEIR census invariants (hash-seeded transmissions are not SQL-
+    expressible; the checkable claims are the model's conservation laws):
+    every step conserves population, S is monotone non-increasing, R is
+    monotone non-decreasing, and the census covers all 12 steps. A broken
+    compartment update flips a boolean; the oracle expects constants."""
     eu = _eu(spark, sf)
     zero = eu.agg(F.min("src")).collect()[0][0]
-    return seir_simulation(eu, zero=int(zero), steps=12, seed=42)
+    census = seir_simulation(eu, zero=int(zero), steps=_SEIR_STEPS, seed=42)
+    n = eu.select(F.col("src").alias("id")).distinct().count()
+    total = (
+        F.col("n_susceptible") + F.col("n_exposed")
+        + F.col("n_infectious") + F.col("n_recovered")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("step")
+    flags = census.select(
+        "step",
+        (total == n).alias("conserved"),
+        (F.col("n_susceptible") <= F.coalesce(F.lag("n_susceptible").over(w), F.col("n_susceptible"))).alias("s_dec"),
+        (F.col("n_recovered") >= F.coalesce(F.lag("n_recovered").over(w), F.col("n_recovered"))).alias("r_inc"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.min("conserved").alias("population_conserved"),
+        F.min("s_dec").alias("susceptible_monotone"),
+        F.min("r_inc").alias("recovered_monotone"),
+    )
+
+
+Q79_SQL = f"""
+SELECT {_SEIR_STEPS} AS n_steps, TRUE AS population_conserved,
+       TRUE AS susceptible_monotone, TRUE AS recovered_monotone
+"""
 
 
 QUALITY = {
@@ -228,7 +291,7 @@ QUALITY = {
     "q74_stable_nodes": (q74, Q74_SQL),
     "q75_local_partition_coverage": (q75, Q75_SQL),
     "q76_permanence": (q76, Q76_SQL),
-    "q77_fragmentation": (q77, None),
+    "q77_fragmentation": (q77, Q77_SQL),
     "q78_cover_f1": (q78, Q78_SQL),
-    "q79_seir_census": (q79, None),
+    "q79_seir_census": (q79, Q79_SQL),
 }

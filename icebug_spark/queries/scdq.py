@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebug_spark.catalog import derived_edges, symmetrize, derived_edges_undirected
+from icebug_spark.catalog import EU_SQL, derived_edges, symmetrize, derived_edges_undirected
 from icebug_spark.operators.embedding import random_walks
 from icebug_spark.operators.scd import pagerank_nibble, set_conductance
 
@@ -15,31 +15,81 @@ _SEEDS = [1, 2, 3, 4, 5]
 
 
 def q62(spark: SparkSession, sf: str) -> DataFrame:
-    """PageRankNibble communities around fixed seeds: (seed, size,
-    conductance) — ApproximatePageRank + sweep cut parity."""
+    """PageRankNibble invariants per fixed seed (PPR push values are not
+    SQL-expressible; the checkable claims): the community contains its
+    seed, is non-empty, and its sweep-cut conductance is a valid ratio in
+    (0, 1]. A broken push/sweep flips a boolean; the oracle expects one
+    all-TRUE row per seed."""
     eu = derived_edges_undirected(spark, sf).localCheckpoint(
         eager=True
     )
-    members = pagerank_nibble(eu, _SEEDS, alpha=0.15, eps=1e-4)
-    sizes = members.groupBy("seed").agg(F.count(F.lit(1)).alias("size"))
+    members = pagerank_nibble(eu, _SEEDS, alpha=0.15, eps=1e-4).localCheckpoint(
+        eager=True
+    )
+    sizes = members.groupBy("seed").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.max((F.col("id") == F.col("seed")).cast("int")).alias("has_seed"),
+    )
     cond = set_conductance(eu, members)
-    return sizes.join(cond, "seed").orderBy("seed")
+    return (
+        sizes.join(cond, "seed")
+        .select(
+            "seed",
+            (F.col("has_seed") == 1).alias("contains_seed"),
+            (F.col("size") >= 1).alias("nonempty"),
+            ((F.col("conductance") > 0) & (F.col("conductance") <= 1)).alias(
+                "conductance_valid"
+            ),
+        )
+        .orderBy("seed")
+    )
+
+
+Q62_SQL = "SELECT seed, TRUE AS contains_seed, TRUE AS nonempty, TRUE AS conductance_valid FROM (VALUES {}) t(seed)".format(
+    ", ".join(f"({x})" for x in _SEEDS)
+)
 
 
 def q63(spark: SparkSession, sf: str) -> DataFrame:
-    """node2vec walk statistics (deterministic, seeded): walks over the
-    derived graph restricted to low-id nodes; (n_walks, n_full_length,
-    distinct_nodes_visited)."""
+    """node2vec walk certificate: one walk per non-isolated node of the
+    id-capped subgraph (count is SQL-computable), every consecutive pair
+    in every walk is a real arc (transition validity — verified by
+    exploding the walks and anti-joining the edge list), and every walk
+    starts at its own node. Hash-seeded hop choices themselves are not
+    SQL-expressible; a broken bias/step would emit an invalid transition
+    and flip the boolean."""
     eu = derived_edges_undirected(spark, sf)
-    small = eu.where((F.col("src") < 500) & (F.col("dst") < 500))
-    walks = random_walks(small, walk_length=8, walks_per_node=1, seed=42)
+    small = eu.where((F.col("src") < 500) & (F.col("dst") < 500)).localCheckpoint(
+        eager=True
+    )
+    walks = random_walks(small, walk_length=8, walks_per_node=1, seed=42
+                         ).localCheckpoint(eager=True)
+    hops = walks.select(
+        F.posexplode(
+            F.arrays_zip(
+                F.slice("walk", 1, F.size("walk") - 1),
+                F.slice("walk", 2, F.size("walk") - 1),
+            )
+        ).alias("pos", "hop")
+    ).select(
+        F.col("hop")["0"].alias("src"), F.col("hop")["1"].alias("dst")
+    )
+    bad_hops = hops.join(small, ["src", "dst"], "left_anti").count()
+    starts_ok = walks.where(
+        F.element_at("walk", 1) != F.col("walk_id")
+    ).count()
     return walks.agg(
         F.count(F.lit(1)).alias("n_walks"),
-        F.sum(F.when(F.size("walk") == 8, 1).otherwise(0)).alias("n_full_length"),
-        F.size(F.array_distinct(F.flatten(F.collect_list("walk")))).alias(
-            "distinct_nodes_visited"
-        ),
+        F.lit(bad_hops == 0).alias("transitions_valid"),
+        F.lit(starts_ok == 0).alias("starts_at_own_node"),
     )
+
+
+Q63_SQL = f"""
+SELECT COUNT(DISTINCT src) AS n_walks,
+       TRUE AS transitions_valid, TRUE AS starts_at_own_node
+FROM ({EU_SQL}) WHERE src < 500 AND dst < 500
+"""
 
 
 def _restricted_eu(spark: SparkSession, sf: str, cap: int = 400) -> DataFrame:
@@ -170,8 +220,8 @@ Q96_SQL = (
 
 
 SCD = {
-    "q62_pagerank_nibble": (q62, None),
-    "q63_node2vec_walks": (q63, None),
+    "q62_pagerank_nibble": (q62, Q62_SQL),
+    "q63_node2vec_walks": (q63, Q63_SQL),
     "q92_gce_expansion": (q92, _expansion_oracle(["gce_m", "gce_l"])),
     "q93_tce_lte_expansion": (q93, _expansion_oracle(["tce", "lte"])),
     "q94_local_t_two_phase": (q94, _expansion_oracle(["local_t", "two_phase_l"])),
