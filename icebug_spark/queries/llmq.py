@@ -148,18 +148,111 @@ SELECT query_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= 10
 
 
 def minhash_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.minhash_lsh_duplicates(
-        table(spark, sf, "documents"), n=3, num_hashes=16, bands=4, threshold=0.2
+    """MinHash-LSH certificate (sketches hash with Spark xxhash64, so the
+    pair SET is not SQL-reproducible; the checkable claims): every
+    reported pair appears in the independently-computed EXACT n-gram
+    Jaccard pair set with the SAME jaccard value (precision 1.0 by
+    construction — a broken banding/verify stage emits a pair the exact
+    join refutes), and all values clear the threshold."""
+    docs = table(spark, sf, "documents")
+    got = dedup.minhash_lsh_duplicates(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.2
+    ).localCheckpoint(eager=True)
+    exact = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).localCheckpoint(
+        eager=True
+    )
+    joined = got.join(
+        exact.withColumnRenamed("jaccard", "exact_j"), ["doc_a", "doc_b"], "left"
+    )
+    return joined.agg(
+        F.min(F.col("exact_j").isNotNull()).alias("subset_of_exact"),
+        F.min(F.col("jaccard") == F.col("exact_j")).alias("jaccards_match_exact"),
+        F.min(F.col("jaccard") >= 0.2).alias("all_ge_threshold"),
+        (F.count(F.lit(1)) > 0).alias("nonempty"),
     )
 
 
+MINHASH_LSH_SQL = (
+    "SELECT TRUE AS subset_of_exact, TRUE AS jaccards_match_exact, "
+    "TRUE AS all_ge_threshold, TRUE AS nonempty"
+)
+
+
 def simhash_q(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.simhash(table(spark, sf, "documents"))
+    """SimHash certificate: doc count is exact (SQL-computable) and every
+    EXACT-duplicate group (same normalized text) gets one identical
+    signature — bit-majority over identical token streams must agree; a
+    broken vote/packing flips the boolean."""
+    docs = table(spark, sf, "documents")
+    sigs = dedup.simhash(docs).localCheckpoint(eager=True)
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+    )
+    per_group = (
+        sigs.join(fp, "doc_id")
+        .groupBy("fp")
+        .agg(F.countDistinct("simhash").alias("n_sigs"))
+    )
+    return sigs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+    ).crossJoin(
+        per_group.agg(F.min(F.col("n_sigs") == 1).alias("dup_groups_consistent"))
+    )
+
+
+SIMHASH_SQL = (
+    "SELECT COUNT(*) AS n_docs, TRUE AS dup_groups_consistent FROM documents"
+)
 
 
 def ann_candidates_q(spark: SparkSession, sf: str) -> DataFrame:
-    return similarity.ann_candidates(
-        table(spark, sf, "embeddings"), planes=12, min_cosine=0.3
+    """SRP-LSH certificate: reported candidates must be a SUBSET of the
+    brute-force pair set at the same cosine threshold with matching
+    rounded cosines (recomputed via an independent cross-join), pairs
+    canonical (a < b). Bucket membership itself hashes with xxhash64 and
+    is not SQL-expressible."""
+    emb = table(spark, sf, "embeddings")
+    got = similarity.ann_candidates(emb, planes=12, min_cosine=0.3).localCheckpoint(
+        eager=True
+    )
+    exact = _exact_cosine_pairs(emb, 0.3).localCheckpoint(eager=True)
+    joined = got.join(
+        exact.withColumnRenamed("cosine", "exact_c"), ["vec_a", "vec_b"], "left"
+    )
+    return joined.agg(
+        F.min(F.col("exact_c").isNotNull()).alias("subset_of_exact"),
+        F.min(F.col("cosine") == F.col("exact_c")).alias("cosines_match"),
+        F.min(F.col("vec_a") < F.col("vec_b")).alias("canonical_pairs"),
+        (F.count(F.lit(1)) > 0).alias("nonempty"),
+    )
+
+
+ANN_CANDIDATES_SQL = (
+    "SELECT TRUE AS subset_of_exact, TRUE AS cosines_match, "
+    "TRUE AS canonical_pairs, TRUE AS nonempty"
+)
+
+
+def _exact_cosine_pairs(emb: DataFrame, min_cosine: float) -> DataFrame:
+    """Brute-force all-pairs cosine ≥ t — the independent witness set for
+    the LSH certificates. O(n²) by design: it exists to REFUTE the
+    bucketed path, and runs only inside correctness queries."""
+    base = emb.select("vec_id", "embedding")
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(F.transform("ea", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    nb = F.sqrt(F.aggregate(F.transform("eb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(dot / (na * nb), 6).alias("cosine"))
+        .where(F.col("cosine") >= min_cosine)
     )
 
 
@@ -286,21 +379,65 @@ WHERE j < k
 
 
 def ivf_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF run in its EXACT regime (probe every cell): results must equal
+    brute-force cosine top-k, giving the cell-assignment + probe + rank
+    pipeline a full value oracle (the partial-probe approximate regime is
+    covered by tests/test_multimodal.py::test_ivf_topk_vs_bruteforce)."""
     return similarity.ivf_topk(
         table(spark, sf, "embeddings"),
         query_filter=lambda c: c < 10,
         k=10,
         n_cells=16,
-        n_probe=4,
+        n_probe=16,
     )
+
+
+IVF_TOPK_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, vec_id,
+         ROUND(list_dot_product(qe, e)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6)
+             AS cosine
+  FROM q CROSS JOIN base WHERE vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= 10
+"""
 
 
 def near_dup_embeddings_q(spark: SparkSession, sf: str) -> DataFrame:
-    # synthetic embeddings have no true dups (max pairwise cosine ~0.43);
-    # 0.3 returns the high-similarity tail the pass would flag
-    return similarity.embedding_near_duplicates(
-        table(spark, sf, "embeddings"), min_cosine=0.3, planes=8
+    """Embedding near-dup certificate (same witness-set structure as
+    ann_candidates, at the near-dup threshold / plane count). Synthetic
+    embeddings have no true dups (max pairwise cosine ~0.43); 0.3 keeps
+    the high-similarity tail non-empty."""
+    emb = table(spark, sf, "embeddings")
+    got = similarity.embedding_near_duplicates(
+        emb, min_cosine=0.3, planes=8
+    ).localCheckpoint(eager=True)
+    exact = _exact_cosine_pairs(emb, 0.3).localCheckpoint(eager=True)
+    joined = got.join(
+        exact.withColumnRenamed("cosine", "exact_c"), ["vec_a", "vec_b"], "left"
     )
+    return joined.agg(
+        F.min(F.col("exact_c").isNotNull()).alias("subset_of_exact"),
+        F.min(F.col("cosine") == F.col("exact_c")).alias("cosines_match"),
+        (F.count(F.lit(1)) > 0).alias("nonempty"),
+    )
+
+
+NEAR_DUP_SQL = (
+    "SELECT TRUE AS subset_of_exact, TRUE AS cosines_match, TRUE AS nonempty"
+)
 
 
 LLM = {
@@ -311,19 +448,19 @@ LLM = {
     "llm_lang_id": (lang_id_q, _lang_sql()),
     "llm_ngram_jaccard_pairs": (ngram_jaccard_q, NGRAM_JACCARD_SQL),
     "llm_embedding_topk": (embedding_topk_q, EMBEDDING_TOPK_SQL),
-    # sketch-based: Spark-hash dependent → rows-only oracle
+    # sketch-based: certificates vs independent exact witness sets
     "llm_quality_score": (quality_score_q, QUALITY_SCORE_SQL),
     "llm_media_summary": (media_summary_q, MEDIA_SUMMARY_SQL),
-    # sketch-based: Spark-hash dependent → rows-only oracle
-    "llm_minhash_lsh_dups": (minhash_lsh_q, None),
-    "llm_simhash": (simhash_q, None),
-    "llm_ann_candidates": (ann_candidates_q, None),
+    # sketch-based: certificates vs independent exact witness sets
+    "llm_minhash_lsh_dups": (minhash_lsh_q, MINHASH_LSH_SQL),
+    "llm_simhash": (simhash_q, SIMHASH_SQL),
+    "llm_ann_candidates": (ann_candidates_q, ANN_CANDIDATES_SQL),
     # multimodal decode: REAL codecs over synthesized decodable fixtures;
     # geometry is closed-form in doc_id → full value oracles
     "llm_image_decode": (image_decode_q, IMAGE_DECODE_SQL),
     "llm_audio_features": (audio_features_q, AUDIO_FEATURES_SQL),
     "llm_frame_sample": (frame_sample_q, FRAME_SAMPLE_SQL),
     # IVF / near-dup use Spark xxhash64 bucketing → rows-only
-    "llm_ivf_topk": (ivf_topk_q, None),
-    "llm_near_dup_embeddings": (near_dup_embeddings_q, None),
+    "llm_ivf_topk": (ivf_topk_q, IVF_TOPK_SQL),
+    "llm_near_dup_embeddings": (near_dup_embeddings_q, NEAR_DUP_SQL),
 }
