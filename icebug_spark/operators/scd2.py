@@ -317,7 +317,52 @@ def _clique_detect(adj, truedeg, allowed, seeds):
     return set(_max_clique(nbrs, sub)) | {s}
 
 
+def _lfm_local(adj, truedeg, allowed, seeds, alpha=1.0, max_size=500):
+    """LFMLocal (``scd/LFMLocal.hpp:16``, Lancichinetti-Fortunato-Kertesz
+    fitness): f(C) = k_in / (k_in + k_out)^alpha. Greedy ADD the shell
+    node with the best positive fitness gain, then REMOVE any member
+    whose deletion raises fitness (the LFM add/remove sweep), until
+    neither step improves."""
+    C = set(seeds)
+
+    def fit(Cs):
+        if not Cs:
+            return 0.0
+        cut, w_in = _cut_vol(Cs, adj, truedeg)
+        denom = (2.0 * w_in + cut) ** alpha
+        return (2.0 * w_in) / denom if denom else 0.0
+
+    cur = fit(C)
+    improved = True
+    while improved and len(C) < max_size:
+        improved = False
+        shell = sorted(
+            {v for u in C for v in adj.get(u, ()) if v not in C and v in allowed}
+        )
+        best, best_f = None, cur
+        for v in shell:
+            f2 = fit(C | {v})
+            if f2 > best_f + 1e-12:
+                best, best_f = v, f2
+        if best is not None:
+            C.add(best)
+            cur = best_f
+            improved = True
+            # removal sweep (never the seeds)
+            removed = True
+            while removed:
+                removed = False
+                for u in sorted(C - set(seeds)):
+                    f2 = fit(C - {u})
+                    if f2 > cur + 1e-12:
+                        C.discard(u)
+                        cur = f2
+                        removed = True
+    return C
+
+
 _EXPANDERS = {
+    "lfm_local": lambda a, d, al, s, ms=500: _lfm_local(a, d, al, s, max_size=ms),
     "gce_m": lambda a, d, al, s, ms=500: _gce(a, d, al, s, objective="M", max_size=ms),
     "gce_l": lambda a, d, al, s, ms=500: _gce(a, d, al, s, objective="L", max_size=ms),
     "tce": lambda a, d, al, s, ms=500: _tce(a, d, al, s, max_size=ms),

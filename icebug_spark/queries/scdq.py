@@ -183,7 +183,7 @@ q93 = _expansion_query([("tce", False), ("lte", False)])
 q94 = _expansion_query(
     [("local_t", False), ("two_phase_l", True)], cap=250, max_size=12
 )
-q95 = _expansion_query([("clique", False)])
+q95 = _expansion_query([("clique", False), ("lfm_local", False)])
 
 
 def q96(spark: SparkSession, sf: str) -> DataFrame:
@@ -225,6 +225,6 @@ SCD = {
     "q92_gce_expansion": (q92, _expansion_oracle(["gce_m", "gce_l"])),
     "q93_tce_lte_expansion": (q93, _expansion_oracle(["tce", "lte"])),
     "q94_local_t_two_phase": (q94, _expansion_oracle(["local_t", "two_phase_l"])),
-    "q95_clique_detect": (q95, _expansion_oracle(["clique"])),
+    "q95_clique_detect": (q95, _expansion_oracle(["clique", "lfm_local"])),
     "q96_scd_ground_truth": (q96, Q96_SQL),
 }

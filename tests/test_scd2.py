@@ -30,7 +30,7 @@ def _members(df):
     return by_seed
 
 
-@pytest.mark.parametrize("algo", ["gce_m", "gce_l", "tce", "lte", "local_t"])
+@pytest.mark.parametrize("algo", ["gce_m", "gce_l", "tce", "lte", "local_t", "lfm_local"])
 def test_expander_recovers_clique(spark, algo):
     from icebug_spark.operators.scd2 import expand_communities
 
