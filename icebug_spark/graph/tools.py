@@ -237,3 +237,41 @@ def is_bipartite(g: Graph, max_iter: int = 50) -> bool:
         .count()
     )
     return conflict == 0
+
+
+def has_edge(g: Graph, u: int, v: int) -> bool:
+    """GraphW::hasEdge parity (``graph/Graph.hpp``): arc (u, v) present —
+    for undirected graphs either orientation counts. One pushed-down
+    filter + limit(1), no scan of the full edge set."""
+    e = g.edges.where((F.col("src") == u) & (F.col("dst") == v))
+    if not g.directed:
+        e = e.union(
+            g.edges.where((F.col("src") == v) & (F.col("dst") == u))
+        )
+    return e.limit(1).count() > 0
+
+
+def edge_weight(g: Graph, u: int, v: int, default: float | None = None) -> float | None:
+    """GraphW::weight(u, v) parity: weight of the arc, ``default`` when
+    absent (reference returns 0/1 by convention; explicit here)."""
+    if not g.weighted:
+        return 1.0 if has_edge(g, u, v) else default
+    e = g.edges.where((F.col("src") == u) & (F.col("dst") == v))
+    if not g.directed:
+        e = e.union(
+            g.edges.where((F.col("src") == v) & (F.col("dst") == u))
+        )
+    rows = e.select("weight").limit(1).collect()
+    return float(rows[0]["weight"]) if rows else default
+
+
+def edge_ids(g: Graph) -> DataFrame:
+    """GraphW::edgeId surface (indexEdges + edgeId(u, v)): stable dense
+    edge ids as a column — (src, dst, edge_id), ordered by (src, dst).
+    The reference materializes ids once after indexEdges(); here the id
+    table IS the lookup structure (join against it for batched lookups —
+    point lookups at scale should hit a bucketed/sorted copy)."""
+    w = Window.orderBy("src", "dst")
+    return g.edges.select("src", "dst").distinct().withColumn(
+        "edge_id", F.row_number().over(w).cast("long") - 1
+    )

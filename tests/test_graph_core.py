@@ -105,3 +105,21 @@ def test_jaccard(spark):
     rows = jaccard_index(adj).collect()
     assert len(rows) == 1
     assert rows[0]["jaccard"] == 0.5
+
+
+def test_edge_lookups(spark):
+    from icebug_spark.graph import tools
+    from icebug_spark.graph.core import Graph
+
+    g = Graph.from_edge_list(
+        spark, [(0, 1, 2.5), (1, 2, 1.0)], directed=False, weighted=True
+    )
+    assert tools.has_edge(g, 0, 1) and tools.has_edge(g, 1, 0)
+    assert not tools.has_edge(g, 0, 2)
+    assert tools.edge_weight(g, 1, 0) == 2.5
+    assert tools.edge_weight(g, 0, 2) is None
+    ids = {r["edge_id"] for r in tools.edge_ids(g).collect()}
+    assert ids == {0, 1}
+    gd = Graph.from_edge_list(spark, [(0, 1)], directed=True)
+    assert tools.has_edge(gd, 0, 1) and not tools.has_edge(gd, 1, 0)
+    assert tools.edge_weight(gd, 0, 1) == 1.0
