@@ -228,11 +228,11 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
     list) and MAXIMAL (no node outside is adjacent to all members), and
     the clique number is >= 3 iff the graph has a triangle (the triangle
     existence bit is recomputed by the oracle from the edge list). Runs on
-    the id-capped (<300) subgraph: ego-subgraph BK is quadratic in hub
+    the id-capped (<250) subgraph: ego-subgraph BK is quadratic in hub
     degree, and the uncapped sf0.01 graph (avg degree ~80) blows the
     applyInPandas shuffle; the cap keeps every ego subgraph bounded while
     exercising the identical code path (mirrored in the oracle)."""
-    eu = _eu(spark, sf).where((F.col("src") < 300) & (F.col("dst") < 300))
+    eu = _eu(spark, sf).where((F.col("src") < 250) & (F.col("dst") < 250))
     mc = maximal_cliques(eu).localCheckpoint(eager=True)
     cid = mc.withColumn("cid", F.monotonically_increasing_id()).localCheckpoint(
         eager=True
@@ -266,7 +266,7 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q70_SQL = f"""
-WITH eu AS (SELECT * FROM ({EU_SQL}) WHERE src < 300 AND dst < 300),
+WITH eu AS (SELECT * FROM ({EU_SQL}) WHERE src < 250 AND dst < 250),
 tri AS (
   SELECT 1 FROM eu a JOIN eu b ON b.src = a.dst AND b.dst > a.src
   JOIN eu c ON c.src = b.dst AND c.dst = a.src
