@@ -177,3 +177,26 @@ def read_dgs_events(spark: SparkSession, path: str) -> DataFrame:
         )
         .where(F.col("type").isNotNull())
     )
+
+
+def write_dgs_events(events: DataFrame, path: str) -> None:
+    """DGSWriter (``dynamics/DGSWriter.hpp:21``): serialize the GraphEvent
+    table (seq, type, u, v, w) back to DGS lines — round-trips with
+    ``read_dgs_events``. Driver-side write in seq order (DGS is an
+    ordered text stream by definition)."""
+    rows = events.select("seq", "type", "u", "v", "w").orderBy("seq").collect()
+    with open(path, "w") as f:
+        f.write("DGS004\nicebug 0 0\n")
+        for r in rows:
+            t = r["type"]
+            if t == "NODE_ADDITION":
+                f.write(f"an {r['u']}\n")
+            elif t == "NODE_REMOVAL":
+                f.write(f"dn {r['u']}\n")
+            elif t == "EDGE_ADDITION":
+                f.write(f"ae {r['u']}_{r['v']} {r['u']} {r['v']}"
+                        + (f" {r['w']}\n" if r["w"] is not None else "\n"))
+            elif t == "EDGE_REMOVAL":
+                f.write(f"de {r['u']}_{r['v']} {r['u']} {r['v']}\n")
+            elif t == "TIME_STEP":
+                f.write("st " + str(r["u"] if r["u"] is not None else 0) + "\n")

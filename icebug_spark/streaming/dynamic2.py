@@ -86,9 +86,13 @@ def dyn_bfs_update(
     has_removal = batch.where(F.col("type") == "EDGE_REMOVAL").limit(1).count() > 0
 
     if has_removal:
-        # invalidate the affected region, keep the rest as seeds
+        # invalidate the affected region, keep the rest as seeds; the
+        # SOURCE (dist == 0) is never invalidated — it anchors the
+        # re-relaxation even when the cone covers the whole graph
         aff = affected_nodes(edges_new, batch, hops=max_rounds)
-        dist = dist.join(aff, "id", "left_anti")
+        dist = dist.join(aff, "id", "left_anti").unionByName(
+            dist.where(F.col("dist") == 0)
+        ).distinct()
 
     cur = dist.localCheckpoint(eager=True)
     for _ in range(max_rounds):

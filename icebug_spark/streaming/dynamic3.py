@@ -232,3 +232,103 @@ class DynamicBSuitorMatcher:
             ~((F.col("u") == min(u, v)) & (F.col("v") == max(u, v)))
         ).localCheckpoint(eager=True)
         self._rematch(u, v)
+
+
+def dyn_sssp_update(
+    dist: DataFrame,
+    edges_weighted_new: DataFrame,
+    batch: DataFrame,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """DynDijkstra / DynSSSP (``distance/DynDijkstra.hpp:20``,
+    ``DynSSSP.hpp:20``): maintain weighted (id, dist) from a fixed source
+    under an event batch — the weighted twin of dyn_bfs_update.
+    Insertions only improve: resume Bellman-Ford relaxation seeded from
+    the CURRENT labels (settled nodes relax once, improvements cascade
+    only through the affected cone). Removals invalidate the affected
+    region first (per-event affected set, like the reference)."""
+    from icebug_spark.streaming.dynamic2 import affected_nodes
+
+    e = edges_weighted_new
+    if "weight" not in e.columns:
+        e = e.select("src", "dst", F.lit(1.0).alias("weight"))
+    ew = e.select("src", "dst", "weight").union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    ).localCheckpoint(eager=True)
+    has_removal = batch.where(F.col("type") == "EDGE_REMOVAL").limit(1).count() > 0
+    if has_removal:
+        aff = affected_nodes(edges_weighted_new.select("src", "dst"), batch, hops=max_rounds)
+        # the SOURCE (dist == 0) is never invalidated — it anchors the
+        # re-relaxation even when the affected cone covers the whole graph
+        dist = dist.join(aff, "id", "left_anti").unionByName(
+            dist.where(F.col("dist") == 0)
+        ).distinct()
+
+    cur = dist.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        relaxed = (
+            ew.join(
+                F.broadcast(
+                    cur.withColumnRenamed("id", "src").withColumnRenamed("dist", "ds")
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("id"), (F.col("ds") + F.col("weight")).alias("nd"))
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = (
+            cur.join(relaxed, "id", "full_outer")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("nd", F.lit(float("inf"))),
+                ).alias("dist"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            merged.join(cur.withColumnRenamed("dist", "od"), "id", "left")
+            .where(F.col("od").isNull() | (F.col("dist") < F.col("od") - 1e-12))
+            .limit(1)
+            .count()
+        )
+        cur = merged
+        if changed == 0:
+            break
+    return cur
+
+
+class DynAPSP:
+    """DynAPSP (``distance/DynAPSP.hpp:20``, unweighted): maintain the
+    full (source, id, dist) hop-distance table over a source set (all
+    nodes = exact APSP). Insert splice: the gap filter marks affected
+    sources in one scan of the cached table; only those re-run BFS."""
+
+    def __init__(self, edges_undirected: DataFrame, sources: list[int], max_hops: int = 30):
+        self.eu = edges_undirected.select("src", "dst").localCheckpoint(eager=True)
+        self.sources = [int(s) for s in sources]
+        self.max_hops = max_hops
+        self.dist = multi_source_bfs(self.eu, self.sources, max_hops).localCheckpoint(
+            eager=True
+        )
+
+    def distances(self) -> DataFrame:
+        return self.dist
+
+    def insert_edge(self, u: int, v: int) -> int:
+        aff = _affected_sources(self.dist, u, v, min_gap=2).collect()
+        aff_ids = [int(r["source"]) for r in aff]
+        self.eu = _with_edge(self.eu, u, v)
+        if not aff_ids:
+            return 0
+        aff_df = self.dist.sparkSession.createDataFrame(
+            [(s,) for s in aff_ids], "source BIGINT"
+        )
+        new_dist = multi_source_bfs(self.eu, aff_ids, self.max_hops)
+        self.dist = (
+            self.dist.join(F.broadcast(aff_df), "source", "left_anti")
+            .unionByName(new_dist)
+            .localCheckpoint(eager=True)
+        )
+        return len(aff_ids)

@@ -127,3 +127,81 @@ def test_dynamic_bsuitor_b2(spark):
     dyn.insert_edge(1, 2, 9.0)
     m = _assert_valid_matching(dyn, 2)
     assert (1, 2) in {(r["u"], r["v"]) for r in m}
+
+
+def test_dyn_sssp_update_insert_and_remove(spark):
+    from icebug_spark.operators.traversal import sssp_weighted
+    from icebug_spark.streaming.dynamic3 import dyn_sssp_update
+
+    base = [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 1.0), (0, 4, 10.0)]
+    e0 = spark.createDataFrame(base, "src BIGINT, dst BIGINT, weight DOUBLE")
+    sym0 = e0.union(e0.selectExpr("dst as src", "src as dst", "weight"))
+    d0 = sssp_weighted(sym0, 0)
+    # insert shortcut 3-4 (0.5): distance to 4 drops via 0-1-2-3-4 = 4.5
+    e1 = spark.createDataFrame(
+        base + [(3, 4, 0.5)], "src BIGINT, dst BIGINT, weight DOUBLE"
+    )
+    batch = spark.createDataFrame(
+        [(0, "EDGE_ADDITION", 3, 4, 0.5)], "seq LONG, type STRING, u LONG, v LONG, w DOUBLE"
+    )
+    got = {r["id"]: r["dist"] for r in dyn_sssp_update(d0, e1, batch).collect()}
+    sym1 = e1.union(e1.selectExpr("dst as src", "src as dst", "weight"))
+    exp = {r["id"]: r["dist"] for r in sssp_weighted(sym1, 0).collect()}
+    assert got == exp
+    # removal: drop 0-1, paths reroute via 0-4-3-2-1
+    e2 = spark.createDataFrame(
+        [(1, 2, 2.0), (2, 3, 1.0), (0, 4, 10.0), (3, 4, 0.5)],
+        "src BIGINT, dst BIGINT, weight DOUBLE",
+    )
+    batch2 = spark.createDataFrame(
+        [(1, "EDGE_REMOVAL", 0, 1, None)], "seq LONG, type STRING, u LONG, v LONG, w DOUBLE"
+    )
+    d1 = spark.createDataFrame(
+        [(k, v) for k, v in exp.items()], "id BIGINT, dist DOUBLE"
+    )
+    got2 = {r["id"]: r["dist"] for r in dyn_sssp_update(d1, e2, batch2).collect()}
+    sym2 = e2.union(e2.selectExpr("dst as src", "src as dst", "weight"))
+    exp2 = {r["id"]: r["dist"] for r in sssp_weighted(sym2, 0).collect()}
+    assert got2 == exp2
+
+
+def test_dyn_apsp_matches_recompute(spark):
+    from icebug_spark.operators.traversal import multi_source_bfs
+    from icebug_spark.streaming.dynamic3 import DynAPSP
+
+    eu = _eu(spark)
+    dyn = DynAPSP(eu, NODES)
+    n = dyn.insert_edge(0, 5)
+    assert n > 0
+    exp = {
+        (r["source"], r["id"]): r["dist"]
+        for r in multi_source_bfs(_eu(spark, [(0, 5)]), NODES).collect()
+    }
+    got = {
+        (r["source"], r["id"]): r["dist"] for r in dyn.distances().collect()
+    }
+    assert got == exp
+
+
+def test_dgs_writer_roundtrip(spark, tmp_path):
+    from icebug_spark.sources.readers import read_dgs_events, write_dgs_events
+
+    events = spark.createDataFrame(
+        [
+            (0, "NODE_ADDITION", 0, None, None),
+            (1, "NODE_ADDITION", 1, None, None),
+            (2, "EDGE_ADDITION", 0, 1, 2.5),
+            (3, "TIME_STEP", 1, None, None),
+            (4, "EDGE_REMOVAL", 0, 1, None),
+        ],
+        "seq LONG, type STRING, u LONG, v LONG, w DOUBLE",
+    )
+    p = str(tmp_path / "ev.dgs")
+    write_dgs_events(events, p)
+    back = read_dgs_events(spark, p).orderBy("seq").collect()
+    types = [r["type"] for r in back]
+    assert types == [
+        "NODE_ADDITION", "NODE_ADDITION", "EDGE_ADDITION", "TIME_STEP", "EDGE_REMOVAL",
+    ]
+    ae = [r for r in back if r["type"] == "EDGE_ADDITION"][0]
+    assert (ae["u"], ae["v"], ae["w"]) == (0, 1, 2.5)
