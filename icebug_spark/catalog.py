@@ -86,18 +86,31 @@ def derived_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EU_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def derived_edges_undirected(
     spark: SparkSession, sf_dir: str, materialize: bool = True
 ) -> DataFrame:
-    """EU := symmetrize(E), materialized ONCE. Every iterative operator
-    joins EU per round; materializing only E (the old call-site pattern)
-    left the union+distinct in the loop lineage, re-shuffling it each
-    round — measured ~0.5-2 s/round at sf0.1. Checkpointing EU itself
-    truncates that: rounds re-read an in-memory edge table, which is also
-    the 100 TB shape (EU persisted/bucketed by src once per session)."""
+    """EU := symmetrize(E), materialized ONCE PER SESSION. Every iterative
+    operator joins EU per round; materializing only E (the old call-site
+    pattern) left the union+distinct in the loop lineage, re-shuffling it
+    each round — measured ~0.5-2 s/round at sf0.1. Checkpointing EU
+    truncates that, and the session-scoped memo means consecutive queries
+    (the driver runs ~130 of them) pay the orders⋈lineitem build once —
+    exactly the 100 TB shape, where EU is persisted/bucketed by src once
+    and every analysis reads the same artifact. Keyed on the live
+    SparkContext so a restarted session rebuilds instead of reusing dead
+    RDD handles."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if materialize:
+        cached = _EU_CACHE.get(key)
+        if cached is not None:
+            return cached
     eu = symmetrize(derived_edges(spark, sf_dir, materialize=False))
     if materialize:
         eu = eu.localCheckpoint(eager=True)
+        _EU_CACHE[key] = eu
     return eu
 
 
