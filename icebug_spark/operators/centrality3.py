@@ -143,3 +143,103 @@ def group_harmonic_greedy(eu: DataFrame, k: int = 5, max_hops: int = 16) -> Data
             )
         d = d.where(F.col("c") != best)
     return spark.createDataFrame(chosen, "id BIGINT, marginal_gain DOUBLE, round INT")
+
+
+def group_closeness_grow_shrink(
+    eu: DataFrame,
+    initial_group: list[int],
+    rounds: int = 4,
+    candidate_factor: int = 4,
+    max_hops: int = 16,
+) -> DataFrame:
+    """GroupClosenessLocalSwaps / GrowShrink local search (reference
+    ``centrality/GroupClosenessLocalSwaps.hpp:27``): improve a seed group
+    of size k by single swaps — drop one member, add one outsider — while
+    group harmonic closeness Σ_v 1/d(v, S) improves.
+
+    Distributed shape: ONE batched multi-source BFS over members ∪ a
+    degree-top candidate pool yields every per-source distance column;
+    any swapped group's objective is then a pure aggregation
+    min-over-chosen-columns — no per-swap traversal. Each round evaluates
+    all k·|pool| swaps with a single groupBy over the distance table.
+    Returns the improved group as (id, harmonic) one row per member plus
+    the final objective replicated (callers read either)."""
+    spark = eu.sparkSession
+    group = [int(x) for x in initial_group]
+    k = len(group)
+    deg = eu.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    pool = [
+        int(r["id"])
+        for r in deg.orderBy(F.col("deg").desc(), "id")
+        .limit(k * candidate_factor)
+        .collect()
+        if int(r["id"]) not in group
+    ]
+    sources = sorted(set(group) | set(pool))
+    d = (
+        multi_source_bfs(eu, sources, max_hops=max_hops)
+        .select(F.col("source").alias("s"), F.col("id").alias("v"), "dist")
+        .localCheckpoint(eager=True)
+    )
+
+    def harmonic_of(members: list[int]) -> float:
+        m = spark.createDataFrame([(x,) for x in members], "s BIGINT")
+        best = (
+            d.join(F.broadcast(m), "s")
+            .groupBy("v")
+            .agg(F.min("dist").alias("db"))
+        )
+        row = best.where(F.col("db") > 0).agg(
+            F.sum(1.0 / F.col("db")).alias("h")
+        ).collect()[0]
+        return float(row["h"] or 0.0)
+
+    cur = harmonic_of(group)
+    for _ in range(rounds):
+        # evaluate ALL swaps in one pass: for each (out_member, in_cand),
+        # objective = sum over v of 1/min(dist of kept members ∪ {cand})
+        kept_tables = []
+        for m_out in group:
+            kept = [m for m in group if m != m_out]
+            kdf = spark.createDataFrame([(x,) for x in kept], "s BIGINT")
+            dkept = (
+                d.join(F.broadcast(kdf), "s")
+                .groupBy("v")
+                .agg(F.min("dist").alias("dk"))
+            )
+            cands = spark.createDataFrame([(c,) for c in pool], "s BIGINT")
+            dc = d.join(F.broadcast(cands), "s").select(
+                F.col("s").alias("cand"), "v", F.col("dist").alias("dc")
+            )
+            sc = (
+                dc.join(dkept, "v", "full")
+                .select(
+                    "cand",
+                    F.least(
+                        F.coalesce("dk", F.lit(1 << 30)),
+                        F.coalesce("dc", F.lit(1 << 30)),
+                    ).alias("db"),
+                )
+                .where((F.col("db") > 0) & (F.col("db") < (1 << 30)))
+                .groupBy("cand")
+                .agg(F.sum(1.0 / F.col("db")).alias("h"))
+                .withColumn("out", F.lit(m_out))
+            )
+            kept_tables.append(sc)
+        allswaps = kept_tables[0]
+        for t in kept_tables[1:]:
+            allswaps = allswaps.unionByName(t)
+        top = (
+            allswaps.where(F.col("cand").isNotNull())
+            .orderBy(F.col("h").desc(), "out", "cand")
+            .limit(1)
+            .collect()
+        )
+        if not top or float(top[0]["h"]) <= cur + 1e-9:
+            break
+        cur = float(top[0]["h"])
+        group = [m for m in group if m != int(top[0]["out"])] + [int(top[0]["cand"])]
+        pool = [c for c in pool if c != int(top[0]["cand"])] + [int(top[0]["out"])]
+    return spark.createDataFrame(
+        [(m, round(cur, 6)) for m in sorted(group)], "id BIGINT, harmonic DOUBLE"
+    )

@@ -151,3 +151,31 @@ def test_kadabra_star_center_dominates(spark):
     }
     assert got[0] == max(got.values())
     assert all(got[i] <= got[0] for i in range(1, 7))
+
+
+def test_group_closeness_grow_shrink_improves(spark):
+    from icebug_spark.graph.core import Graph
+    from icebug_spark.operators.centrality3 import group_closeness_grow_shrink
+
+    # two stars joined by a bridge: the optimum 2-group is the two hubs
+    star_a = [(0, i) for i in range(1, 6)]
+    star_b = [(10, i) for i in range(11, 16)]
+    bridge = [(0, 10)]
+    g = Graph.from_edge_list(spark, star_a + star_b + bridge, directed=False)
+    eu = g.symmetrized()
+    # start from a deliberately bad group: two leaves of star A
+    out = group_closeness_grow_shrink(eu, [1, 2], rounds=6, candidate_factor=8)
+    members = sorted(r["id"] for r in out.collect())
+    assert members == [0, 10], members
+
+    # objective on the final group must dominate the initial group's
+    from icebug_spark.operators.traversal import multi_source_bfs
+    from pyspark.sql import functions as F
+
+    def h(group):
+        d = multi_source_bfs(eu, group)
+        best = d.groupBy("id").agg(F.min("dist").alias("db"))
+        return best.where(F.col("db") > 0).agg(F.sum(1.0 / F.col("db"))).collect()[0][0]
+
+    assert out.limit(1).collect()[0]["harmonic"] == round(h([0, 10]), 6)
+    assert h([0, 10]) > h([1, 2])
