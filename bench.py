@@ -12,8 +12,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from icebug_spark.catalog import table  # noqa: E402
+from icebug_spark.llm.dedup import minhash_lsh_duplicates  # noqa: E402
 from icebug_spark.queries.registry import ALL  # noqa: E402
 from icebug_spark.session import get_spark  # noqa: E402
+
+# The registry entry for MinHash-LSH is its correctness CERTIFICATE (LSH +
+# an independent exact witness set); the benchmark measures the OPERATOR.
+BENCH_OVERRIDES = {
+    "llm_minhash_lsh_dups": lambda spark, sf_dir: minhash_lsh_duplicates(
+        table(spark, sf_dir, "documents"), n=3, num_hashes=16, bands=4, threshold=0.2
+    ),
+}
 
 HEADLINE = [
     "q01_filter_project",
@@ -49,7 +59,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        fn, _sql = ALL[name]
+        fn = BENCH_OVERRIDES.get(name) or ALL[name][0]
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()  # count() executes the full plan without collecting rows
