@@ -113,3 +113,145 @@ def boruvka_msf(
         F.col("v").alias("dst"),
         (F.col("w") * sign).alias("weight"),
     )
+
+
+def spanning_forest(edges_undirected: DataFrame) -> DataFrame:
+    """SpanningForest (``graph/SpanningForest.hpp:20``): ANY spanning
+    forest — Borůvka on unit weights (deterministic tie-breaks make it
+    reproducible). → (src, dst, weight=1.0)."""
+    e = edges_undirected.select("src", "dst", F.lit(1.0).alias("weight"))
+    return boruvka_msf(e)
+
+
+def union_maximum_spanning_forest(
+    edges_weighted: DataFrame, max_rounds: int = 40
+) -> DataFrame:
+    """UnionMaximumSpanningForest (``graph/UnionMaximumSpanningForest.hpp:15``):
+    edges contained in AT LEAST ONE maximum spanning forest — the cycle
+    rule: (u, v, w) qualifies iff u and v are disconnected in the
+    subgraph of strictly heavier edges.
+
+    Distributed shape: one min-label CC pass per DISTINCT weight level
+    (descending); each pass labels the strictly-heavier subgraph and a
+    join marks the level's edges whose endpoints differ. Level count is
+    the number of distinct weights — small for quantized weights (the
+    derived graph's lineitem multiplicities), and each pass is the
+    standard CC loop."""
+    from icebug_spark.operators.components import connected_components
+
+    canon = (
+        edges_weighted.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            "weight",
+        )
+        .groupBy("u", "v")
+        .agg(F.max("weight").alias("weight"))
+        .localCheckpoint(eager=True)
+    )
+    levels = sorted(
+        (r["weight"] for r in canon.select("weight").distinct().collect()),
+        reverse=True,
+    )
+    spark = edges_weighted.sparkSession
+    out = []
+    for w in levels:
+        heavier = canon.where(F.col("weight") > w)
+        at_level = canon.where(F.col("weight") == w)
+        if heavier.limit(1).count() == 0:
+            out.append(at_level)  # no heavier edges: all level edges qualify
+            continue
+        eu = heavier.select("u", "v").union(
+            heavier.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        cc = connected_components(eu, max_iter=max_rounds).select(
+            F.col("id"), F.col("component")
+        )
+        marked = (
+            at_level.join(cc.withColumnsRenamed({"id": "u", "component": "cu"}), "u", "left")
+            .join(cc.withColumnsRenamed({"id": "v", "component": "cv"}), "v", "left")
+            .where(
+                F.col("cu").isNull()
+                | F.col("cv").isNull()
+                | (F.col("cu") != F.col("cv"))
+            )
+            .select("u", "v", "weight")
+        )
+        out.append(marked)
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.select(F.col("u").alias("src"), F.col("v").alias("dst"), "weight")
+
+
+def random_spanning_forest(
+    edges_undirected: DataFrame, seed: int = 42, max_edges: int = 200_000
+) -> DataFrame:
+    """RandomMaximumSpanningForest's uniform sampler
+    (``graph/RandomMaximumSpanningForest.hpp:18``): a UNIFORMLY random
+    spanning tree per component via Wilson's loop-erased random walks.
+    Loop-erased walks are inherently sequential (each walk depends on the
+    tree so far) — documented driver fallback with the usual size guard;
+    the forest it returns is a DataFrame like every other op."""
+    import random as _random
+    from collections import defaultdict
+
+    e = (
+        edges_undirected.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    cnt = e.count()
+    if cnt > max_edges:
+        raise ValueError(
+            f"random_spanning_forest driver sampler refuses {cnt} edges "
+            f"(max_edges={max_edges}); sample per partitioned component"
+        )
+    adj = defaultdict(list)
+    for r in e.collect():
+        u, v = int(r["u"]), int(r["v"])
+        adj[u].append(v)
+        adj[v].append(u)
+    rng = _random.Random(seed)
+    in_tree: set[int] = set()
+    parent: dict[int, int] = {}
+    for root in sorted(adj):
+        if root in in_tree:
+            continue
+        in_tree.add(root)
+        comp_nodes = _component_of(adj, root)
+        # Wilson: for each node not in tree, loop-erased walk to the tree
+        for s in sorted(comp_nodes):
+            if s in in_tree:
+                continue
+            path = [s]
+            cur = s
+            while cur not in in_tree:
+                cur = rng.choice(adj[cur])
+                if cur in path:  # erase loop
+                    path = path[: path.index(cur) + 1]
+                else:
+                    path.append(cur)
+            for a, b in zip(path, path[1:]):
+                parent[a] = b
+                in_tree.add(a)
+    rows = [
+        (min(a, b), max(a, b)) for a, b in parent.items()
+    ]
+    spark = edges_undirected.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    return spark.createDataFrame(sorted(set(rows)), "src BIGINT, dst BIGINT")
+
+
+def _component_of(adj, root):
+    seen = {root}
+    stack = [root]
+    while stack:
+        u = stack.pop()
+        for v in adj[u]:
+            if v not in seen:
+                seen.add(v)
+                stack.append(v)
+    return seen

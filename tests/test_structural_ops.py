@@ -161,3 +161,54 @@ def test_random_nodes_deterministic(spark):
     a = sorted(r["id"] for r in random_nodes(g, 5, seed=1).collect())
     b = sorted(r["id"] for r in random_nodes(g, 5, seed=1).collect())
     assert a == b and len(a) == 5
+
+
+def test_spanning_forest_variants(spark):
+    from icebug_spark.graph.core import Graph
+    from icebug_spark.operators.msf import (
+        random_spanning_forest,
+        spanning_forest,
+        union_maximum_spanning_forest,
+    )
+
+    # two components: a 4-cycle and a 3-path
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (10, 11), (11, 12)]
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    eu = g.symmetrized()
+
+    sf = spanning_forest(eu)
+    assert sf.count() == 5  # (4-1) + (3-1)
+
+    rsf = random_spanning_forest(eu, seed=7)
+    rows = [(r["src"], r["dst"]) for r in rsf.collect()]
+    assert len(rows) == 5
+    edge_set = {(min(u, v), max(u, v)) for u, v in edges}
+    assert all(p in edge_set for p in rows)
+    # determinism
+    rows2 = [(r["src"], r["dst"]) for r in random_spanning_forest(eu, seed=7).collect()]
+    assert sorted(rows) == sorted(rows2)
+
+
+def test_union_maximum_spanning_forest(spark):
+    from icebug_spark.operators.msf import union_maximum_spanning_forest
+
+    # triangle with one heavy edge + a pendant: heavy edge always in MSF;
+    # the two weight-1 edges tie — each is in SOME max forest; pendant always
+    e = spark.createDataFrame(
+        [(0, 1, 5.0), (1, 2, 1.0), (2, 0, 1.0), (2, 3, 2.0)],
+        "src BIGINT, dst BIGINT, weight DOUBLE",
+    )
+    got = sorted(
+        (r["src"], r["dst"]) for r in union_maximum_spanning_forest(e).collect()
+    )
+    assert got == [(0, 1), (0, 2), (1, 2), (2, 3)]
+
+    # make one of the light edges heavier: the other is in NO max forest
+    e2 = spark.createDataFrame(
+        [(0, 1, 5.0), (1, 2, 3.0), (2, 0, 1.0), (2, 3, 2.0)],
+        "src BIGINT, dst BIGINT, weight DOUBLE",
+    )
+    got2 = sorted(
+        (r["src"], r["dst"]) for r in union_maximum_spanning_forest(e2).collect()
+    )
+    assert got2 == [(0, 1), (1, 2), (2, 3)]
