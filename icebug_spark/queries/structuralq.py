@@ -192,9 +192,41 @@ SELECT TRUE AS valid_matching, TRUE AS edges_in_graph, TRUE AS maximal_ok,
 """
 
 
+
+
+# q111 — left-right planarity on the full derived graph. The dense
+# customer-supplier graph violates the Euler bound (m > 3n − 6), so the
+# oracle can PROVE non-planarity from counts alone; the engine runs its
+# distributed Euler pre-check and reports the same verdict + the counts.
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.operators.planarity import is_planar
+
+    eu = derived_edges_undirected(spark, sf)
+    canon = (
+        eu.select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    n = eu.select(F.col("src").alias("id")).distinct().count()
+    m = canon.count()
+    planar = is_planar(eu, max_edges=5_000_000)
+    return spark.createDataFrame(
+        [(n, m, bool(planar))], "n_nodes BIGINT, n_edges BIGINT, planar BOOLEAN"
+    )
+
+
+Q111_SQL = f"""
+WITH eu AS ({EU_SQL}),
+canon AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM eu),
+c AS (SELECT (SELECT COUNT(DISTINCT src) FROM eu) AS n,
+             (SELECT COUNT(*) FROM canon) AS m)
+SELECT n AS n_nodes, m AS n_edges, NOT (m > 3 * n - 6) AS planar FROM c
+"""
+
+
 STRUCTURAL = {
     "q38_scc": (q38, Q38_SQL),
     "q39_msf_summary": (q39, Q39_SQL),
     "q40_luby_mis_size": (q40, Q40_SQL),
     "q41_matching_summary": (q41, Q41_SQL),
+    "q111_planarity_check": (q111, Q111_SQL),
 }
