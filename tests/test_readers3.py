@@ -129,3 +129,21 @@ def test_gml_writer_roundtrip(spark, tmp_path):
     pd_ = str(tmp_path / "d.gml")
     readers3.write_gml(gd, pd_)
     assert read_gml(spark, pd_).directed
+
+
+def test_graph_parquet_roundtrip(spark, tmp_path):
+    g = Graph.from_edge_list(
+        spark, [(0, 1, 2.5), (1, 2, 0.5)], directed=True, weighted=True
+    )
+    p = str(tmp_path / "gp")
+    readers3.write_graph_parquet(g, p)
+    g2 = readers3.read_graph_parquet(spark, p)
+    assert g2.directed and g2.weighted
+    assert sorted(map(tuple, g2.edges.select("src", "dst", "weight").collect())) == [
+        (0, 1, 2.5), (1, 2, 0.5),
+    ]
+    gu = Graph.from_edge_list(spark, [(3, 4)], directed=False)
+    pu = str(tmp_path / "gu")
+    readers3.write_graph_parquet(gu, pu)
+    g3 = readers3.read_graph_parquet(spark, pu)
+    assert not g3.directed and not g3.weighted
