@@ -141,3 +141,84 @@ FINGERPRINT_SQL = """
 SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents
 """
+
+
+def repetition_filter(documents: DataFrame, max_dup_line_frac: float = 0.3,
+                      max_top_ngram_frac: float = 0.2, n: int = 2) -> DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1):
+    per document, (a) the fraction of lines that are duplicates of an
+    earlier line and (b) the fraction of the document's word-n-grams
+    taken up by its single most frequent n-gram. Emits (doc_id,
+    dup_line_frac, top_ngram_frac, keep). Pure explode + window
+    aggregations — codegen'd, scan-speed at 100 TB, full SQL twin."""
+    from pyspark.sql import Window
+
+    lines = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\n")).alias("line")
+    ).where(F.length(F.trim("line")) > 0)
+    line_stats = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                (F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c")
+            ).alias("dup_line_frac")
+        )
+    )
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    grams = (
+        toks.select("doc_id", F.concat_ws(" ", *parts).alias("g"),
+                    parts[-1].isNotNull().alias("full"))
+        .where(F.col("full"))
+    )
+    gram_stats = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_ngram_frac"))
+    )
+    base = documents.select("doc_id")
+    out = (
+        base.join(line_stats, "doc_id", "left")
+        .join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce("dup_line_frac", F.lit(0.0)), 6).alias("dup_line_frac"),
+            F.round(F.coalesce("top_ngram_frac", F.lit(0.0)), 6).alias("top_ngram_frac"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top_ngram_frac") <= max_top_ngram_frac),
+    )
+
+
+def benchmark_contamination(documents: DataFrame, benchmark: DataFrame,
+                            n: int = 3, min_overlap: int = 2) -> DataFrame:
+    """Benchmark-contamination scan (the decontamination pass of a
+    training pipeline, cf. GPT-3 appendix C): a document is contaminated
+    when it shares >= min_overlap distinct word-n-grams with ANY
+    benchmark item. ``benchmark``: (bench_id, text). Emits contaminated
+    docs as (doc_id, bench_id, n_shared). The benchmark side is tiny by
+    nature -> its shingle table is broadcast; the corpus side streams."""
+    from icebug_spark.llm.dedup import shingles
+
+    doc_sh = shingles(documents, n)
+    bench_sh = shingles(
+        benchmark.select(F.col("bench_id").alias("doc_id"), "text"), n
+    ).select(F.col("doc_id").alias("bench_id"), "shingle")
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+        .where(F.col("n_shared") >= min_overlap)
+    )

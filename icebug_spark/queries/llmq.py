@@ -440,6 +440,80 @@ NEAR_DUP_SQL = (
 )
 
 
+
+def repetition_filter_q(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.repetition_filter(table(spark, sf, "documents"))
+
+
+REPETITION_SQL = """
+WITH lines AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+  ) WHERE length(trim(line)) > 0
+),
+lc AS (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY doc_id, line),
+lf AS (
+  SELECT doc_id, CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_line_frac
+  FROM lc GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(0, len(t) - 1),
+                 i -> t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks WHERE len(t) >= 2
+),
+gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+gf AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_ngram_frac
+  FROM gc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       ROUND(COALESCE(lf.dup_line_frac, 0.0), 6) AS dup_line_frac,
+       ROUND(COALESCE(gf.top_ngram_frac, 0.0), 6) AS top_ngram_frac,
+       COALESCE(lf.dup_line_frac, 0.0) <= 0.3
+         AND COALESCE(gf.top_ngram_frac, 0.0) <= 0.2 AS keep
+FROM documents d
+LEFT JOIN lf ON lf.doc_id = d.doc_id
+LEFT JOIN gf ON gf.doc_id = d.doc_id
+"""
+
+
+def contamination_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination scan against a deterministic benchmark subset
+    (every 100th document poses as a benchmark item): each benchmark doc
+    at minimum flags itself; near-dups of benchmark docs surface too."""
+    docs = table(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return textstats.benchmark_contamination(docs, bench, n=3, min_overlap=2)
+
+
+CONTAMINATION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(0, len(t) - 2),
+           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
+    FROM toks WHERE len(t) >= 3
+  )
+),
+bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 100 = 0)
+SELECT s.doc_id, b.bench_id, COUNT(DISTINCT s.shingle) AS n_shared
+FROM sh s JOIN bench b ON b.shingle = s.shingle
+GROUP BY s.doc_id, b.bench_id
+HAVING COUNT(DISTINCT s.shingle) >= 2
+"""
+
+
 LLM = {
     "llm_dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "llm_text_stats": (text_stats_q, textstats.TEXT_STATS_SQL),
@@ -463,4 +537,6 @@ LLM = {
     # IVF / near-dup use Spark xxhash64 bucketing → rows-only
     "llm_ivf_topk": (ivf_topk_q, IVF_TOPK_SQL),
     "llm_near_dup_embeddings": (near_dup_embeddings_q, NEAR_DUP_SQL),
+    "llm_repetition_filter": (repetition_filter_q, REPETITION_SQL),
+    "llm_contamination": (contamination_q, CONTAMINATION_SQL),
 }

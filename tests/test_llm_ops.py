@@ -81,3 +81,42 @@ def test_cosine_topk_self_similarity(spark):
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
     top = cosine_topk(emb, query_filter=lambda c: c == 0, k=2).collect()
     assert [r["vec_id"] for r in sorted(top, key=lambda r: r["rnk"])] == [1, 2]
+
+
+def test_repetition_filter_flags_repeats(spark):
+    from icebug_spark.llm.textstats import repetition_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "clean text with varied words here", "s"),
+            (1, "dup line\ndup line\ndup line\nunique", "s"),
+            (2, "spam spam spam spam spam spam", "s"),
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    out = {r["doc_id"]: r for r in repetition_filter(docs).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["dup_line_frac"] == 0.5 and out[1]["keep"] is False
+    assert out[2]["top_ngram_frac"] == 1.0 and out[2]["keep"] is False
+
+
+def test_benchmark_contamination(spark):
+    from icebug_spark.llm.textstats import benchmark_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog", "s"),
+            (1, "completely different words in this one entirely", "s"),
+            (2, "quick brown fox jumps over something else now", "s"),
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "bench_id LONG, text STRING",
+    )
+    hits = {(r["doc_id"], r["bench_id"]): r["n_shared"]
+            for r in benchmark_contamination(docs, bench, n=3, min_overlap=2).collect()}
+    assert (0, 100) in hits          # exact copy flagged
+    assert (2, 100) in hits          # partial overlap flagged
+    assert (1, 100) not in hits      # clean doc passes
