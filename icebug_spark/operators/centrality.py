@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from icebug_spark.plans.iterate import iterate
+from icebug_spark.plans.iterate import iterate, mirror
 
 
 def degree_centrality(edges: DataFrame, direction: str = "out") -> DataFrame:
@@ -59,10 +59,11 @@ def pagerank(
 
     def step(r: DataFrame, _i: int) -> DataFrame:
         contribs = (
-            # rank vector is node-bounded: broadcast it so the edge table
-            # stays put each round (vertex-mirror; at 1e9+ nodes use a
-            # bucketed edge table + co-partitioned shuffle instead)
-            e.join(F.broadcast(r.select("id", "rank", "outdeg")), e.src == F.col("id"))
+            # rank vector is node-bounded (exactly n rows): mirror() keeps
+            # the edge table in place while n fits the broadcast cap and
+            # degrades to shuffle-hash at 1e9+ nodes (bucket edges by src
+            # on a cluster to elide that exchange too).
+            e.join(mirror(r.select("id", "rank", "outdeg"), n), e.src == F.col("id"))
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from icebug_spark.plans.iterate import iterate
+from icebug_spark.plans.iterate import checkpoint, iterate, mirror
 
 
 def connected_components(
@@ -29,18 +29,21 @@ def connected_components(
     """edges_undirected: both directions present (symmetrized). Returns
     ``(id, component)`` where component = min node id in the component."""
     eu = edges_undirected.select("src", "dst")
-    labels = (
+    labels = checkpoint(
         eu.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    # the label table has exactly n rows every round — count once on the
+    # checkpointed table and let mirror() pick broadcast vs shuffle-hash.
+    n = labels.count()
 
     def step(lbl: DataFrame, _i: int) -> DataFrame:
-        # labels are node-bounded vs m-sized edges: broadcast the label
-        # side so the loop-invariant edge table is never reshuffled
-        # (vertex-mirror pattern; bucketed co-location at extreme n).
+        # labels are node-bounded vs m-sized edges: mirror the label side
+        # so the loop-invariant edge table is never reshuffled while n
+        # fits the broadcast cap (bucketed co-location at extreme n).
         msgs = (
-            eu.join(F.broadcast(lbl), eu.src == lbl.id)
+            eu.join(mirror(lbl, n), eu.src == lbl.id)
             .select(F.col("dst").alias("id"), F.col("component"))
         )
         return (

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from icebug_spark.plans.iterate import iterate
+from icebug_spark.plans.iterate import checkpoint, mirror
 
 
 def bfs_distances(
@@ -37,36 +37,45 @@ def multi_source_bfs(
     """
     e = edges.select("src", "dst")
     spark = edges.sparkSession
-    init = spark.createDataFrame(
+    state = spark.createDataFrame(
         [(int(s), int(s), 0) for s in sources], ["source", "id", "dist"]
     ).withColumn("frontier", F.lit(True))
-
-    def step(state: DataFrame, i: int) -> DataFrame:
-        # The frontier is vertex-bounded while edges are m-sized; without a
-        # hint the checkpointed state has no stats, so Catalyst sort-merges
-        # and RESHUFFLES the whole edge table every round. Broadcasting the
-        # frontier keeps edges in place (the vertex-mirror pattern);
-        # measured ~2x on the sf0.1 bench. At extreme node counts swap EU
-        # to a bucketed table and let the join co-locate instead.
+    state = checkpoint(state)
+    # Exact row counts of the frontier / seen tables are free: the
+    # per-round convergence check already counts new frontier rows, so the
+    # size-adaptive mirror() never needs an extra job.
+    frontier_rows = len(sources)
+    seen_rows = len(sources)
+    for _ in range(max_hops):
+        # The frontier is vertex-bounded while edges are m-sized; without
+        # a hint the checkpointed state has no stats, so Catalyst would
+        # sort-merge and RESHUFFLE the whole edge table every round.
+        # mirror() broadcasts the vertex side while it fits (measured ~2x
+        # at sf0.1) and degrades to shuffle-hash past the configured cap.
         frontier = state.where(F.col("frontier"))
         nxt = (
-            F.broadcast(frontier).join(e, frontier.id == e.src)
+            mirror(frontier, frontier_rows).join(e, frontier.id == e.src)
             .select("source", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
         )
         seen = state.select("source", "id", "dist")
         new_nodes = (
-            nxt.join(F.broadcast(seen.select("source", "id")), ["source", "id"], "left_anti")
+            nxt.join(
+                mirror(seen.select("source", "id"), seen_rows),
+                ["source", "id"],
+                "left_anti",
+            )
             .groupBy("source", "id")
             .agg(F.min("dist").alias("dist"))
             .withColumn("frontier", F.lit(True))
         )
-        return seen.withColumn("frontier", F.lit(False)).union(new_nodes)
-
-    def converged(_old: DataFrame, new: DataFrame) -> bool:
-        return new.where(F.col("frontier")).limit(1).count() == 0
-
-    final = iterate(init, step, max_hops, converged, checkpoint_every=1)
-    return final.select("source", "id", "dist")
+        state = checkpoint(
+            seen.withColumn("frontier", F.lit(False)).union(new_nodes)
+        )
+        frontier_rows = state.where(F.col("frontier")).count()
+        if frontier_rows == 0:
+            break
+        seen_rows += frontier_rows
+    return state.select("source", "id", "dist")
 
 
 def sssp_weighted(
@@ -78,34 +87,37 @@ def sssp_weighted(
     the same distances on non-negative weights. Returns ``(id, dist)``."""
     e = edges_weighted.select("src", "dst", "weight")
     spark = edges_weighted.sparkSession
-    init = spark.createDataFrame([(int(source), 0.0)], ["id", "dist"]).withColumn(
+    state = spark.createDataFrame([(int(source), 0.0)], ["id", "dist"]).withColumn(
         "changed", F.lit(True)
     )
-
-    def step(state: DataFrame, i: int) -> DataFrame:
+    state = checkpoint(state)
+    active_rows = 1
+    for _ in range(max_iter):
+        # active (changed-last-round) rows are vertex-bounded; the count
+        # from the previous round's convergence check sizes mirror().
         active = state.where(F.col("changed"))
         relax = (
-            F.broadcast(active).join(e, active.id == e.src)
+            mirror(active, active_rows).join(e, active.id == e.src)
             .select(F.col("dst").alias("id"), (F.col("dist") + F.col("weight")).alias("nd"))
             .groupBy("id")
             .agg(F.min("nd").alias("nd"))
         )
         joined = state.select("id", "dist").join(relax, "id", "full")
-        return joined.select(
-            "id",
-            F.least(F.coalesce(F.col("dist"), F.lit(float("inf"))),
-                    F.coalesce(F.col("nd"), F.lit(float("inf")))).alias("dist"),
-            (
-                F.col("dist").isNull()
-                | (F.coalesce(F.col("nd"), F.lit(float("inf"))) < F.col("dist"))
-            ).alias("changed"),
+        state = checkpoint(
+            joined.select(
+                "id",
+                F.least(F.coalesce(F.col("dist"), F.lit(float("inf"))),
+                        F.coalesce(F.col("nd"), F.lit(float("inf")))).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.coalesce(F.col("nd"), F.lit(float("inf"))) < F.col("dist"))
+                ).alias("changed"),
+            )
         )
-
-    def converged(_old: DataFrame, new: DataFrame) -> bool:
-        return new.where(F.col("changed")).limit(1).count() == 0
-
-    final = iterate(init, step, max_iter, converged, checkpoint_every=1)
-    return final.select("id", "dist")
+        active_rows = state.where(F.col("changed")).count()
+        if active_rows == 0:
+            break
+    return state.select("id", "dist")
 
 
 def k_hop_neighborhood_sizes(

@@ -4,10 +4,15 @@ The reference's ~25 iterative kernels (PageRank, PLP/PLM, connected
 components, BFS frontier, k-core peeling, Borůvka, Luby, suitor matching…)
 are OpenMP loops over in-memory arrays. In Spark each round is a join +
 aggregation; unbounded lineage growth and plan-explosion are the scale
-hazards, so the runner truncates lineage with ``localCheckpoint`` every
-few rounds. On a cluster you would use reliable ``checkpoint`` to HDFS for
-fault tolerance at 1000-executor scale; localCheckpoint keeps the local
-test path cheap.
+hazards, so the runner truncates lineage with a checkpoint every few
+rounds. Two checkpoint modes:
+
+- ``localCheckpoint`` (default): cheap, executor-local, right for the
+  local test path. No fault tolerance — an executor loss kills the job.
+- reliable ``checkpoint`` (set ``spark.icebug.reliableCheckpoint=true``
+  and call ``spark.sparkContext.setCheckpointDir(hdfs_path)`` first):
+  writes state to the checkpoint dir each truncation, so a
+  1000-executor run survives executor loss mid-loop.
 """
 
 from __future__ import annotations
@@ -15,6 +20,57 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: default row bound under which node-keyed loop state is broadcast.
+#: ~20M (id, value) rows ≈ low-hundreds of MB serialized — near the safe
+#: executor-broadcast ceiling. Override per-session with
+#: ``spark.conf.set("spark.icebug.vertexBroadcastRows", ...)``.
+DEFAULT_VERTEX_BROADCAST_ROWS = 20_000_000
+
+
+def vertex_broadcast_cap(spark) -> int:
+    return int(
+        spark.conf.get(
+            "spark.icebug.vertexBroadcastRows",
+            str(DEFAULT_VERTEX_BROADCAST_ROWS),
+        )
+    )
+
+
+def mirror(state: DataFrame, rows_bound: int) -> DataFrame:
+    """Size-adaptive vertex-mirror hint for joining node-bounded loop
+    state (frontier / labels / ranks / seen-set) against an m-sized,
+    loop-invariant edge table.
+
+    Checkpointed state has no catalog stats, so without a hint Catalyst
+    sort-merges and reshuffles (and re-sorts) the whole edge table every
+    round. When the caller-supplied ``rows_bound`` (an upper bound on the
+    state's row count — exact counts are available free from each round's
+    convergence check) fits under the configured cap, broadcast it: the
+    edge table never moves (measured ~2x at sf0.1). Past the cap — e.g.
+    1e9-node graphs where a broadcast frontier would OOM every executor —
+    fall back to a shuffle-hash join: the n-sized state shuffles, the
+    edge side hash-joins without the sort-merge sort, and on a cluster
+    with the edge table bucketed/pre-partitioned by the join key the
+    exchange on the edge side is elided entirely (co-partitioned plan).
+    """
+    spark = state.sparkSession
+    if rows_bound > vertex_broadcast_cap(spark):
+        return state.hint("shuffle_hash")
+    return F.broadcast(state)
+
+
+def checkpoint(df: DataFrame) -> DataFrame:
+    """Eager lineage truncation honouring the reliable-checkpoint flag."""
+    spark = df.sparkSession
+    reliable = (
+        spark.conf.get("spark.icebug.reliableCheckpoint", "false").lower()
+        == "true"
+    )
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def iterate(
@@ -31,11 +87,11 @@ def iterate(
     'changed' count). Checkpointing is eager so each round's work is done
     once and the plan stays O(1) deep.
     """
-    state = state.localCheckpoint(eager=True)
+    state = checkpoint(state)
     for i in range(max_iter):
         new = step(state, i)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            new = new.localCheckpoint(eager=True)
+            new = checkpoint(new)
         if converged is not None and converged(state, new):
             return new
         state = new
