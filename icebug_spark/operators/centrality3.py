@@ -211,8 +211,16 @@ def group_closeness_grow_shrink(
             dc = d.join(F.broadcast(cands), "s").select(
                 F.col("s").alias("cand"), "v", F.col("dist").alias("dc")
             )
+            # candidates × kept-reached nodes first, then left-join the
+            # candidate distances: a node reached only by kept members
+            # must still contribute 1/dk to EVERY candidate's objective
+            # (a plain dc⋈dkept full join drops it to a NULL cand group,
+            # underestimating swaps on partially-covered graphs).
+            grid = dkept.crossJoin(
+                F.broadcast(cands.select(F.col("s").alias("cand")))
+            )
             sc = (
-                dc.join(dkept, "v", "full")
+                grid.join(dc, ["cand", "v"], "full")
                 .select(
                     "cand",
                     F.least(

@@ -41,13 +41,21 @@ def _bfs_path(residual: DataFrame, source: int, sink: int, max_hops: int = 64):
         step = step.groupBy("node").agg(F.min("path").alias("path")).localCheckpoint(
             eager=True
         )
-        if step.isEmpty():
+        # one action per hop: frontier size + the sink's path together
+        # (the driver loop is job-submission-bound, not data-bound)
+        agg = step.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.when(F.col("node") == sink, F.col("path"))).alias("hit"),
+        ).collect()[0]
+        if agg["cnt"] == 0:
             return None
-        hit = step.where(F.col("node") == sink).limit(1).collect()
-        if hit:
-            p = hit[0]["path"]
+        if agg["hit"] is not None:
+            p = agg["hit"]
             return list(zip(p[:-1], p[1:]))
-        visited = visited.union(step.select("node")).distinct().localCheckpoint(eager=True)
+        # steps are pairwise disjoint (anti-joined against visited), so a
+        # plain union needs no distinct; each step is checkpointed, so the
+        # visited lineage stays flat without its own checkpoint.
+        visited = visited.union(step.select("node"))
         frontier = step
     return None
 
@@ -124,7 +132,9 @@ def edmonds_karp(
             .join(reach, "id", "left_anti")
             .localCheckpoint(eager=True)
         )
+        # frontiers are disjoint and individually checkpointed: plain
+        # union keeps lineage flat with zero extra jobs per hop.
         if frontier.isEmpty():
             break
-        reach = reach.union(frontier).localCheckpoint(eager=True)
+        reach = reach.union(frontier)
     return {"max_flow": max_flow, "flow": flow, "source_set": reach}

@@ -208,6 +208,17 @@ def gauss_seidel_relaxation(
     if coloring is None:
         coloring = greedy_coloring(eu)
     coloring = coloring.localCheckpoint(eager=True)
+    # greedy_coloring only sees nodes on edges: ids present in b but with
+    # no incident edge would never join any color class and keep x = x0
+    # instead of b_i/diag_i. They are pairwise independent — one extra
+    # color class covers them all.
+    mx = coloring.agg(F.max("color")).collect()[0][0]
+    isolated = (
+        b.select("id")
+        .join(coloring.select("id"), "id", "left_anti")
+        .withColumn("color", F.lit((mx if mx is not None else -1) + 1))
+    )
+    coloring = coloring.unionByName(isolated).localCheckpoint(eager=True)
     colors = sorted(r["color"] for r in coloring.select("color").distinct().collect())
 
     base = b.select("id", F.col("x").alias("b")).join(diag, "id")

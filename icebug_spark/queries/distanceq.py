@@ -240,7 +240,11 @@ bfs(source, node, dist) AS (
   UNION
   SELECT b.source, eu.dst, b.dist + 1
   FROM bfs b JOIN eu ON eu.src = b.node
-  WHERE b.dist < 12
+  -- PLL distances are exact and unbounded, so this oracle's depth cap
+  -- must dominate the graph's diameter (observed ~6 on the derived graph
+  -- at every sf; 20 matches the engine-side max_hops ceilings) or
+  -- long-path pairs would vanish from the oracle only.
+  WHERE b.dist < 20
 ),
 best AS (SELECT source, node, MIN(dist) AS dist FROM bfs GROUP BY source, node)
 SELECT source AS u, node AS v, dist FROM best

@@ -224,7 +224,10 @@ def read_dibap(spark: SparkSession, path: str) -> Graph:
     keep = src <= to
     pdf = pd.DataFrame({"src": src[keep], "dst": to[keep]})
     if ew is not None:
-        pdf["weight"] = ew[: m2][keep]
+        # dew scalars per edge, edge-major: take dim 0 of each edge (a
+        # flat ew[:m2] would mispair — it is the concatenated dims of the
+        # first m2/dew edges when dew > 1).
+        pdf["weight"] = ew.reshape(m2, dew)[:, 0][keep]
     if len(pdf) == 0:
         schema = "src BIGINT, dst BIGINT" + (", weight DOUBLE" if ew is not None else "")
         df = spark.createDataFrame([], schema)

@@ -179,3 +179,36 @@ def test_group_closeness_grow_shrink_improves(spark):
 
     assert out.limit(1).collect()[0]["harmonic"] == round(h([0, 10]), 6)
     assert h([0, 10]) > h([1, 2])
+
+
+def test_group_closeness_grow_shrink_disconnected(spark):
+    """Swap objectives on a DISCONNECTED graph: nodes reached only by the
+    kept members must still contribute 1/dk to every candidate's
+    objective (regression for the dc⋈dkept full-join NULL-cand drop)."""
+    from icebug_spark.graph.core import Graph
+    from icebug_spark.operators.centrality3 import group_closeness_grow_shrink
+    from icebug_spark.operators.traversal import multi_source_bfs
+    from pyspark.sql import functions as F
+
+    star = [(0, i) for i in range(1, 6)]
+    path = [(10, 11), (11, 12)]
+    g = Graph.from_edge_list(spark, star + path, directed=False)
+    eu = g.symmetrized()
+
+    def h(group):
+        d = multi_source_bfs(eu, group)
+        best = d.groupBy("id").agg(F.min("dist").alias("db"))
+        return float(
+            best.where(F.col("db") > 0)
+            .agg(F.sum(1.0 / F.col("db")))
+            .collect()[0][0]
+        )
+
+    out = group_closeness_grow_shrink(eu, [1, 10], rounds=4, candidate_factor=4)
+    rows = out.collect()
+    members = sorted(r["id"] for r in rows)
+    # the reported objective must be the EXACT harmonic of the returned
+    # group — if the kept-only component's contribution was dropped the
+    # reported value undercounts it.
+    assert rows[0]["harmonic"] == round(h(members), 6), (members, rows[0]["harmonic"])
+    assert h(members) >= h([1, 10])

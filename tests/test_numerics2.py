@@ -92,6 +92,30 @@ def test_gauss_seidel_solves_sdd(spark):
         assert x[i] == pytest.approx(exp[i], abs=1e-8)
 
 
+def test_gauss_seidel_isolated_node(spark):
+    """A node in b/diag with no incident edges is outside every greedy
+    color class; it must still be swept to b_i/diag_i (regression:
+    uncolored nodes silently kept x = x0 = 0)."""
+    g = _g(spark, [(0, 1)])
+    diag = spark.createDataFrame(
+        [(0, 2.0), (1, 2.0), (5, 2.0)], "id LONG, diag DOUBLE"
+    )
+    b = spark.createDataFrame(
+        [(0, 1.0), (1, 1.0), (5, 4.0)], "id LONG, x DOUBLE"
+    )
+    x = {
+        r["id"]: r["x"]
+        for r in numerics2.gauss_seidel_relaxation(g, diag, b, sweeps=30).collect()
+    }
+    # isolated node: A restricted to it is just the diagonal → x = b/diag
+    assert x[5] == pytest.approx(2.0, abs=1e-12)
+    # connected pair: (L+I)x=b with L for single edge → x = [1, 1] / ... solve
+    L = np.array([[1.0, -1.0], [-1.0, 1.0]])
+    exp = np.linalg.solve(L + np.eye(2), np.array([1.0, 1.0]))
+    assert x[0] == pytest.approx(exp[0], abs=1e-8)
+    assert x[1] == pytest.approx(exp[1], abs=1e-8)
+
+
 def test_hashing_overlapper_core_clusters(spark):
     p1 = spark.createDataFrame([(0, 0), (1, 0), (2, 1), (3, 1)], "id LONG, cluster LONG")
     p2 = spark.createDataFrame([(0, 5), (1, 6), (2, 7), (3, 7)], "id LONG, cluster LONG")

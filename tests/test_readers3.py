@@ -62,14 +62,14 @@ def test_thrill_varint_large_degree(spark, tmp_path):
     assert g2.edges.count() == 200
 
 
-def _write_dibap(path, V, offsets, to, weights=None, dvw=0, dxy=0):
+def _write_dibap(path, V, offsets, to, weights=None, dvw=0, dxy=0, dew=1):
     with open(path, "wb") as f:
         f.write(struct.pack(">H", (ord("G") << 8) | ord("I")))
         f.write(struct.pack(">i", V))
         f.write(struct.pack(">i", dvw))
         f.write(np.asarray(offsets, dtype=">i4").tobytes())
         f.write(np.asarray(to, dtype=">i4").tobytes())
-        f.write(struct.pack(">i", 1 if weights is not None else 0))
+        f.write(struct.pack(">i", dew if weights is not None else 0))
         if weights is not None:
             f.write(np.asarray(weights, dtype=">i4").tobytes())
         f.write(struct.pack(">i", dxy))
@@ -95,6 +95,21 @@ def test_dibap_weighted(spark, tmp_path):
     g = readers3.read_dibap(spark, p)
     rows = g.edges.collect()
     assert len(rows) == 1 and rows[0]["weight"] == 7.0
+
+
+def test_dibap_weighted_multidim(spark, tmp_path):
+    """dew > 1: weights are edge-major (dew scalars per edge); the weight
+    column must be dim 0 of each edge, not the first m2 raw scalars."""
+    # path 0-1-2, symmetric CSR: arcs (0,1)(1,0)(1,2)(2,1)
+    offsets = [0, 1, 3, 4]
+    to = [1, 0, 2, 1]
+    # per-arc weight pairs (dim0, dim1)
+    weights = [7, 100, 7, 100, 9, 200, 9, 200]
+    p = str(tmp_path / "w2.dibap")
+    _write_dibap(p, 3, offsets, to, weights=weights, dew=2)
+    g = readers3.read_dibap(spark, p)
+    got = sorted((r["src"], r["dst"], r["weight"]) for r in g.edges.collect())
+    assert got == [(0, 1, 7.0), (1, 2, 9.0)]
 
 
 def test_raster_reader(spark, tmp_path):
