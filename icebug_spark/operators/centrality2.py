@@ -169,6 +169,41 @@ def betweenness_sampled(
     )
 
 
+def bfs_sigma(
+    edges_undirected: DataFrame, sources: list[int], max_hops: int = 20
+) -> DataFrame:
+    """Per-source BFS with shortest-path counts → (source, id, dist,
+    sigma) — the forward half of Brandes, exposed flat so pairwise
+    σ-dependency formulas (DynBetweennessOneNode's
+    σ(u,x)·σ(x,v)/σ(u,v) sum) can run as plain joins."""
+    eu = edges_undirected.select("src", "dst").localCheckpoint(eager=True)
+    spark = edges_undirected.sparkSession
+    init = spark.createDataFrame(
+        [(int(s), int(s), 0, 1.0) for s in sources], ["source", "id", "dist", "sigma"]
+    ).localCheckpoint(eager=True)
+    settled = init
+    frontier = init
+    for _h in range(max_hops):
+        nxt = (
+            frontier.join(eu, frontier.id == eu.src)
+            .select(
+                "source",
+                F.col("dst").alias("id"),
+                (F.col("dist") + 1).alias("dist"),
+                "sigma",
+            )
+            .join(settled.select("source", "id"), ["source", "id"], "left_anti")
+            .groupBy("source", "id", "dist")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        settled = settled.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return settled
+
+
 def brandes_deltas(
     edges_undirected: DataFrame, sources: list[int], max_hops: int = 20
 ) -> DataFrame:

@@ -52,20 +52,7 @@ def approx_betweenness(
     r = int(math.ceil((c / eps**2) * (math.floor(math.log2(max(vd - 2, 1))) + 1 + math.log(1 / delta))))
     r = max(1, min(r, max_samples))
 
-    # deterministic pair sample: rank nodes by seeded hash, pair i-th with
-    # (i+offset)-th
-    ranked = nodes.withColumn("h", F.xxhash64(F.lit(seed), "id")).withColumn(
-        "rn", F.row_number().over(Window.orderBy("h", "id")) - 1
-    )
-    s_side = ranked.where(F.col("rn") < r).select(
-        F.col("rn").alias("pair"), F.col("id").alias("s")
-    )
-    t_side = ranked.withColumn("rn2", (F.col("rn") + r + 1) % n).where(
-        F.col("rn2") < r
-    ).select(F.col("rn2").alias("pair"), F.col("id").alias("t"))
-    pairs = s_side.join(t_side, "pair").where(F.col("s") != F.col("t")).localCheckpoint(
-        eager=True
-    )
+    pairs = _rk_pairs(nodes, n, r, seed)
     counts = _pair_path_visits(eu, pairs, vd, seed)
     return (
         nodes.join(counts, "id", "left")
@@ -78,11 +65,101 @@ def approx_betweenness(
     )
 
 
+def _rk_pairs(nodes: DataFrame, n: int, r: int, seed: int) -> DataFrame:
+    """Deterministic (s, t) pair sample: rank nodes by seeded hash, pair
+    the i-th with the (i+r+1 mod n)-th — r rows (pair, s, t)."""
+    ranked = nodes.withColumn("h", F.xxhash64(F.lit(seed), "id")).withColumn(
+        "rn", F.row_number().over(Window.orderBy("h", "id")) - 1
+    )
+    s_side = ranked.where(F.col("rn") < r).select(
+        F.col("rn").alias("pair"), F.col("id").alias("s")
+    )
+    t_side = ranked.withColumn("rn2", (F.col("rn") + r + 1) % n).where(
+        F.col("rn2") < r
+    ).select(F.col("rn2").alias("pair"), F.col("id").alias("t"))
+    return s_side.join(t_side, "pair").where(F.col("s") != F.col("t")).localCheckpoint(
+        eager=True
+    )
+
+
+def approx_group_betweenness(
+    edges_undirected: DataFrame,
+    k: int = 5,
+    eps: float = 0.1,
+    delta: float = 0.1,
+    c: float = 0.5,
+    max_samples: int = 200,
+    seed: int = 7,
+) -> DataFrame:
+    """ApproxGroupBetweenness (reference
+    ``centrality/ApproxGroupBetweenness.hpp:19``): sample shortest paths
+    with the same (ε,δ) pair-sampling kernel as ApproxBetweenness, then
+    greedily build a k-group maximizing the number of covered sampled
+    paths (max-coverage greedy — the 1−1/e approximation of the sampled
+    group betweenness objective).
+
+    Spark shape: path sampling is the shared pair-keyed multi-source BFS;
+    each greedy round is one groupBy-count + top-1 + anti-join of covered
+    paths — k scalar-result rounds over a checkpointed membership table,
+    no per-candidate traversals. → (id, covered_paths, round) where
+    ``covered_paths`` is the marginal number of newly covered paths
+    (non-increasing over rounds, by submodularity)."""
+    spark = edges_undirected.sparkSession
+    eu = edges_undirected.select("src", "dst")
+    eu = eu.union(
+        eu.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    nodes = eu.select(F.col("src").alias("id")).distinct()
+    n = nodes.count()
+    vd = diameter_double_sweep(edges_undirected).collect()[0][0] or 2
+    vd = max(int(vd), 2)
+    r = int(
+        math.ceil(
+            (c / eps**2)
+            * (math.floor(math.log2(max(vd - 2, 1))) + 1 + math.log(1 / delta))
+        )
+    )
+    r = max(1, min(r, max_samples))
+    pairs = _rk_pairs(nodes, n, r, seed)
+    members = _sampled_path_members(eu, pairs, vd, seed).localCheckpoint(eager=True)
+
+    chosen: list[tuple[int, int, int]] = []
+    remaining = members
+    for i in range(k):
+        top = (
+            remaining.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .orderBy(F.desc("hits"), F.asc("id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        v, hits = int(top[0]["id"]), int(top[0]["hits"])
+        chosen.append((v, hits, i))
+        covered = remaining.where(F.col("id") == v).select("pair")
+        remaining = remaining.join(covered, "pair", "left_anti").localCheckpoint(
+            eager=True
+        )
+    if not chosen:
+        return spark.createDataFrame([], "id BIGINT, covered_paths BIGINT, round INT")
+    return spark.createDataFrame(chosen, "id BIGINT, covered_paths BIGINT, round INT")
+
+
 def _pair_path_visits(
     eu: DataFrame, pairs: DataFrame, vd: int, seed: int
 ) -> DataFrame:
+    """Interior-node visit counts (id, cnt) over one sampled shortest
+    path per pair — aggregation of :func:`_sampled_path_members`."""
+    m = _sampled_path_members(eu, pairs, vd, seed)
+    return m.groupBy("id").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _sampled_path_members(
+    eu: DataFrame, pairs: DataFrame, vd: int, seed: int
+) -> DataFrame:
     """Sample ONE uniform shortest s→t path per (pair, s, t) row; return
-    interior-node visit counts (id, cnt). All pairs advance together:
+    the interior-node memberships (pair, id). All pairs advance together:
     one pair-keyed multi-source BFS forward (dist, σ), then a σ-weighted
     backward walk one level per round."""
     # forward multi-source BFS with path counts sigma, keyed by pair
@@ -141,11 +218,11 @@ def _pair_path_visits(
 
     spark = eu.sparkSession
     if not visits:
-        return spark.createDataFrame([], "id BIGINT, cnt BIGINT")
+        return spark.createDataFrame([], "pair BIGINT, id BIGINT")
     allv = visits[0]
     for v in visits[1:]:
         allv = allv.union(v)
-    return allv.groupBy("id").agg(F.count(F.lit(1)).alias("cnt"))
+    return allv
 
 
 def kadabra_betweenness(

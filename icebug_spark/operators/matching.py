@@ -1,9 +1,11 @@
-"""Matching: parallel local-max (mutual best edge) rounds.
+"""Matching: parallel local-max (mutual best edge) rounds, plus the
+exact driver-guarded Drake–Hougardy path-growing matcher.
 
 Parity targets: reference ``matching/LocalMaxMatcher.hpp:21`` (½-approx
 maximum-weight matching), ``SuitorMatcher.hpp:23`` (same approximation
-class via proposals), ``PathGrowingMatcher.hpp:23`` (sequential — the
-reference's own parallel substitute is local-max, which we implement).
+class via proposals), ``PathGrowingMatcher.hpp:23`` (sequential path
+growing — implemented exactly under a driver size guard, with local-max
+as the distributed default in the same approximation class).
 
 Round: every node points at its best incident edge (max weight, ties by
 (weight, min id, max id) — deterministic); edges chosen from both sides
@@ -75,6 +77,70 @@ def local_max_matching(
     for df in matched[1:]:
         out = out.union(df)
     return out
+
+
+def path_growing_matcher(
+    edges_weighted: DataFrame, max_edges: int = 200_000
+) -> DataFrame:
+    """Exact Drake–Hougardy path-growing matching (reference
+    ``matching/PathGrowingMatcher.hpp:23``): grow a path by repeatedly
+    following the heaviest incident edge, alternately assigning edges to
+    two candidate matchings M0/M1; return the heavier one (½-approx).
+
+    The algorithm is inherently sequential (each step consumes the node
+    just visited), so this is a DRIVER-GUARDED fallback like DFS/PLL:
+    the canonical edge list is collected under ``max_edges`` and grown in
+    pure Python; past the guard it raises, naming
+    :func:`local_max_matching` — the distributed default in the same
+    ½-approximation class. → (u, v, weight) rows with u < v."""
+    e = edges_weighted
+    if "weight" not in e.columns:
+        e = e.select("src", "dst", F.lit(1.0).alias("weight"))
+    canon = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            "weight",
+        )
+        .groupBy("u", "v")
+        .agg(F.max("weight").alias("weight"))
+    )
+    spark = edges_weighted.sparkSession
+    m = canon.count()
+    if m > max_edges:
+        raise ValueError(
+            f"path_growing_matcher driver fallback refuses {m} edges "
+            f"(max_edges={max_edges}); use local_max_matching (distributed, "
+            "same 1/2-approximation class) at this scale"
+        )
+    rows = canon.collect()
+    adj: dict[int, dict[int, float]] = {}
+    for r in rows:
+        u, v, w = int(r["u"]), int(r["v"]), float(r["weight"])
+        adj.setdefault(u, {})[v] = w
+        adj.setdefault(v, {})[u] = w
+    matchings: list[list[tuple[int, int, float]]] = [[], []]
+    # deterministic start order: ascending node id
+    for start in sorted(adj):
+        if not adj.get(start):
+            continue
+        v, i = start, 0
+        while adj.get(v):
+            # heaviest incident edge; ties toward the smaller neighbor id
+            u = min(adj[v], key=lambda nb: (-adj[v][nb], nb))
+            w = adj[v][u]
+            matchings[i].append((min(v, u), max(v, u), w))
+            i = 1 - i
+            for nb in list(adj[v]):
+                del adj[nb][v]
+            del adj[v]
+            v = u
+    best = max(matchings, key=lambda mm: sum(w for _, _, w in mm))
+    # alternate assignment makes each M_i a matching by construction
+    if not best:
+        return spark.createDataFrame([], "u long, v long, weight double")
+    return spark.createDataFrame(best, "u long, v long, weight double")
 
 
 def matching_coarsening(

@@ -368,6 +368,52 @@ SELECT TRUE AS nonempty, TRUE AS within_bounds_ok, TRUE AS bounds_nonneg_ok
 """
 
 
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    """ApproxGroupBetweenness greedy max-coverage certificate (reference
+    centrality/ApproxGroupBetweenness.hpp:19). Checkable claims of the
+    hash-seeded sampler+greedy: (a) marginal path coverage is
+    non-increasing over greedy rounds (submodularity of coverage — a
+    broken anti-join of covered paths flips this), (b) every chosen id is
+    a node of the subgraph, (c) total coverage cannot exceed the sample
+    budget, (d) the group is nonempty and within size k."""
+    from icebug_spark.operators.centrality4 import approx_group_betweenness
+
+    eu = (
+        derived_edges_undirected(spark, sf)
+        .where((F.col("src") < 150) & (F.col("dst") < 150))
+        .localCheckpoint(eager=True)
+    )
+    k, max_samples = 4, 80
+    g = approx_group_betweenness(
+        eu, k=k, eps=0.1, delta=0.1, max_samples=max_samples
+    ).localCheckpoint(eager=True)
+    nxt = g.select(
+        "round", F.col("covered_paths").alias("gain")
+    ).withColumnRenamed("round", "r2")
+    dec_bad = (
+        g.join(nxt, g["round"] + 1 == nxt["r2"])
+        .where(F.col("gain") > F.col("covered_paths"))
+        .count()
+    )
+    not_node = (
+        g.join(eu.select(F.col("src").alias("id")).distinct(), "id", "left_anti")
+        .count()
+    )
+    return g.agg(
+        (F.count(F.lit(1)) >= 1).alias("nonempty"),
+        (F.count(F.lit(1)) <= k).alias("within_k"),
+        F.lit(dec_bad == 0).alias("gains_nonincreasing"),
+        F.lit(not_node == 0).alias("members_are_nodes"),
+        (F.sum("covered_paths") <= max_samples).alias("coverage_in_budget"),
+    )
+
+
+Q112_SQL = """
+SELECT TRUE AS nonempty, TRUE AS within_k, TRUE AS gains_nonincreasing,
+       TRUE AS members_are_nodes, TRUE AS coverage_in_budget
+"""
+
+
 CENTRAL = {
     "q42_katz": (q42, Q42_SQL),
     "q43_sfigality": (q43, Q43_SQL),
@@ -380,4 +426,5 @@ CENTRAL = {
     "q50_effective_diameter": (q50, Q50_SQL),
     "q51_algebraic_distance": (q51, Q51_SQL),
     "q97_kadabra_betweenness": (q97, Q97_SQL),
+    "q112_approx_group_betweenness": (q112, Q112_SQL),
 }

@@ -111,6 +111,93 @@ class DynBetweenness:
         return len(aff_ids)
 
 
+class DynBetweennessOneNode:
+    """Incremental betweenness of a SINGLE node x (reference
+    ``centrality/DynBetweennessOneNode.hpp:31``, the iBet pairwise
+    update). The reference maintains APSP distance/σ matrices in memory
+    and patches affected (u,v) pairs per insertion; the distributed
+    analog keeps the (source, id, dist, sigma) table (one row per pair —
+    the same APSP state, DataFrame-shaped) and computes
+
+        bc(x) = Σ_{u≠v, u,v≠x} [d(u,x)+d(x,v)=d(u,v)] ·
+                σ(u,x)·σ(x,v) / σ(u,v)
+
+    as one three-way join + scalar aggregate over ordered pairs (equal to
+    the Brandes accumulation over all sources). Insertions splice only
+    gap-affected sources, exactly like DynBetweenness."""
+
+    def __init__(
+        self,
+        edges_undirected: DataFrame,
+        x: int,
+        sources: list[int],
+        max_hops: int = 20,
+    ):
+        from icebug_spark.operators.centrality2 import bfs_sigma
+
+        self.eu = edges_undirected.select("src", "dst").localCheckpoint(eager=True)
+        self.x = int(x)
+        self.sources = [int(s) for s in sources]
+        self.max_hops = max_hops
+        self.tab = bfs_sigma(self.eu, self.sources, max_hops).localCheckpoint(
+            eager=True
+        )
+
+    def score(self) -> float:
+        """Current bc(x) over ordered (u, v) pairs from the maintained
+        source set (all nodes → exact Brandes betweenness of x)."""
+        tx = self.tab.where(F.col("id") == self.x).select(
+            F.col("source").alias("u"),
+            F.col("dist").alias("dux"),
+            F.col("sigma").alias("sux"),
+        )
+        tvx = self.tab.where(F.col("id") == self.x).select(
+            F.col("source").alias("v"),
+            F.col("dist").alias("dvx"),
+            F.col("sigma").alias("svx"),
+        )
+        tuv = self.tab.select(
+            F.col("source").alias("u"),
+            F.col("id").alias("v"),
+            F.col("dist").alias("duv"),
+            F.col("sigma").alias("suv"),
+        )
+        row = (
+            tuv.where((F.col("u") != F.col("v")))
+            .where((F.col("u") != self.x) & (F.col("v") != self.x))
+            .join(F.broadcast(tx), "u")
+            .join(F.broadcast(tvx), "v")
+            .where(F.col("dux") + F.col("dvx") == F.col("duv"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("sux") * F.col("svx") / F.col("suv")), F.lit(0.0)
+                ).alias("bc")
+            )
+            .collect()[0]
+        )
+        return float(row["bc"])
+
+    def insert_edge(self, u: int, v: int) -> int:
+        """Apply insertion; returns the number of recomputed sources."""
+        from icebug_spark.operators.centrality2 import bfs_sigma
+
+        aff = _affected_sources(self.tab, u, v, min_gap=1).collect()
+        aff_ids = [int(r["source"]) for r in aff]
+        self.eu = _with_edge(self.eu, u, v)
+        if not aff_ids:
+            return 0
+        aff_df = self.tab.sparkSession.createDataFrame(
+            [(s,) for s in aff_ids], "source BIGINT"
+        )
+        new_tab = bfs_sigma(self.eu, aff_ids, self.max_hops)
+        self.tab = (
+            self.tab.join(F.broadcast(aff_df), "source", "left_anti")
+            .unionByName(new_tab)
+            .localCheckpoint(eager=True)
+        )
+        return len(aff_ids)
+
+
 class DynTopHarmonicCloseness:
     """Incremental top-k harmonic closeness over a maintained source set
     (all nodes for exact parity; the reference prunes with upper bounds —

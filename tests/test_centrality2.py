@@ -181,6 +181,31 @@ def test_group_closeness_grow_shrink_improves(spark):
     assert h([0, 10]) > h([1, 2])
 
 
+def test_approx_group_betweenness_bridge_first(spark):
+    """Two cliques joined through a single cut vertex: every inter-clique
+    sampled path crosses it, so greedy max-coverage must pick it first;
+    marginal gains are non-increasing (submodularity)."""
+    from icebug_spark.graph.core import Graph
+    from icebug_spark.operators.centrality4 import approx_group_betweenness
+    import itertools
+
+    a = list(itertools.combinations(range(5), 2))
+    b = list(itertools.combinations(range(6, 11), 2))
+    bridge = [(0, 5), (5, 6)]
+    g = Graph.from_edge_list(spark, a + b + bridge, directed=False)
+    eu = g.symmetrized()
+    out = approx_group_betweenness(eu, k=3, max_samples=40).collect()
+    rows = sorted(out, key=lambda r: r["round"])
+    assert 1 <= len(rows) <= 3
+    # interior nodes of ANY shortest path in this barbell are a subset of
+    # {0, 5, 6} — greedy can only ever choose from them, whatever the
+    # pair sample; which of them comes first depends on sampled endpoints
+    assert {r["id"] for r in rows} <= {0, 5, 6}, rows
+    gains = [r["covered_paths"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    assert gains[0] >= 1
+
+
 def test_group_closeness_grow_shrink_disconnected(spark):
     """Swap objectives on a DISCONNECTED graph: nodes reached only by the
     kept members must still contribute 1/dk to every candidate's

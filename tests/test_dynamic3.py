@@ -40,6 +40,32 @@ def test_dyn_betweenness_matches_recompute(spark):
     assert _scores(dyn.scores(), "betweenness") == exp2
 
 
+def test_dyn_betweenness_one_node_matches_brandes(spark):
+    """bc(x) from the pairwise σ-dependency formula must equal static
+    Brandes after every event batch (reference DynBetweennessOneNode.hpp:31
+    semantics: betweenness of one tracked node under insertions)."""
+    from icebug_spark.streaming.dynamic3 import DynBetweennessOneNode
+
+    x = 1
+    dyn = DynBetweennessOneNode(_eu(spark), x, NODES)
+
+    def exact(extra):
+        s = _scores(betweenness_sampled(_eu(spark, extra), NODES), "betweenness")
+        return s.get(x, 0.0)
+
+    assert dyn.score() == pytest.approx(exact([]), abs=1e-6)
+    assert dyn.insert_edge(0, 5) > 0
+    assert dyn.score() == pytest.approx(exact([(0, 5)]), abs=1e-6)
+    # σ-only change (gap 1) must also be tracked
+    dyn.insert_edge(1, 7)
+    assert dyn.score() == pytest.approx(exact([(0, 5), (1, 7)]), abs=1e-6)
+    # edge far from x still shifts pair dependencies through x's branch
+    dyn.insert_edge(6, 9)
+    assert dyn.score() == pytest.approx(
+        exact([(0, 5), (1, 7), (6, 9)]), abs=1e-6
+    )
+
+
 def test_dyn_betweenness_gap_zero_is_noop(spark):
     # 4-cycle: nodes 1 and 3 are both at distance 1 from 0 and 2 — an edge
     # between them has gap 0 from EVERY source on the cycle

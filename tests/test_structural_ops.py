@@ -97,6 +97,71 @@ def test_matching_is_valid(spark):
         seen.add(r["v"])
 
 
+def test_path_growing_matcher(spark):
+    from icebug_spark.operators.matching import path_growing_matcher
+
+    # path with weights: heaviest-first growth from 0 takes 0-1(3) into
+    # M0, 1-2(1) into M1, 2-3(3) into M0 → M0={0-1,2-3} weight 6 wins
+    edges = [(0, 1, 3.0), (1, 2, 1.0), (2, 3, 3.0)]
+    g = Graph.from_edge_list(spark, edges, directed=False, weighted=True)
+    m = sorted((r["u"], r["v"], r["weight"]) for r in path_growing_matcher(g.edges).collect())
+    assert m == [(0, 1, 3.0), (2, 3, 3.0)]
+
+
+def test_path_growing_valid_and_half_approx(spark):
+    """Validity (node-disjoint) + the ½-approximation guarantee vs the
+    brute-force optimum, and weight parity vs local-max on the same
+    fixture (both are ½-approx; neither may be catastrophically worse)."""
+    import itertools
+
+    from icebug_spark.operators.matching import (
+        local_max_matching,
+        path_growing_matcher,
+    )
+
+    edges = [
+        (a, b, float((a * 7 + b) % 5 + 1))
+        for a in range(8)
+        for b in range(a + 1, 8)
+        if (a + b) % 3 == 0
+    ]
+    g = Graph.from_edge_list(spark, edges, directed=False, weighted=True)
+    rows = path_growing_matcher(g.edges).collect()
+    seen = set()
+    for r in rows:
+        assert r["u"] not in seen and r["v"] not in seen
+        seen.add(r["u"])
+        seen.add(r["v"])
+    wt = {(u, v): w for u, v, w in edges}
+    assert all(wt[(r["u"], r["v"])] == r["weight"] for r in rows)
+
+    # brute-force optimal matching weight
+    def best(rem, used):
+        out = 0.0
+        for i, (a, b, w) in enumerate(rem):
+            if a in used or b in used:
+                continue
+            out = max(out, w + best(rem[i + 1:], used | {a, b}))
+        return out
+
+    opt = best(edges, set())
+    pg_w = sum(r["weight"] for r in rows)
+    lm_w = sum(r["weight"] for r in local_max_matching(g.edges).collect())
+    assert pg_w >= 0.5 * opt - 1e-9
+    assert lm_w >= 0.5 * opt - 1e-9
+
+
+def test_path_growing_guard(spark):
+    import pytest
+
+    from icebug_spark.operators.matching import path_growing_matcher
+
+    edges = [(0, 1, 1.0), (1, 2, 2.0)]
+    g = Graph.from_edge_list(spark, edges, directed=False, weighted=True)
+    with pytest.raises(ValueError, match="local_max_matching"):
+        path_growing_matcher(g.edges, max_edges=1)
+
+
 def test_matching_coarsening(spark):
     from icebug_spark.operators.matching import local_max_matching, matching_coarsening
 
