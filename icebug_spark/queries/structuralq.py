@@ -230,10 +230,55 @@ SELECT n AS n_nodes, m AS n_edges, (n >= 3 AND m > 3 * n - 6) AS euler_violated 
 """
 
 
+# q113 — maxent-stress layout (viz/MaxentStress.hpp:39). The coordinates
+# are float/hash-iteration artifacts with no SQL twin; the oracle-checked
+# claims: every subgraph node gets exactly one dim-2 finite coordinate
+# (n_placed is cross-checked as a VALUE against the SQL node count) and
+# the layout has positive spread (not collapsed to a point).
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.operators.layout import maxent_stress
+
+    from icebug_spark.operators.layout import pivot_mds
+
+    eu = (
+        derived_edges_undirected(spark, sf)
+        .where((F.col("src") < 120) & (F.col("dst") < 120))
+        .localCheckpoint(eager=True)
+    )
+    # small pivot count + few anneal rounds: the certificate checks shape
+    # invariants, not layout quality — keep it inside the sweep budget
+    init = pivot_mds(eu, dim=2, num_pivots=8)
+    out = maxent_stress(
+        eu, dim=2, iterations=3, sample_size=24, init=init
+    ).localCheckpoint(eager=True)
+    per = out.select(
+        "id",
+        F.size("coords").alias("d"),
+        F.expr(
+            "aggregate(coords, true, (acc, v) -> acc AND NOT isnan(v) AND v IS NOT NULL)"
+        ).alias("fin"),
+        F.element_at("coords", 1).alias("x0"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_placed"),
+        F.min(F.col("d") == 2).alias("all_dim2"),
+        F.min("fin").alias("all_finite"),
+        (F.stddev("x0") > 0).alias("spread_positive"),
+    )
+
+
+Q113_SQL = f"""
+WITH eu AS (SELECT * FROM ({EU_SQL}) WHERE src < 120 AND dst < 120)
+SELECT (SELECT COUNT(DISTINCT src) FROM eu) AS n_placed,
+       TRUE AS all_dim2, TRUE AS all_finite, TRUE AS spread_positive
+"""
+
+
 STRUCTURAL = {
     "q38_scc": (q38, Q38_SQL),
     "q39_msf_summary": (q39, Q39_SQL),
     "q40_luby_mis_size": (q40, Q40_SQL),
     "q41_matching_summary": (q41, Q41_SQL),
     "q111_planarity_check": (q111, Q111_SQL),
+    "q113_maxent_layout": (q113, Q113_SQL),
 }

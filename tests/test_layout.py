@@ -28,3 +28,51 @@ def test_pivot_mds_symmetric_star(spark):
         return sum(x * x for x in c)
 
     assert all(norm2(coords[0]) <= norm2(coords[i]) + 1e-9 for i in range(1, 7))
+
+
+def test_maxent_stress_separates_cliques(spark):
+    """Two 4-cliques joined by one bridge: after maxent iterations the
+    mean intra-clique distance must be below the mean cross-clique
+    distance, and the neighbor-stress must not blow up vs the PivotMDS
+    init (the iteration is a local minimizer of exactly that objective)."""
+    import itertools
+
+    from icebug_spark.operators.layout import layout_stress, maxent_stress, pivot_mds
+
+    a = list(itertools.combinations(range(4), 2))
+    b = list(itertools.combinations(range(4, 8), 2))
+    g = Graph.from_edge_list(spark, a + b + [(0, 4)], directed=False)
+    eu = g.symmetrized()
+    init = pivot_mds(eu, dim=2, num_pivots=6)
+    out = maxent_stress(eu, dim=2, iterations=8, init=init)
+    coords = {r["id"]: r["coords"] for r in out.collect()}
+    assert len(coords) == 8 and all(len(c) == 2 for c in coords.values())
+    assert all(all(abs(v) < 1e9 for v in c) for c in coords.values())
+
+    def dist(i, j):
+        return sum((p - q) ** 2 for p, q in zip(coords[i], coords[j])) ** 0.5
+
+    intra = [dist(i, j) for i, j in a + b]
+    inter = [dist(i, j) for i in range(4) for j in range(4, 8)]
+    assert sum(intra) / len(intra) < sum(inter) / len(inter)
+    s_init = layout_stress(eu, init)
+    s_out = layout_stress(eu, out)
+    assert s_out <= s_init * 1.5 + 1e-6
+
+
+def test_maxent_stress_spreads_star(spark):
+    """On a star the pure-stress fixpoint collapses leaves onto a circle
+    of radius 1; the repulsion term must keep distinct leaves from
+    coinciding (pairwise distances strictly positive)."""
+    from icebug_spark.operators.layout import maxent_stress
+
+    star = [(0, i) for i in range(1, 7)]
+    g = Graph.from_edge_list(spark, star, directed=False)
+    out = maxent_stress(g.symmetrized(), dim=2, iterations=8, sample_size=7)
+    coords = {r["id"]: r["coords"] for r in out.collect()}
+    assert len(coords) == 7
+    leaves = [coords[i] for i in range(1, 7)]
+    for i in range(len(leaves)):
+        for j in range(i + 1, len(leaves)):
+            d = sum((p - q) ** 2 for p, q in zip(leaves[i], leaves[j])) ** 0.5
+            assert d > 1e-4

@@ -5,10 +5,17 @@ at a given sf dir, compares row count, column names, and order-insensitive
 values. Usage:
 
     python tools/check_oracle.py [sf_dir] [query_name ...]
+
+A full (unfiltered) sweep also writes ``CORRECTNESS_LOCAL.json`` at the
+repo root — per-query status + timing — as rotation insurance: the
+driver's per-round gate re-checks a subset, so this artifact is the
+committed all-green evidence for the rest of the registry.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 
@@ -39,34 +46,50 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    results: dict[str, dict] = {}
     n_pass = n_fail = n_rows_only = 0
+    t_start = time.time()
     for name, (fn, sql) in ALL.items():
         if only and name not in only:
             continue
         t0 = time.time()
+
+        def record(status: str, detail: str | None = None, rows: int | None = None):
+            results[name] = {
+                "status": status,
+                "rows": rows,
+                "secs": round(time.time() - t0, 1),
+                "detail": detail,
+            }
+
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
+            record("fail", f"spark error: {str(exc)[:300]}")
             n_fail += 1
             continue
         if sql is None:
             print(f"rows-only {name}: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
+            record("rows_only", rows=len(sdf))
             n_rows_only += 1
             continue
         try:
             odf = con.sql(sql).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {str(exc)[:300]}")
+            record("fail", f"duckdb error: {str(exc)[:300]}")
             n_fail += 1
             continue
         s, o = normalize(sdf), normalize(odf)
         if list(s.columns) != list(o.columns):
             print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
+            record("fail", f"columns {list(s.columns)} vs {list(o.columns)}")
             n_fail += 1
             continue
         if len(s) != len(o):
             print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
+            record("fail", f"rows {len(s)} vs {len(o)}")
             n_fail += 1
             continue
         try:
@@ -74,11 +97,28 @@ def main() -> int:
                 s, o, check_dtype=False, check_exact=True
             )
             print(f"PASS {name}: {len(s)} rows  [{time.time()-t0:.1f}s]")
+            record("pass", rows=len(s))
             n_pass += 1
         except AssertionError as exc:
             print(f"FAIL {name}: value mismatch: {str(exc)[:400]}")
+            record("fail", f"value mismatch: {str(exc)[:400]}")
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if not only:  # full sweep → commit-able artifact
+        artifact = {
+            "sf_dir": sf_dir,
+            "total_secs": round(time.time() - t_start, 1),
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "n_rows_only": n_rows_only,
+            "n_queries": len(results),
+            "queries": results,
+        }
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "CORRECTNESS_LOCAL.json")
+        with open(out, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"wrote {out}")
     return 1 if n_fail else 0
 
 
