@@ -1,0 +1,303 @@
+"""LAMG-style multilevel Laplacian solver (aggregation AMG V-cycles).
+
+Parity target: reference ``numerics/LAMG/Lamg.hpp:32`` (+
+``MultiLevelSetup.hpp:28``, ``SolverLamg.hpp:47``). LAMG (Livne–Brandt,
+"Lean Algebraic Multigrid") solves L·x = b in near-linear time through a
+multilevel hierarchy: coarsen, smooth, restrict the residual, solve
+coarse, prolong the correction, smooth again. The distributed
+re-expression keeps that load-bearing structure and substitutes the
+pointer-chasing pieces:
+
+- aggregation: local-max matching contraction (``operators/matching.py``)
+  instead of LAMG's affinity-table aggregation — same geometric coarsening
+  rate (≥ ~½ per level on bounded-degree graphs), pure joins;
+- smoother: damped Jacobi (ω = 2/3) — the canonical parallel AMG
+  smoother: one Laplacian MxV + one scaled correction per sweep (3
+  Spark jobs), where LAMG's sequential Gauss-Seidel would cost one job
+  per color class per sweep (the chromatic version exists as
+  ``numerics2.gauss_seidel_relaxation`` for API parity);
+- interpolation: piecewise-constant prolongation over aggregates; LAMG's
+  energy-corrected interpolation and low-degree elimination stage are
+  dropped (documented divergence — they buy a constant factor in cycle
+  count, not correctness).
+
+Setup is O(levels) matching+contraction passes (each one shuffle);
+each V-cycle is O(levels) smoother sweeps + one driver-side exact solve
+of the ≤``coarsest``-node level (numpy pinv — the standard AMG coarsest
+fallback). The graph must be connected (same contract as
+``conjugate_gradient``; per-component solves compose via
+``connected_components``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from icebug_spark.operators.matching import local_max_matching
+from icebug_spark.operators.numerics import _axpy, _dot, _sym, laplacian_mxv
+
+
+def _materialize(df: DataFrame, rows_bound: int) -> DataFrame:
+    """Pin a solver vector between V-cycle applications.
+
+    Empirically, chaining dozens of checkpoints (local OR reliable)
+    through deep multi-shuffle plans degrades superlinearly in this
+    Spark version — the 4th+ chained application of a ~12-shuffle
+    V-cycle plan takes 4-15x the steady-state time, while consuming a
+    FRESH plan stays flat. Solver vectors are (id, x) doubles — n rows —
+    so under ``spark.icebug.vectorCollectRows`` (default 5M ≈ 80 MB on
+    the driver) we rebuild the vector as a fresh local-relation plan via
+    one Arrow round-trip; above the bound we fall back to
+    localCheckpoint, where real per-cycle compute dominates the
+    scheduling overhead anyway."""
+    spark = df.sparkSession
+    cap = int(spark.conf.get("spark.icebug.vectorCollectRows", "5000000"))
+    if rows_bound > cap:
+        return df.localCheckpoint(eager=True)
+    return spark.createDataFrame(df.toPandas())
+
+
+def _level(eu: DataFrame):
+    """(eu both-direction, deg) for one hierarchy level."""
+    deg = (
+        eu.groupBy(F.col("src").alias("id"))
+        .agg(F.sum("weight").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    return eu, deg
+
+
+def _jacobi(
+    eu: DataFrame, deg: DataFrame, b: DataFrame, x: DataFrame | None,
+    sweeps: int, omega: float = 2.0 / 3.0,
+) -> DataFrame:
+    """Damped Jacobi sweeps x ← x + ω·D⁻¹·(b − L·x); x=None starts from
+    the ω·D⁻¹·b half-step (zero initial guess). Lazy — the V-cycle is one
+    bounded-depth plan per application, checkpointed only at the PCG
+    level (each eager checkpoint is a full Spark job; at toy scale the
+    driver loop is job-submission-bound)."""
+    for _s in range(sweeps):
+        r = b if x is None else _axpy(-1.0, laplacian_mxv(eu, deg, x), b)
+        step = r.join(deg, "id").select(
+            "id", (F.lit(omega) * F.col("x") / F.col("deg")).alias("x")
+        )
+        x = step if x is None else _axpy(1.0, step, x)
+    return x
+
+
+def lamg_hierarchy(
+    edges_weighted_undirected: DataFrame,
+    coarsest: int = 128,
+    max_levels: int = 12,
+) -> dict:
+    """Build the multilevel hierarchy. Returns
+    ``{"levels": [(eu, deg, mapping), ...], "coarse": (ids, L)}``
+    where ``mapping`` maps this level's node ids to the NEXT level's
+    aggregate roots and ``coarse`` is the driver-side final Laplacian."""
+    eu = _sym(edges_weighted_undirected).localCheckpoint(eager=True)
+    levels = []
+    for _l in range(max_levels):
+        n = eu.select("src").distinct().count()
+        if n <= coarsest:
+            break
+        # tie-jitter the matching weights (symmetric per undirected edge):
+        # on equal weights local-max's deterministic tie-break forms a
+        # sequential chain (O(n) rounds on a path); a multiplicative hash
+        # jitter restores the O(log n) expected round count, and ANY
+        # maximal matching is a valid aggregation (heavier edges still
+        # dominate — the jitter is 1e-6-relative).
+        jit = eu.select(
+            "src",
+            "dst",
+            (
+                F.col("weight")
+                * (
+                    F.lit(1.0)
+                    + F.lit(1e-6)
+                    * (
+                        F.pmod(
+                            F.xxhash64(F.least("src", "dst"), F.greatest("src", "dst")),
+                            F.lit(1000),
+                        )
+                        / F.lit(1000.0)
+                    )
+                )
+            ).alias("weight"),
+        )
+        m = local_max_matching(jit)
+        # aggregate root = the smaller endpoint; unmatched nodes root themselves
+        nodes = eu.select(F.col("src").alias("id")).distinct()
+        roots = m.select(F.col("v").alias("id"), F.col("u").alias("agg"))
+        mapping = (
+            nodes.join(roots, "id", "left")
+            .select("id", F.coalesce("agg", F.col("id")).alias("agg"))
+            .localCheckpoint(eager=True)
+        )
+        coarse = (
+            eu.join(mapping.withColumnRenamed("id", "src"), "src")
+            .withColumnRenamed("agg", "csrc")
+            .join(mapping.withColumnRenamed("id", "dst"), "dst")
+            .withColumnRenamed("agg", "cdst")
+            .where(F.col("csrc") != F.col("cdst"))  # internal edges vanish in L
+            .groupBy(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+            .agg(F.sum("weight").alias("weight"))
+            .localCheckpoint(eager=True)
+        )
+        if coarse.limit(1).count() == 0:
+            break
+        eu_l, deg_l = _level(eu)
+        levels.append((eu_l, deg_l, mapping))
+        eu = coarse
+    # coarsest: exact driver-side pseudo-inverse solve
+    rows = eu.collect()
+    ids = sorted({int(r["src"]) for r in rows})
+    idx = {v: i for i, v in enumerate(ids)}
+    k = len(ids)
+    L = np.zeros((k, k))
+    for r in rows:
+        i, j, w = idx[int(r["src"])], idx[int(r["dst"])], float(r["weight"])
+        L[i, i] += w
+        L[i, j] -= w
+    return {"levels": levels, "coarse": (ids, L)}
+
+
+def _coarse_solve(hier: dict, b: DataFrame) -> DataFrame:
+    ids, L = hier["coarse"]
+    idx = {v: i for i, v in enumerate(ids)}
+    vec = np.zeros(len(ids))
+    for r in b.collect():
+        if int(r["id"]) in idx:
+            vec[idx[int(r["id"])]] = float(r["x"])
+    x = np.linalg.pinv(L) @ vec
+    spark = b.sparkSession
+    return spark.createDataFrame(
+        [(int(v), float(x[i])) for i, v in enumerate(ids)], "id BIGINT, x DOUBLE"
+    )
+
+
+def _vcycle(hier: dict, lvl: int, b: DataFrame, sweeps: int, n: int) -> DataFrame:
+    if lvl == len(hier["levels"]):
+        return _coarse_solve(hier, b)
+    eu, deg, mapping = hier["levels"][lvl]
+    # pre-smooth from zero initial guess
+    x = _jacobi(eu, deg, b, None, sweeps)
+    # residual r = b − L·x, restricted by aggregate sum (Pᵀ r)
+    lx = laplacian_mxv(eu, deg, x)
+    r = _axpy(-1.0, lx, b)
+    rc = (
+        r.join(mapping, "id")
+        .groupBy(F.col("agg").alias("id"))
+        .agg(F.sum("x").alias("x"))
+    )
+    # the coarse right-hand side is the only materialization point inside
+    # a cycle: everything below works on a ≤ n/2-sized vector, and the
+    # driver coarsest solve collects anyway
+    rc = _materialize(rc, n)
+    xc = _vcycle(hier, lvl + 1, rc, sweeps, n)
+    # prolong the correction (piecewise constant over aggregates)
+    corr = mapping.join(
+        xc.withColumnRenamed("id", "agg").withColumnRenamed("x", "c"), "agg"
+    ).select("id", F.col("c").alias("x"))
+    x = _axpy(1.0, corr, x)
+    # post-smooth, warm-started at the corrected x
+    return _jacobi(eu, deg, b, x, sweeps)
+
+
+def lamg_solve(
+    edges_weighted_undirected: DataFrame,
+    b: DataFrame,
+    tol: float = 1e-8,
+    max_cycles: int = 25,
+    sweeps: int = 1,
+    coarsest: int = 128,
+    max_levels: int = 12,
+    hierarchy: dict | None = None,
+) -> DataFrame:
+    """Solve L·x = b by iterated V-cycles (reference ``Lamg.hpp:32``
+    run surface). ``b``: (id, x), must sum to 0 (L is singular on the
+    constant vector); the returned x is pinned to mean zero. Pass a
+    prebuilt ``hierarchy`` to amortize setup over many right-hand sides
+    (the reference's setup/solve split)."""
+    hier = hierarchy or lamg_hierarchy(
+        edges_weighted_undirected, coarsest=coarsest, max_levels=max_levels
+    )
+    if hier["levels"]:
+        eu, deg, _ = hier["levels"][0]
+    else:
+        eu = _sym(edges_weighted_undirected).localCheckpoint(eager=True)
+        deg = eu.groupBy(F.col("src").alias("id")).agg(
+            F.sum("weight").alias("deg")
+        ).localCheckpoint(eager=True)
+    b = b.select("id", "x").localCheckpoint(eager=True)
+    n_rows = b.count()
+    b_norm = math.sqrt(max(_dot(b, b), 0.0)) or 1.0
+
+    def _precond(res: DataFrame) -> DataFrame:
+        """One symmetric V-cycle, projected to mean zero (L's nullspace).
+        Checkpoint BEFORE the mean aggregate so the cycle's plan executes
+        exactly once."""
+        z = _materialize(_vcycle(hier, 0, res, sweeps, n_rows), n_rows)
+        mz = z.agg(F.avg("x")).collect()[0][0] or 0.0
+        return z.select("id", (F.col("x") - F.lit(mz)).alias("x"))
+
+    # PCG with the V-cycle as preconditioner — LAMG's own acceleration
+    # strategy (SolverLamg.hpp K-cycle + iterate recombination); the
+    # symmetric V(sweeps,sweeps) cycle is an SPD operator on the
+    # mean-zero subspace, so textbook PCG applies. The three PCG vectors
+    # ride in ONE state frame (id, x, r, p): one checkpoint and one fused
+    # scalar aggregate per iteration instead of three of each — the
+    # driver loop is job-submission-bound, and fewer live checkpoint RDDs
+    # keeps long solves from accreting executor-side state.
+    z0 = _precond(b)
+    state = (
+        b.withColumnRenamed("x", "r")
+        .join(z0.withColumnRenamed("x", "p"), "id", "full_outer")
+        .select(
+            "id",
+            F.lit(0.0).alias("x"),
+            F.coalesce("r", F.lit(0.0)).alias("r"),
+            F.coalesce("p", F.lit(0.0)).alias("p"),
+        )
+    )
+    state = _materialize(state, n_rows)
+    rz = (
+        state.agg(F.sum(F.col("r") * F.col("p"))).collect()[0][0] or 0.0
+    )
+    for _c in range(max_cycles):
+        lp = laplacian_mxv(
+            eu, deg, state.select("id", F.col("p").alias("x"))
+        ).withColumnRenamed("x", "lp")
+        st = state.join(lp, "id", "left").na.fill({"lp": 0.0})
+        plp, = st.agg(F.sum(F.col("p") * F.col("lp"))).collect()[0]
+        if plp is None or abs(plp) < 1e-300:
+            break
+        alpha = rz / plp
+        st = st.select(
+            "id",
+            (F.col("x") + F.lit(alpha) * F.col("p")).alias("x"),
+            (F.col("r") - F.lit(alpha) * F.col("lp")).alias("r"),
+            "p",
+        )
+        st = _materialize(st, n_rows)
+        rr = st.agg(F.sum(F.col("r") * F.col("r"))).collect()[0][0] or 0.0
+        if math.sqrt(max(rr, 0.0)) / b_norm < tol:
+            state = st
+            break
+        z = _precond(st.select("id", F.col("r").alias("x")))
+        st2 = st.join(z.withColumnRenamed("x", "z"), "id", "left").na.fill({"z": 0.0})
+        rz_new = st2.agg(F.sum(F.col("r") * F.col("z"))).collect()[0][0] or 0.0
+        beta = rz_new / rz if rz else 0.0
+        rz = rz_new
+        state = _materialize(
+            st2.select(
+                "id", "x", "r", (F.col("z") + F.lit(beta) * F.col("p")).alias("p")
+            ),
+            n_rows,
+        )
+    x = state.select("id", "x")
+    mean = x.agg(F.avg("x")).collect()[0][0] or 0.0
+    return x.select("id", (F.col("x") - F.lit(mean)).alias("x"))

@@ -141,8 +141,10 @@ FROM cn JOIN deg du ON du.node = cn.u JOIN deg dv ON dv.node = cn.v
 
 # q56 — friends measure (NeighborsMeasureIndex). Tighter cap than the other
 # pairwise queries: the cross-neighborhood count fans out Σ deg(x)·deg(y)
-# restricted to capped endpoints, i.e. ~cap² work — 200 took the oracle
-# side to ~8 min at sf0.01, 60 keeps it in seconds.
+# restricted to capped endpoints, i.e. ~cap² work. The adj/cadj CTEs are
+# MATERIALIZED and the endpoint filter pre-applied — without that DuckDB
+# re-derives adj per reference and joins before filtering (~200 s at
+# sf0.01 vs ~3 s materialized).
 _FM_CAP = 60
 
 
@@ -151,19 +153,19 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q56_SQL = f"""
-WITH adj AS ({_ADJ_SQL}),
+WITH adj AS MATERIALIZED ({_ADJ_SQL}),
+cadj AS MATERIALIZED (SELECT node, nbr FROM adj WHERE node < {_FM_CAP}),
 cn AS (
   SELECT a.node AS u, b.node AS v, COUNT(*) AS s
-  FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
-  WHERE a.node < {_FM_CAP} AND b.node < {_FM_CAP}
+  FROM cadj a JOIN cadj b ON a.nbr = b.nbr AND a.node < b.node
   GROUP BY a.node, b.node
 ),
 cross_edges AS (
   SELECT nu.node AS u, nv.node AS v, COUNT(*) AS s
-  FROM adj arc
-  JOIN adj nu ON nu.nbr = arc.node
-  JOIN adj nv ON nv.nbr = arc.nbr
-  WHERE nu.node < nv.node AND nu.node < {_FM_CAP} AND nv.node < {_FM_CAP}
+  FROM cadj nu
+  JOIN adj arc ON arc.node = nu.nbr
+  JOIN cadj nv ON nv.nbr = arc.nbr
+  WHERE nu.node < nv.node
   GROUP BY nu.node, nv.node
 )
 SELECT u, v, CAST(SUM(s) AS BIGINT) AS neighbors_measure

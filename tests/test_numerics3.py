@@ -1,0 +1,79 @@
+"""LAMG-style multilevel Laplacian solver vs numpy pseudo-inverse."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from icebug_spark.graph.core import Graph
+from icebug_spark.operators.numerics3 import lamg_hierarchy, lamg_solve
+
+
+def _laplacian(n, edges):
+    L = np.zeros((n, n))
+    for u, v, w in edges:
+        L[u, u] += w
+        L[v, v] += w
+        L[u, v] -= w
+        L[v, u] -= w
+    return L
+
+
+def test_lamg_path_matches_pinv(spark):
+    n = 40
+    edges = [(i, i + 1, 1.0) for i in range(n - 1)]
+    g = Graph.from_edge_list(spark, edges, directed=False, weighted=True)
+    b = spark.createDataFrame(
+        [(0, 1.0), (n - 1, -1.0)] + [(i, 0.0) for i in range(1, n - 1)],
+        "id BIGINT, x DOUBLE",
+    )
+    hier = lamg_hierarchy(g.edges, coarsest=14, max_levels=2)
+    assert len(hier["levels"]) >= 1  # actually multilevel, not a driver solve
+    x = {
+        r["id"]: r["x"]
+        for r in lamg_solve(
+            g.edges, b, tol=1e-8, max_cycles=20, hierarchy=hier
+        ).collect()
+    }
+    exp = np.linalg.pinv(_laplacian(n, edges)) @ np.array(
+        [1.0] + [0.0] * (n - 2) + [-1.0]
+    )
+    exp -= exp.mean()
+    for i in range(n):
+        assert x[i] == pytest.approx(exp[i], abs=1e-5)
+    # effective resistance across a unit path = its length
+    assert x[0] - x[n - 1] == pytest.approx(n - 1, abs=1e-4)
+
+
+def test_lamg_weighted_grid_and_hierarchy_reuse(spark):
+    # 5x5 grid with varied weights; solve two right-hand sides on one
+    # hierarchy (the reference's setup/solve split)
+    n = 5
+    edges = []
+    nid = lambda r, c: r * n + c
+    for r in range(n):
+        for c in range(n):
+            if c + 1 < n:
+                edges.append((nid(r, c), nid(r, c + 1), 1.0 + ((r + c) % 3)))
+            if r + 1 < n:
+                edges.append((nid(r, c), nid(r + 1, c), 1.0 + ((r * c) % 2)))
+    g = Graph.from_edge_list(spark, edges, directed=False, weighted=True)
+    hier = lamg_hierarchy(g.edges, coarsest=14, max_levels=2)
+    assert len(hier["levels"]) >= 1
+    L = _laplacian(n * n, edges)
+    P = np.linalg.pinv(L)
+    for s, t in [(0, 24), (7, 18)]:
+        vec = np.zeros(n * n)
+        vec[s], vec[t] = 1.0, -1.0
+        b = spark.createDataFrame(
+            [(i, float(vec[i])) for i in range(n * n)], "id BIGINT, x DOUBLE"
+        )
+        x = {
+            r["id"]: r["x"]
+            for r in lamg_solve(
+                g.edges, b, tol=1e-8, max_cycles=20, hierarchy=hier
+            ).collect()
+        }
+        exp = P @ vec
+        exp -= exp.mean()
+        for i in range(n * n):
+            assert x[i] == pytest.approx(exp[i], abs=1e-4)
