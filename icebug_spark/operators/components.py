@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from icebug_spark.plans.iterate import checkpoint, iterate, mirror
+from icebug_spark.plans.iterate import checkpoint, mirror
 
 
 def connected_components(
@@ -29,16 +29,19 @@ def connected_components(
     """edges_undirected: both directions present (symmetrized). Returns
     ``(id, component)`` where component = min node id in the component."""
     eu = edges_undirected.select("src", "dst")
-    labels = checkpoint(
+    lbl = checkpoint(
         eu.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
     # the label table has exactly n rows every round — count once on the
     # checkpointed table and let mirror() pick broadcast vs shuffle-hash.
-    n = labels.count()
-
-    def step(lbl: DataFrame, _i: int) -> DataFrame:
+    n = lbl.count()
+    # Labels are monotone non-increasing, so the global label sum strictly
+    # decreases until fixpoint — convergence is one cheap scalar aggregate
+    # per round instead of a join against the previous state.
+    prev_sum = None
+    for _i in range(max_iter):
         # labels are node-bounded vs m-sized edges: mirror the label side
         # so the loop-invariant edge table is never reshuffled while n
         # fits the broadcast cap (bucketed co-location at extreme n).
@@ -46,25 +49,17 @@ def connected_components(
             eu.join(mirror(lbl, n), eu.src == lbl.id)
             .select(F.col("dst").alias("id"), F.col("component"))
         )
-        return (
+        lbl = checkpoint(
             lbl.select("id", "component")
             .union(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
-
-    # Labels are monotone non-increasing, so the global label sum strictly
-    # decreases until fixpoint — convergence is one cheap scalar aggregate
-    # per round instead of a join against the previous state.
-    prev_sum = [None]
-
-    def converged(_old: DataFrame, new: DataFrame) -> bool:
-        s = new.agg(F.sum("component")).collect()[0][0]
-        done = s == prev_sum[0]
-        prev_sum[0] = s
-        return done
-
-    return iterate(labels, step, max_iter, converged, checkpoint_every=1)
+        s = lbl.agg(F.sum("component")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return lbl
 
 
 def component_sizes(components: DataFrame) -> DataFrame:
