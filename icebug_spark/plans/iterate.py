@@ -53,7 +53,9 @@ def mirror(state: DataFrame, rows_bound: int) -> DataFrame:
     fall back to a shuffle-hash join: the n-sized state shuffles, the
     edge side hash-joins without the sort-merge sort, and on a cluster
     with the edge table bucketed/pre-partitioned by the join key the
-    exchange on the edge side is elided entirely (co-partitioned plan).
+    exchange on the edge side is elided entirely (co-partitioned plan) —
+    see ``plans.bucketing.write_bucketed_edges`` for that setup and the
+    plan-level proof test (`tests/test_bucketing.py`).
     """
     spark = state.sparkSession
     if rows_bound > vertex_broadcast_cap(spark):
