@@ -290,6 +290,83 @@ SELECT EXISTS (SELECT * FROM tri) AS clique_number_ge_3,
 """
 
 
+# q114 — commute-time / effective-resistance via the LAMG multilevel
+# solver (numerics/LAMG/Lamg.hpp:32 + distance/CommuteTimeDistance.hpp:24).
+# The solve is iterative-float (no SQL twin); the certificate checks the
+# distributed solve against closed-form truth on the same capped subgraph:
+# |R_lamg − R_pinv| tiny (numpy pseudo-inverse of the collected capped
+# Laplacian — legitimate driver-side truth at certificate scale),
+# resistance positive, and R ≤ hop distance (unit-weight identity).
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    from icebug_spark.operators.numerics3 import lamg_solve
+
+    eu = (
+        _eu(spark, sf)
+        .where((F.col("src") < 80) & (F.col("dst") < 80))
+        .localCheckpoint(eager=True)
+    )
+    deg = eu.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    hubs = [int(r["src"]) for r in deg.orderBy(F.desc("d"), "src").limit(2).collect()]
+    u, v = hubs[0], hubs[1]
+    # canonical one-direction edges: the solver symmetrizes internally,
+    # so feeding both directions would double every Laplacian entry
+    ew = eu.where(F.col("src") < F.col("dst")).withColumn("weight", F.lit(1.0))
+    nodes = sorted(int(r[0]) for r in eu.select("src").distinct().collect())
+    b = spark.createDataFrame(
+        [(u, 1.0), (v, -1.0)] + [(n, 0.0) for n in nodes if n not in (u, v)],
+        "id BIGINT, x DOUBLE",
+    )
+    x = {
+        r["id"]: r["x"]
+        for r in lamg_solve(ew, b, tol=1e-7, max_cycles=12, coarsest=30).collect()
+    }
+    r_lamg = x[u] - x[v]
+    # closed-form truth on the same capped subgraph
+    idx = {n: i for i, n in enumerate(nodes)}
+    L = np.zeros((len(nodes), len(nodes)))
+    dist = {u: 0}
+    import collections
+
+    adj = collections.defaultdict(list)
+    for row in eu.collect():  # eu carries both directions
+        s, t = int(row["src"]), int(row["dst"])
+        adj[s].append(t)
+        if s < t:  # count each undirected edge once, like the solver
+            L[idx[s], idx[s]] += 1.0
+            L[idx[t], idx[t]] += 1.0
+            L[idx[s], idx[t]] -= 1.0
+            L[idx[t], idx[s]] -= 1.0
+    q = collections.deque([u])
+    while q:
+        cur = q.popleft()
+        for nb in adj[cur]:
+            if nb not in dist:
+                dist[nb] = dist[cur] + 1
+                q.append(nb)
+    vec = np.zeros(len(nodes))
+    vec[idx[u]], vec[idx[v]] = 1.0, -1.0
+    sol = np.linalg.pinv(L) @ vec
+    r_exact = float(sol[idx[u]] - sol[idx[v]])
+    hop = dist.get(v)
+    return spark.createDataFrame(
+        [
+            (
+                bool(abs(r_lamg - r_exact) < 1e-4),
+                bool(r_lamg > 0),
+                bool(hop is not None and r_lamg <= hop + 1e-9),
+            )
+        ],
+        "matches_pinv BOOLEAN, positive BOOLEAN, below_hop_distance BOOLEAN",
+    )
+
+
+Q114_SQL = """
+SELECT TRUE AS matches_pinv, TRUE AS positive, TRUE AS below_hop_distance
+"""
+
+
 ALGEBRAIC = {
     "q64_clustering_coefficients": (q64, Q64_SQL),
     "q65_algebraic_triangles": (q65, Q65_SQL),
@@ -298,4 +375,5 @@ ALGEBRAIC = {
     "q68_edge_switch_degrees": (q68, Q68_SQL),
     "q69_max_flow_hubs": (q69, Q69_SQL),
     "q70_maximal_cliques": (q70, Q70_SQL),
+    "q114_commute_time_lamg": (q114, Q114_SQL),
 }
