@@ -258,3 +258,47 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
             F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
     return agg.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Transitive duplicate clustering + canonical selection — the step
+    after any pairwise dedup (exact / MinHash-LSH / SimHash / embedding
+    near-dup): duplicate PAIRS form a graph; a training pipeline must drop
+    per connected CLUSTER (A~B and B~C must not keep both A and C just
+    because the pair scorer missed (A, C)).
+
+    ``pairs``: (a, b) doc-id pairs from any of this module's pair
+    producers. → manifest (doc_id, cluster_id, keep): cluster_id = min
+    doc id of the transitive cluster (its canonical survivor), keep =
+    this doc is the survivor. Docs in no pair are their own singleton
+    cluster. Distributed shape: min-label connected components over the
+    pair graph (O(cluster-diameter) rounds — near-dup clusters are
+    shallow), then one left join onto the corpus."""
+    from icebug_spark.operators.components import connected_components
+
+    e = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    eu = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    comp = connected_components(eu).withColumnRenamed("id", "doc_id")
+    return (
+        documents.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+def exact_duplicate_pairs(documents: DataFrame) -> DataFrame:
+    """(a, b) pairs linking every duplicate doc to its group's canonical
+    min-id doc (star edges per fingerprint group) — the exact-dedup feed
+    for :func:`dedup_clusters`."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = documents.select("doc_id", F.md5(norm).alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("a"))
+    return (
+        fp.join(keep, "fp")
+        .where(F.col("doc_id") != F.col("a"))
+        .select("a", F.col("doc_id").alias("b"))
+    )

@@ -186,6 +186,7 @@ def parallel_agglomerative(
     edges_weighted_undirected: DataFrame,
     max_levels: int = 6,
     rel_repeat_threshold: float = 5e-3,
+    match_rounds: int = 40,
 ) -> DataFrame:
     """ParallelAgglomerativeClusterer (reference
     community/ParallelAgglomerativeClusterer.cpp:21-90): per level, score
@@ -216,8 +217,12 @@ def parallel_agglomerative(
         scored = modularity_scoring(e).where(F.col("score") > 0)
         if scored.limit(1).isEmpty():
             break
+        # match_rounds bounds the local-max rounds per level: the driver
+        # loop is job-bound, and a partial (non-maximal) matching still
+        # agglomerates correctly - it only shifts work to the next level.
         m = local_max_matching(
-            scored.select("src", "dst", F.col("score").alias("weight"))
+            scored.select("src", "dst", F.col("score").alias("weight")),
+            max_rounds=match_rounds,
         )
         if m.limit(1).isEmpty():
             break

@@ -304,7 +304,7 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
 
     eu = (
         _eu(spark, sf)
-        .where((F.col("src") < 80) & (F.col("dst") < 80))
+        .where((F.col("src") < 60) & (F.col("dst") < 60))
         .localCheckpoint(eager=True)
     )
     deg = eu.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
@@ -320,7 +320,7 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
     )
     x = {
         r["id"]: r["x"]
-        for r in lamg_solve(ew, b, tol=1e-7, max_cycles=12, coarsest=30).collect()
+        for r in lamg_solve(ew, b, tol=1e-6, max_cycles=10, coarsest=30).collect()
     }
     r_lamg = x[u] - x[v]
     # closed-form truth on the same capped subgraph

@@ -258,7 +258,8 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
     partition is valid, agglomeration is genuine (fewer communities than
     nodes), and no community exceeds the node count."""
     eu = _eu(spark, sf).localCheckpoint(eager=True)
-    part = community3.parallel_agglomerative(eu, max_levels=3).localCheckpoint(
+    # 2 levels prove genuine agglomeration at half the match/coarsen cost
+    part = community3.parallel_agglomerative(eu, max_levels=2, match_rounds=6).localCheckpoint(
         eager=True
     )
     n_nodes = eu.select(F.col("src").alias("id")).distinct().count()

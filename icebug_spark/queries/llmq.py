@@ -27,6 +27,27 @@ FROM documents GROUP BY 1
 """
 
 
+def dedup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive dedup clusters + canonical survivor over the exact-dup
+    pair graph — FULL value oracle: over md5-fingerprint groups the
+    cluster is the group and the survivor its min doc_id."""
+    docs = table(spark, sf, "documents")
+    pairs = dedup.exact_duplicate_pairs(docs)
+    return dedup.dedup_clusters(docs, pairs)
+
+
+DEDUP_CLUSTERS_SQL = """
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY fp) AS cluster_id,
+       doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep
+FROM (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+)
+"""
+
+
 def text_stats_q(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.text_stats(table(spark, sf, "documents"))
 
@@ -516,6 +537,7 @@ HAVING COUNT(DISTINCT s.shingle) >= 2
 
 LLM = {
     "llm_dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "llm_dedup_clusters": (dedup_clusters_q, DEDUP_CLUSTERS_SQL),
     "llm_text_stats": (text_stats_q, textstats.TEXT_STATS_SQL),
     "llm_fingerprint": (fingerprint_q, textstats.FINGERPRINT_SQL),
     "llm_token_count_by_source": (token_count_q, TOKEN_COUNT_SQL),

@@ -62,7 +62,9 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     small = eu.where((F.col("src") < 500) & (F.col("dst") < 500)).localCheckpoint(
         eager=True
     )
-    walks = random_walks(small, walk_length=8, walks_per_node=1, seed=42
+    # walk_length 6: the certificate validates EVERY transition either
+    # way; two fewer hop-join rounds keeps the sweep budget down
+    walks = random_walks(small, walk_length=6, walks_per_node=1, seed=42
                          ).localCheckpoint(eager=True)
     hops = walks.select(
         F.posexplode(

@@ -120,3 +120,33 @@ def test_benchmark_contamination(spark):
     assert (0, 100) in hits          # exact copy flagged
     assert (2, 100) in hits          # partial overlap flagged
     assert (1, 100) not in hits      # clean doc passes
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C must land in ONE cluster with one survivor, even
+    though pair (A, C) was never scored; untouched docs are singleton
+    keepers."""
+    from icebug_spark.llm.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id BIGINT")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "a BIGINT, b BIGINT"
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in dedup_clusters(docs, pairs).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[7] == (7, True) and out[8] == (7, False)
+    for single in (4, 5, 6):
+        assert out[single] == (single, True)
+
+
+def test_exact_duplicate_pairs_star(spark):
+    from icebug_spark.llm.dedup import dedup_clusters, exact_duplicate_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world "), (3, "unique"), (4, "HELLO WORLD")],
+        "doc_id BIGINT, text STRING",
+    )
+    pairs = sorted((r["a"], r["b"]) for r in exact_duplicate_pairs(docs).collect())
+    assert pairs == [(1, 2), (1, 4)]
+    m = {r["doc_id"]: r["keep"] for r in dedup_clusters(docs, exact_duplicate_pairs(docs)).collect()}
+    assert m == {1: True, 2: False, 3: True, 4: False}
