@@ -279,13 +279,18 @@ def dedup_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     e = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     eu = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     comp = connected_components(eu).withColumnRenamed("id", "doc_id")
+    present = documents.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+    # canonical survivor = min PRESENT doc of the component: pairs may
+    # reference docs filtered out of `documents` upstream, and pinning
+    # the survivor to the raw component label would leave such clusters
+    # with keep=false on every remaining copy (the whole document would
+    # be dropped instead of deduplicated).
+    canon = present.groupBy("component").agg(F.min("doc_id").alias("cluster_id"))
     return (
-        documents.select("doc_id")
-        .join(comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
-        )
+        present.join(canon, "component")
+        .select("doc_id", "cluster_id")
         .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
     )
 

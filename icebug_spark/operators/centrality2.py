@@ -169,19 +169,22 @@ def betweenness_sampled(
     )
 
 
-def bfs_sigma(
+def sigma_levels(
     edges_undirected: DataFrame, sources: list[int], max_hops: int = 20
-) -> DataFrame:
-    """Per-source BFS with shortest-path counts → (source, id, dist,
-    sigma) — the forward half of Brandes, exposed flat so pairwise
-    σ-dependency formulas (DynBetweennessOneNode's
-    σ(u,x)·σ(x,v)/σ(u,v) sum) can run as plain joins."""
+) -> tuple[list[DataFrame], DataFrame]:
+    """Forward half of Brandes — level-synchronous multi-source BFS with
+    σ shortest-path counts. Returns (levels, eu): one (source, id, dist,
+    sigma) frame per BFS level (level 0 = the sources) plus the
+    checkpointed symmetric arc table. The SINGLE σ-BFS kernel behind
+    both ``bfs_sigma`` (flat table) and ``brandes_deltas`` (per-level
+    backward pass)."""
     eu = edges_undirected.select("src", "dst").localCheckpoint(eager=True)
     spark = edges_undirected.sparkSession
     init = spark.createDataFrame(
         [(int(s), int(s), 0, 1.0) for s in sources], ["source", "id", "dist", "sigma"]
     ).localCheckpoint(eager=True)
-    settled = init
+    levels = [init]
+    settled = init.select("source", "id")
     frontier = init
     for _h in range(max_hops):
         nxt = (
@@ -192,16 +195,33 @@ def bfs_sigma(
                 (F.col("dist") + 1).alias("dist"),
                 "sigma",
             )
-            .join(settled.select("source", "id"), ["source", "id"], "left_anti")
+            .join(settled, ["source", "id"], "left_anti")
             .groupBy("source", "id", "dist")
             .agg(F.sum("sigma").alias("sigma"))
             .localCheckpoint(eager=True)
         )
         if nxt.limit(1).count() == 0:
             break
-        settled = settled.union(nxt).localCheckpoint(eager=True)
+        levels.append(nxt)
+        # levels are disjoint and individually checkpointed: plain union
+        # keeps the visited filter flat with no extra jobs
+        settled = settled.union(nxt.select("source", "id"))
         frontier = nxt
-    return settled
+    return levels, eu
+
+
+def bfs_sigma(
+    edges_undirected: DataFrame, sources: list[int], max_hops: int = 20
+) -> DataFrame:
+    """Per-source BFS with shortest-path counts → (source, id, dist,
+    sigma) — flat union of :func:`sigma_levels`, exposed so pairwise
+    σ-dependency formulas (DynBetweennessOneNode's
+    σ(u,x)·σ(x,v)/σ(u,v) sum) can run as plain joins."""
+    levels, _eu = sigma_levels(edges_undirected, sources, max_hops)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
 
 
 def brandes_deltas(
@@ -215,34 +235,8 @@ def brandes_deltas(
     on (source, node); the per-level loop count is the graph diameter.
     Exposed separately so incremental betweenness (DynBetweenness) can
     recompute ONLY affected sources and splice the rest from cache."""
-    eu = edges_undirected.select("src", "dst").localCheckpoint(eager=True)
     spark = edges_undirected.sparkSession
-    init = spark.createDataFrame(
-        [(int(s), int(s), 0, 1.0) for s in sources], ["source", "id", "dist", "sigma"]
-    ).localCheckpoint(eager=True)
-
-    levels = [init]
-    frontier = init
-    for _h in range(max_hops):
-        nxt = (
-            frontier.join(eu, frontier.id == eu.src)
-            .select("source", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"), "sigma")
-        )
-        seen = None
-        # union of all previous levels (ids only) for the visited filter
-        for lv in levels:
-            s = lv.select("source", "id")
-            seen = s if seen is None else seen.union(s)
-        new = (
-            nxt.join(seen, ["source", "id"], "left_anti")
-            .groupBy("source", "id", "dist")
-            .agg(F.sum("sigma").alias("sigma"))
-            .localCheckpoint(eager=True)
-        )
-        if new.limit(1).count() == 0:
-            break
-        levels.append(new)
-        frontier = new
+    levels, eu = sigma_levels(edges_undirected, sources, max_hops)
 
     # backward accumulation level by level
     all_nodes = levels[0]

@@ -39,20 +39,9 @@ def approx_betweenness(
     by pair id builds (pair, node, dist, sigma); the backward pass walks
     all pairs one level per round, choosing predecessors σ-weighted via
     seeded hash (deterministic). → (id, approx_bc) 6dp."""
-    spark = edges_undirected.sparkSession
-    eu = edges_undirected.select("src", "dst")
-    eu = eu.union(
-        eu.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
-
-    nodes = eu.select(F.col("src").alias("id")).distinct()
-    n = nodes.count()
-    vd = diameter_double_sweep(edges_undirected).collect()[0][0] or 2
-    vd = max(int(vd), 2)
-    r = int(math.ceil((c / eps**2) * (math.floor(math.log2(max(vd - 2, 1))) + 1 + math.log(1 / delta))))
-    r = max(1, min(r, max_samples))
-
-    pairs = _rk_pairs(nodes, n, r, seed)
+    eu, nodes, vd, r, pairs = _rk_sample(
+        edges_undirected, eps, delta, c, max_samples, seed
+    )
     counts = _pair_path_visits(eu, pairs, vd, seed)
     return (
         nodes.join(counts, "id", "left")
@@ -63,6 +52,36 @@ def approx_betweenness(
             ),
         )
     )
+
+
+def _rk_sample(
+    edges_undirected: DataFrame,
+    eps: float,
+    delta: float,
+    c: float,
+    max_samples: int,
+    seed: int,
+):
+    """Shared Riondato–Kornaropoulos sampling prologue: symmetrized arc
+    table, node set, vertex-diameter estimate, the VC sample bound
+    r = ⌈(c/ε²)·(⌊log₂(VD−2)⌋+1+ln(1/δ))⌉ capped at ``max_samples``, and
+    the deterministic pair sample. → (eu, nodes, vd, r, pairs)."""
+    eu = edges_undirected.select("src", "dst")
+    eu = eu.union(
+        eu.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    nodes = eu.select(F.col("src").alias("id")).distinct()
+    n = nodes.count()
+    vd = diameter_double_sweep(edges_undirected).collect()[0][0] or 2
+    vd = max(int(vd), 2)
+    r = int(
+        math.ceil(
+            (c / eps**2)
+            * (math.floor(math.log2(max(vd - 2, 1))) + 1 + math.log(1 / delta))
+        )
+    )
+    r = max(1, min(r, max_samples))
+    return eu, nodes, vd, r, _rk_pairs(nodes, n, r, seed)
 
 
 def _rk_pairs(nodes: DataFrame, n: int, r: int, seed: int) -> DataFrame:
@@ -105,22 +124,9 @@ def approx_group_betweenness(
     ``covered_paths`` is the marginal number of newly covered paths
     (non-increasing over rounds, by submodularity)."""
     spark = edges_undirected.sparkSession
-    eu = edges_undirected.select("src", "dst")
-    eu = eu.union(
-        eu.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
-    nodes = eu.select(F.col("src").alias("id")).distinct()
-    n = nodes.count()
-    vd = diameter_double_sweep(edges_undirected).collect()[0][0] or 2
-    vd = max(int(vd), 2)
-    r = int(
-        math.ceil(
-            (c / eps**2)
-            * (math.floor(math.log2(max(vd - 2, 1))) + 1 + math.log(1 / delta))
-        )
+    eu, _nodes, vd, _r, pairs = _rk_sample(
+        edges_undirected, eps, delta, c, max_samples, seed
     )
-    r = max(1, min(r, max_samples))
-    pairs = _rk_pairs(nodes, n, r, seed)
     members = _sampled_path_members(eu, pairs, vd, seed).localCheckpoint(eager=True)
 
     chosen: list[tuple[int, int, int]] = []

@@ -152,7 +152,18 @@ def lamg_hierarchy(
         eu_l, deg_l = _level(eu)
         levels.append((eu_l, deg_l, mapping))
         eu = coarse
-    # coarsest: exact driver-side pseudo-inverse solve
+    # coarsest: exact driver-side pseudo-inverse solve — size-guarded:
+    # coarsening can stall on hub topologies (a star loses one pair per
+    # matching level), and collecting + densifying an n-node Laplacian
+    # at large n would OOM the driver rather than degrade.
+    k_bound = eu.select("src").distinct().count()
+    if k_bound > max(4 * coarsest, 4096):
+        raise ValueError(
+            f"lamg_hierarchy coarsening stalled at {k_bound} nodes "
+            f"(coarsest={coarsest}, max_levels={max_levels}); raise "
+            "max_levels, or use conjugate_gradient (fully distributed) "
+            "for this topology"
+        )
     rows = eu.collect()
     ids = sorted({int(r["src"]) for r in rows})
     idx = {v: i for i, v in enumerate(ids)}

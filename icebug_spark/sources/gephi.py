@@ -90,8 +90,15 @@ def write_gephi_stream(
 
 def read_gephi_stream(spark: SparkSession, path: str) -> DataFrame:
     """Parse a graph-streaming event file back to (src, dst, weight)
-    edges: ``ae`` minus subsequent ``de`` (last-wins by edge id, the
-    plugin's semantics). Node-only events contribute no edges."""
+    edges with SET semantics: an edge id is present iff it has at least
+    one ``ae`` event and no ``de`` event; duplicate ``ae`` events for
+    one id collapse to a single row (max weight, deterministic).
+
+    A distributed text read has no global line order, so true
+    replay-order semantics (re-add after delete) are out of scope for
+    the batch reader — that case needs the ordered live protocol; the
+    limitation is intentional and documented here. Node-only events
+    contribute no edges."""
     raw = spark.read.text(path)
     ae = raw.select(
         F.from_json(
@@ -100,11 +107,16 @@ def read_gephi_stream(spark: SparkSession, path: str) -> DataFrame:
             "directed BOOLEAN, weight DOUBLE>>",
         ).alias("j")
     ).where(F.col("j.ae").isNotNull())
-    edges = ae.select(F.explode("j.ae").alias("eid", "e")).select(
-        F.col("e.source").cast("bigint").alias("src"),
-        F.col("e.target").cast("bigint").alias("dst"),
-        F.col("e.weight").alias("weight"),
-        F.col("eid"),
+    edges = (
+        ae.select(F.explode("j.ae").alias("eid", "e"))
+        .select(
+            F.col("eid"),
+            F.col("e.source").cast("bigint").alias("src"),
+            F.col("e.target").cast("bigint").alias("dst"),
+            F.col("e.weight").alias("weight"),
+        )
+        .groupBy("eid", "src", "dst")
+        .agg(F.max("weight").alias("weight"))
     )
     de = raw.select(
         F.from_json("value", "de MAP<STRING, STRING>").alias("j")

@@ -62,3 +62,18 @@ def test_gephi_node_attrs(spark):
     an = [json.loads(x)["an"] for x in events if "an" in json.loads(x)]
     payloads = {k: v for d in an for k, v in d.items()}
     assert payloads["0"]["score"] == 0.7 and payloads["1"]["score"] == 0.2
+
+
+def test_gephi_duplicate_ae_collapses(spark, tmp_path):
+    e = spark.createDataFrame([(0, 1, 1.0)], "src BIGINT, dst BIGINT, weight DOUBLE")
+    p = str(tmp_path / "gephi_dup")
+    write_gephi_stream(e, p)
+    write_gephi_stream(e, p + "2")
+    # append a duplicate ae event (same id, higher weight)
+    extra = spark.createDataFrame(
+        [('{"ae": {"0-1": {"source": "0", "target": "1", "directed": false, "weight": 3.0}}}',)],
+        "value STRING",
+    )
+    extra.write.mode("append").text(p)
+    back = read_gephi_stream(spark, p).collect()
+    assert len(back) == 1 and back[0]["weight"] == 3.0

@@ -150,3 +150,14 @@ def test_exact_duplicate_pairs_star(spark):
     assert pairs == [(1, 2), (1, 4)]
     m = {r["doc_id"]: r["keep"] for r in dedup_clusters(docs, exact_duplicate_pairs(docs)).collect()}
     assert m == {1: True, 2: False, 3: True, 4: False}
+
+
+def test_dedup_clusters_survivor_is_present_doc(spark):
+    """If the cluster's min id was filtered out of `documents` upstream,
+    the min PRESENT doc must become the survivor — not zero survivors."""
+    from icebug_spark.llm.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(9,), (12,)], "doc_id BIGINT")
+    pairs = spark.createDataFrame([(5, 9), (9, 12)], "a BIGINT, b BIGINT")
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in dedup_clusters(docs, pairs).collect()}
+    assert out == {9: (9, True), 12: (9, False)}
