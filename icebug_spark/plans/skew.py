@@ -1,0 +1,58 @@
+"""Skew handling for power-law graph joins: salting + AQE notes.
+
+Real graphs are degree-skewed (the derived customer–supplier graph's
+supplier hubs touch ~3% of all edges each at every sf). Aggregations
+are already safe — every groupBy in this package does map-side partial
+aggregation — but a shuffle JOIN keyed on a hot node puts that node's
+entire edge list in ONE task. Two remedies, in preference order:
+
+1. **AQE skew-join** (``spark.sql.adaptive.skewJoin.enabled``, on by
+   default): splits oversized partitions at runtime. Zero code. This is
+   why the package leaves plain equi-joins alone — Catalyst + AQE fix
+   the common case.
+2. **Salting** (this module) for the cases AQE cannot rewrite: skewed
+   keys feeding a join that must ALSO preserve partitioning for a later
+   stage, broadcast-ineligible medium tables, or engines/configs with
+   AQE off. ``salted_join`` replicates the small side ``salt`` times
+   and scatters the big side's hot keys uniformly across the replicas —
+   per-task work shrinks by ~salt× at the cost of a small-side ×salt
+   blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on ``key`` with the big side's rows
+    scattered over ``salt`` sub-keys (deterministic hash of the full
+    row, so repeated runs shuffle identically) and the small side
+    replicated ``salt`` times. The result equals ``big.join(small, key,
+    how)`` row-for-row; only the shuffle layout changes. Use when one
+    ``key`` value dominates the big side and the small side is too big
+    to broadcast."""
+    if how not in ("inner", "left", "left_outer", "leftsemi", "left_semi", "left_anti"):
+        # an unmatched small-side row exists once per salt replica, so
+        # right/full joins would emit it `salt` times
+        raise ValueError(
+            f"salted_join supports inner/left-shaped joins, not {how!r} "
+            "(unmatched small-side rows would duplicate per salt replica)"
+        )
+    big_cols = big.columns
+    bs = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big_cols]), F.lit(salt)).cast("int"),
+    )
+    ss = small.withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
+    )
+    out = bs.join(ss, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,40 @@
+"""salted_join: result parity with the plain join, and genuine scatter
+of the hot key across salt sub-partitions."""
+
+from pyspark.sql import functions as F
+
+from icebug_spark.plans.skew import salted_join
+
+
+def test_salted_join_parity(spark):
+    # hot key 7 dominates the big side
+    big = spark.range(5000).select(
+        F.when(F.col("id") % 10 < 8, 7).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k BIGINT, val STRING"
+    )
+    plain = big.join(small, "k").select("k", "payload", "val")
+    salted = salted_join(big, small, "k", salt=8).select("k", "payload", "val")
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).isEmpty()
+    assert salted.exceptAll(plain).isEmpty()
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (99, "c")], "k BIGINT, p STRING")
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k BIGINT, v STRING")
+    out = salted_join(big, small, "k", salt=4, how="left").collect()
+    got = {(r["k"], r["p"], r["v"]) for r in out}
+    assert got == {(1, "a", "x"), (2, "b", "y"), (99, "c", None)}
+
+
+def test_salt_scatters_hot_key(spark):
+    big = spark.range(4000).select(F.lit(7).alias("k"), F.col("id").alias("p"))
+    bs = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("k"), F.col("p")), F.lit(8)).cast("int")
+    )
+    per_salt = [r["count"] for r in bs.groupBy("__salt").count().collect()]
+    assert len(per_salt) == 8  # every sub-key used
+    assert max(per_salt) < 4000 * 0.3  # no sub-key hogs the hot key
