@@ -84,6 +84,20 @@ def cut_clustering(
     if "weight" not in e.columns:
         e = e.select("src", "dst", F.lit(1.0).alias("weight"))
     spark = e.sparkSession
+    # guard BEFORE collecting: a distributed count is cheap, while
+    # collecting an oversized edge list would OOM the driver instead of
+    # raising the documented error (same shape as path_growing_matcher).
+    n_nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    if n_nodes > max_nodes:
+        raise ValueError(
+            f"cut_clustering is size-guarded at {max_nodes} nodes "
+            f"(got {n_nodes}); run per-component or coarsen first"
+        )
     rows = e.select("src", "dst", F.col("weight").cast("double")).collect()
     adj: dict[int, dict[int, float]] = {}
     for r in rows:
@@ -91,11 +105,6 @@ def cut_clustering(
         adj.setdefault(u, {})[v] = adj.setdefault(u, {}).get(v, 0.0) + w
         adj.setdefault(v, {})
     nodes = sorted(adj)
-    if len(nodes) > max_nodes:
-        raise ValueError(
-            f"cut_clustering is size-guarded at {max_nodes} nodes "
-            f"(got {len(nodes)}); run per-component or coarsen first"
-        )
     t = (max(nodes) + 1) if nodes else 0
     for u in nodes:
         adj[u][t] = alpha

@@ -258,6 +258,11 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
     samp = cid.where(
         F.crc32(F.concat_ws(",", F.col("members").cast("array<string>"))) % 10 == 0
     )
+    # the certificate must never be vacuous: if the hash sample happens to
+    # select nothing (small clique census), check every clique instead —
+    # cid is localCheckpointed and tiny, so the count is free.
+    if samp.limit(1).count() == 0:
+        samp = cid
     smemb = samp.select("cid", F.explode("members").alias("id"))
     csize = samp.select("cid", F.size("members").alias("k"))
     ext = (

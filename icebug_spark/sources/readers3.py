@@ -224,9 +224,13 @@ def read_dibap(spark: SparkSession, path: str) -> Graph:
     keep = src <= to
     pdf = pd.DataFrame({"src": src[keep], "dst": to[keep]})
     if ew is not None:
-        # dew scalars per edge, edge-major: take dim 0 of each edge (a
-        # flat ew[:m2] would mispair — it is the concatenated dims of the
-        # first m2/dew edges when dew > 1).
+        # dew scalars per edge, edge-major: take dim 0 of each edge.
+        # INTENTIONAL DIVERGENCE from the reference for dew > 1: the
+        # reference indexes ew[e] FLAT (DibapGraphReader.cpp addEdge
+        # loop), which under an edge-major file layout reads dim
+        # (e % dew) of edge (e / dew) — i.e. it mispairs weights whenever
+        # dew > 1. We read dim 0 of edge e instead; for dew == 1 (every
+        # graph the reference's own tests ship) the two are identical.
         pdf["weight"] = ew.reshape(m2, dew)[:, 0][keep]
     if len(pdf) == 0:
         schema = "src BIGINT, dst BIGINT" + (", weight DOUBLE" if ew is not None else "")

@@ -145,3 +145,25 @@ def test_dynamic_nmi_common_nodes_only(spark):
     )
     d = dynamic_nmi(pa, pb).collect()[0][0]
     assert d == pytest.approx(0.0, abs=1e-9)
+
+
+def test_cut_clustering_guard_fires_before_collect(spark):
+    # the size guard must run as a distributed count BEFORE the edge list
+    # is collected: poison the weight column with an erroring UDF — the
+    # guard's count only touches src/dst (weight is pruned), so an
+    # implementation that collects first surfaces the UDF error instead
+    # of the documented ValueError.
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import DoubleType
+    from icebug_spark.operators.community3 import cut_clustering
+
+    def boom(_x):
+        raise RuntimeError("edge list materialized before the size guard")
+
+    ed = spark.range(400).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % 400).alias("dst")
+    )
+    e = ed.union(ed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.withColumn("weight", udf(boom, DoubleType())(F.col("src")))
+    with pytest.raises(ValueError, match="size-guarded"):
+        cut_clustering(e, alpha=0.5, max_nodes=300)

@@ -38,3 +38,20 @@ def test_salt_scatters_hot_key(spark):
     per_salt = [r["count"] for r in bs.groupBy("__salt").count().collect()]
     assert len(per_salt) == 8  # every sub-key used
     assert max(per_salt) < 4000 * 0.3  # no sub-key hogs the hot key
+
+
+def test_salt_scatters_duplicate_rows(spark):
+    # the degenerate-skew case: a key-only big side whose rows are all
+    # IDENTICAL — a row-value hash alone would land every row in one salt
+    # bucket; the per-row disambiguator must still scatter them.
+    from icebug_spark.plans.skew import _with_salt
+
+    big = spark.range(4000).select(F.lit(7).alias("k")).repartition(8)
+    per_salt = [
+        r["count"] for r in _with_salt(big, 8).groupBy("__salt").count().collect()
+    ]
+    assert len(per_salt) == 8
+    assert max(per_salt) < 4000 * 0.3
+    # and the join itself stays exact
+    small = spark.createDataFrame([(7, "x")], "k BIGINT, v STRING")
+    assert salted_join(big, small, "k", salt=8).count() == 4000

@@ -38,6 +38,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+#: per-query wall budget (seconds). Queries over budget are FLAGGED, not
+#: failed — the point is to surface tail regressions in the committed
+#: artifact before they can time out a full driver sweep.
+BUDGET_SECS = float(os.environ.get("SPARK_GRAFT_QUERY_BUDGET_SECS", "20"))
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -55,12 +61,16 @@ def main() -> int:
         t0 = time.time()
 
         def record(status: str, detail: str | None = None, rows: int | None = None):
+            secs = round(time.time() - t0, 1)
             results[name] = {
                 "status": status,
                 "rows": rows,
-                "secs": round(time.time() - t0, 1),
+                "secs": secs,
+                "over_budget": secs > BUDGET_SECS,
                 "detail": detail,
             }
+            if secs > BUDGET_SECS:
+                print(f"OVER-BUDGET {name}: {secs}s > {BUDGET_SECS}s")
 
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -105,9 +115,13 @@ def main() -> int:
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     if not only:  # full sweep → commit-able artifact
+        over = sorted(k for k, v in results.items() if v["over_budget"])
         artifact = {
             "sf_dir": sf_dir,
             "total_secs": round(time.time() - t_start, 1),
+            "budget_secs": BUDGET_SECS,
+            "n_over_budget": len(over),
+            "over_budget": over,
             "n_pass": n_pass,
             "n_fail": n_fail,
             "n_rows_only": n_rows_only,
