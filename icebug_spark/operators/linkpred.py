@@ -12,15 +12,29 @@ integer counts (deterministic across engines); transcendental scores
 (Adamic-Adar) round to 6dp.
 
 Scale notes: the self-join keys on the *middle* node, so hub nodes are the
-skew hazard — AQE skew-join splitting (enabled in the session factory)
-or a pre-filter on middle-node degree (as the reference's turbo modes do)
-keeps the worst key bounded. Pair filters are pushed below the join.
+skew hazard — a hub of degree d emits d² wedge rows into ONE shuffle task
+(the same hot spot the reference schedules around with guided OpenMP
+pragmas, ``graph/Graph.hpp:1537``). Default remedy is AQE skew-join
+splitting (enabled in the session factory). For AQE-off engines or when
+the wedge fan-out must also stay partitioned for a later stage, set
+``spark.icebug.saltHotDegree`` to a degree threshold: middle nodes above
+it are split out and joined through ``plans.skew.salted_join``, which
+scatters each hot node's wedges across salt sub-keys (per-task work
+drops ~salt×) while the cold majority takes the plain join. Pair filters
+are pushed below the join either way.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from icebug_spark.plans.skew import salted_join
+
+#: sub-keys per hot middle node when spark.icebug.saltHotDegree is set;
+#: hot-side shuffle volume grows ×SALT on the (few, by construction)
+#: hot rows in exchange for ~SALT× smaller max task.
+_HOT_SALT = 16
 
 
 def _neighbor_pairs(adj: DataFrame, pair_filter=None) -> DataFrame:
@@ -30,7 +44,27 @@ def _neighbor_pairs(adj: DataFrame, pair_filter=None) -> DataFrame:
     if pair_filter is not None:
         a = a.where(pair_filter(F.col("u")))
         b = b.where(pair_filter(F.col("v")))
-    return a.join(b, "n").where(F.col("u") < F.col("v"))
+    thresh = int(adj.sparkSession.conf.get("spark.icebug.saltHotDegree", "0"))
+    if thresh > 0:
+        # hot KEY SET is small by construction (few nodes exceed the
+        # threshold even when their edge mass is huge) → broadcastable.
+        deg = b.groupBy("n").agg(F.count(F.lit(1)).alias("dn"))
+        hot = F.broadcast(deg.where(F.col("dn") > thresh).select("n"))
+        pairs = (
+            a.join(hot, "n", "left_anti")
+            .join(b.join(hot, "n", "left_anti"), "n")
+            .unionByName(
+                salted_join(
+                    a.join(hot, "n", "leftsemi"),
+                    b.join(hot, "n", "leftsemi"),
+                    "n",
+                    salt=_HOT_SALT,
+                )
+            )
+        )
+    else:
+        pairs = a.join(b, "n")
+    return pairs.where(F.col("u") < F.col("v"))
 
 
 def common_neighbors(adj: DataFrame, pair_filter=None) -> DataFrame:

@@ -24,6 +24,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from icebug_spark.plans.iterate import mirror
+
 
 def _sym(edges_undirected: DataFrame) -> DataFrame:
     e = edges_undirected
@@ -34,24 +36,33 @@ def _sym(edges_undirected: DataFrame) -> DataFrame:
     )
 
 
-def laplacian_mxv(eu: DataFrame, deg: DataFrame, x: DataFrame) -> DataFrame:
+def laplacian_mxv(
+    eu: DataFrame, deg: DataFrame, x: DataFrame, rows_bound: int | None = None
+) -> DataFrame:
     """y = L·x = D·x − A·x, distributed: one join+groupBy (A·x) plus a
-    join with the degree vector."""
+    join with the degree vector. ``rows_bound`` (an upper bound on the
+    vector's row count, known free to every solver caller) engages the
+    size-adaptive ``mirror`` hint: the n-sized vector broadcasts under
+    the vertex cap so the m-sized edge table never moves — without it a
+    checkpointed x has no stats and Catalyst sort-merges, reshuffling eu
+    every solver iteration."""
+    xm = x if rows_bound is None else mirror(x, rows_bound)
     ax = (
-        eu.join(x.withColumnRenamed("id", "dst"), "dst")
+        eu.join(xm.withColumnRenamed("id", "dst"), "dst")
         .groupBy(F.col("src").alias("id"))
         .agg(F.sum(F.col("weight") * F.col("x")).alias("ax"))
     )
     return (
-        deg.join(x, "id")
+        deg.join(xm, "id")
         .join(ax, "id", "left")
         .select("id", (F.col("deg") * F.col("x") - F.coalesce("ax", F.lit(0.0))).alias("x"))
     )
 
 
-def _dot(a: DataFrame, b: DataFrame) -> float:
+def _dot(a: DataFrame, b: DataFrame, rows_bound: int | None = None) -> float:
+    bm = b if rows_bound is None else mirror(b, rows_bound)
     return (
-        a.join(b.withColumnRenamed("x", "y"), "id")
+        a.join(bm.withColumnRenamed("x", "y"), "id")
         .agg(F.sum(F.col("x") * F.col("y")))
         .collect()[0][0]
         or 0.0
@@ -59,16 +70,16 @@ def _dot(a: DataFrame, b: DataFrame) -> float:
 
 
 def _axpy(alpha: float, x: DataFrame, y: DataFrame) -> DataFrame:
-    """y + alpha·x (full outer, missing = 0)."""
+    """y + alpha·x (missing ids = 0), as UNION ALL + groupBy-sum: one
+    partial-aggregating shuffle and no join. The old full-outer join
+    could never broadcast (Spark has no broadcast full-outer), so inside
+    solver loops over stat-less checkpointed vectors it planned a
+    sort-merge pair — two exchanges plus sorts — per invocation."""
     return (
-        x.withColumnRenamed("x", "xv")
-        .join(y.withColumnRenamed("x", "yv"), "id", "full_outer")
-        .select(
-            "id",
-            (
-                F.coalesce("yv", F.lit(0.0)) + F.lit(alpha) * F.coalesce("xv", F.lit(0.0))
-            ).alias("x"),
-        )
+        x.select("id", (F.lit(alpha) * F.col("x")).alias("x"))
+        .unionByName(y.select("id", "x"))
+        .groupBy("id")
+        .agg(F.sum("x").alias("x"))
     )
 
 
@@ -87,27 +98,35 @@ def conjugate_gradient(
     eu = _sym(edges_undirected).localCheckpoint(eager=True)
     deg = eu.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("deg"))
     deg = deg.localCheckpoint(eager=True)
+    # exact vector size, free off the checkpointed degree table — sizes
+    # the mirror() hints so the n-sized vectors broadcast under the
+    # vertex cap (shuffle-hash past it) instead of stat-less sort-merges
+    n = deg.count()
 
     x = deg.select("id", F.lit(0.0).alias("x"))
     r = b.select("id", F.col("x"))
     # Jacobi preconditioner z = r / deg
-    z = r.join(deg, "id").select("id", (F.col("x") / F.col("deg")).alias("x"))
+    z = mirror(r, n).join(deg, "id").select(
+        "id", (F.col("x") / F.col("deg")).alias("x")
+    )
     p = z
-    rz = _dot(r, z)
-    b_norm = math.sqrt(_dot(b, b)) or 1.0
+    rz = _dot(r, z, n)
+    b_norm = math.sqrt(_dot(b, b, n)) or 1.0
 
     for _ in range(max_iter):
-        lp = laplacian_mxv(eu, deg, p).localCheckpoint(eager=True)
-        plp = _dot(p, lp)
+        lp = laplacian_mxv(eu, deg, p, n).localCheckpoint(eager=True)
+        plp = _dot(p, lp, n)
         if abs(plp) < 1e-30:
             break
         alpha = rz / plp
         x = _axpy(alpha, p, x).localCheckpoint(eager=True)
         r = _axpy(-alpha, lp, r).localCheckpoint(eager=True)
-        if math.sqrt(max(_dot(r, r), 0.0)) / b_norm < tol:
+        if math.sqrt(max(_dot(r, r, n), 0.0)) / b_norm < tol:
             break
-        z = r.join(deg, "id").select("id", (F.col("x") / F.col("deg")).alias("x"))
-        rz_new = _dot(r, z)
+        z = mirror(r, n).join(deg, "id").select(
+            "id", (F.col("x") / F.col("deg")).alias("x")
+        )
+        rz_new = _dot(r, z, n)
         beta = rz_new / rz if rz else 0.0
         rz = rz_new
         p = (_axpy(beta, p, z) if beta else z).localCheckpoint(eager=True)

@@ -39,26 +39,26 @@ from pyspark.sql import functions as F
 
 from icebug_spark.operators.matching import local_max_matching
 from icebug_spark.operators.numerics import _axpy, _dot, _sym, laplacian_mxv
+from icebug_spark.plans.iterate import mirror
 
 
-def _materialize(df: DataFrame, rows_bound: int) -> DataFrame:
-    """Pin a solver vector between V-cycle applications.
+def _pin(df: DataFrame) -> DataFrame:
+    """Pin a solver vector between V-cycle applications: eager
+    localCheckpoint, fully distributed.
 
-    Empirically, chaining dozens of checkpoints (local OR reliable)
-    through deep multi-shuffle plans degrades superlinearly in this
-    Spark version — the 4th+ chained application of a ~12-shuffle
-    V-cycle plan takes 4-15x the steady-state time, while consuming a
-    FRESH plan stays flat. Solver vectors are (id, x) doubles — n rows —
-    so under ``spark.icebug.vectorCollectRows`` (default 5M ≈ 80 MB on
-    the driver) we rebuild the vector as a fresh local-relation plan via
-    one Arrow round-trip; above the bound we fall back to
-    localCheckpoint, where real per-cycle compute dominates the
-    scheduling overhead anyway."""
-    spark = df.sparkSession
-    cap = int(spark.conf.get("spark.icebug.vectorCollectRows", "5000000"))
-    if rows_bound > cap:
-        return df.localCheckpoint(eager=True)
-    return spark.createDataFrame(df.toPandas())
+    History: this used to round-trip small vectors through the driver
+    (toPandas → createDataFrame) because the checkpointed path was
+    4-15x slower per cycle. The real cause was never the checkpoint —
+    a checkpointed vector is a stat-less LogicalRDD, so every join
+    against it planned a sort-merge with BOTH sides exchanged (and the
+    old full-outer _axpy could never broadcast at all), ~3x the shuffle
+    stages per cycle; the driver round-trip "fixed" it only because a
+    LocalRelation's known tiny size made Catalyst broadcast those joins.
+    The fix is the package's own size-adaptive ``mirror`` hint at every
+    vector join (the solver knows n), which plans the same broadcasts
+    WITHOUT moving data through the driver — and degrades to
+    shuffle-hash past the vertex cap exactly like BFS/CC/PageRank."""
+    return df.localCheckpoint(eager=True)
 
 
 def _level(eu: DataFrame):
@@ -73,16 +73,17 @@ def _level(eu: DataFrame):
 
 def _jacobi(
     eu: DataFrame, deg: DataFrame, b: DataFrame, x: DataFrame | None,
-    sweeps: int, omega: float = 2.0 / 3.0,
+    sweeps: int, n: int, omega: float = 2.0 / 3.0,
 ) -> DataFrame:
     """Damped Jacobi sweeps x ← x + ω·D⁻¹·(b − L·x); x=None starts from
     the ω·D⁻¹·b half-step (zero initial guess). Lazy — the V-cycle is one
     bounded-depth plan per application, checkpointed only at the PCG
     level (each eager checkpoint is a full Spark job; at toy scale the
-    driver loop is job-submission-bound)."""
+    driver loop is job-submission-bound). ``n`` upper-bounds the vector
+    size for the mirror() hints."""
     for _s in range(sweeps):
-        r = b if x is None else _axpy(-1.0, laplacian_mxv(eu, deg, x), b)
-        step = r.join(deg, "id").select(
+        r = b if x is None else _axpy(-1.0, laplacian_mxv(eu, deg, x, n), b)
+        step = mirror(r, n).join(deg, "id").select(
             "id", (F.lit(omega) * F.col("x") / F.col("deg")).alias("x")
         )
         x = step if x is None else _axpy(1.0, step, x)
@@ -191,31 +192,37 @@ def _coarse_solve(hier: dict, b: DataFrame) -> DataFrame:
 
 
 def _vcycle(hier: dict, lvl: int, b: DataFrame, sweeps: int, n: int) -> DataFrame:
+    """One V-cycle level. Stage boundaries are PINNED (pre-smooth,
+    restricted residual, corrected iterate): a solver vector feeds the
+    next stage 2-3 times (residual, correction, warm start), and Spark's
+    analyzer CLONES duplicated subtrees for expr-id dedup — so an
+    unpinned composition makes both plan size and Catalyst's stats
+    estimation grow exponentially with stage depth (observed: BigInt
+    sizeInBytes products OOMing the driver during planning). Each pin is
+    one cheap job; the plan every stage submits stays O(one stage)."""
     if lvl == len(hier["levels"]):
         return _coarse_solve(hier, b)
     eu, deg, mapping = hier["levels"][lvl]
     # pre-smooth from zero initial guess
-    x = _jacobi(eu, deg, b, None, sweeps)
+    x = _pin(_jacobi(eu, deg, b, None, sweeps, n))
     # residual r = b − L·x, restricted by aggregate sum (Pᵀ r)
-    lx = laplacian_mxv(eu, deg, x)
+    lx = laplacian_mxv(eu, deg, x, n)
     r = _axpy(-1.0, lx, b)
     rc = (
-        r.join(mapping, "id")
+        mirror(r, n).join(mapping, "id")
         .groupBy(F.col("agg").alias("id"))
         .agg(F.sum("x").alias("x"))
     )
-    # the coarse right-hand side is the only materialization point inside
-    # a cycle: everything below works on a ≤ n/2-sized vector, and the
-    # driver coarsest solve collects anyway
-    rc = _materialize(rc, n)
+    rc = _pin(rc)
     xc = _vcycle(hier, lvl + 1, rc, sweeps, n)
     # prolong the correction (piecewise constant over aggregates)
     corr = mapping.join(
-        xc.withColumnRenamed("id", "agg").withColumnRenamed("x", "c"), "agg"
+        mirror(xc.withColumnRenamed("id", "agg").withColumnRenamed("x", "c"), n),
+        "agg",
     ).select("id", F.col("c").alias("x"))
-    x = _axpy(1.0, corr, x)
-    # post-smooth, warm-started at the corrected x
-    return _jacobi(eu, deg, b, x, sweeps)
+    x = _pin(_axpy(1.0, corr, x))
+    # post-smooth, warm-started at the corrected x (pinned by the caller)
+    return _jacobi(eu, deg, b, x, sweeps, n)
 
 
 def lamg_solve(
@@ -245,13 +252,13 @@ def lamg_solve(
         ).localCheckpoint(eager=True)
     b = b.select("id", "x").localCheckpoint(eager=True)
     n_rows = b.count()
-    b_norm = math.sqrt(max(_dot(b, b), 0.0)) or 1.0
+    b_norm = math.sqrt(max(_dot(b, b, n_rows), 0.0)) or 1.0
 
     def _precond(res: DataFrame) -> DataFrame:
         """One symmetric V-cycle, projected to mean zero (L's nullspace).
         Checkpoint BEFORE the mean aggregate so the cycle's plan executes
         exactly once."""
-        z = _materialize(_vcycle(hier, 0, res, sweeps, n_rows), n_rows)
+        z = _pin(_vcycle(hier, 0, res, sweeps, n_rows))
         mz = z.agg(F.avg("x")).collect()[0][0] or 0.0
         return z.select("id", (F.col("x") - F.lit(mz)).alias("x"))
 
@@ -274,15 +281,15 @@ def lamg_solve(
             F.coalesce("p", F.lit(0.0)).alias("p"),
         )
     )
-    state = _materialize(state, n_rows)
+    state = _pin(state)
     rz = (
         state.agg(F.sum(F.col("r") * F.col("p"))).collect()[0][0] or 0.0
     )
     for _c in range(max_cycles):
         lp = laplacian_mxv(
-            eu, deg, state.select("id", F.col("p").alias("x"))
+            eu, deg, state.select("id", F.col("p").alias("x")), n_rows
         ).withColumnRenamed("x", "lp")
-        st = state.join(lp, "id", "left").na.fill({"lp": 0.0})
+        st = state.join(mirror(lp, n_rows), "id", "left").na.fill({"lp": 0.0})
         plp, = st.agg(F.sum(F.col("p") * F.col("lp"))).collect()[0]
         if plp is None or abs(plp) < 1e-300:
             break
@@ -293,21 +300,22 @@ def lamg_solve(
             (F.col("r") - F.lit(alpha) * F.col("lp")).alias("r"),
             "p",
         )
-        st = _materialize(st, n_rows)
+        st = _pin(st)
         rr = st.agg(F.sum(F.col("r") * F.col("r"))).collect()[0][0] or 0.0
         if math.sqrt(max(rr, 0.0)) / b_norm < tol:
             state = st
             break
         z = _precond(st.select("id", F.col("r").alias("x")))
-        st2 = st.join(z.withColumnRenamed("x", "z"), "id", "left").na.fill({"z": 0.0})
+        st2 = st.join(
+            mirror(z.withColumnRenamed("x", "z"), n_rows), "id", "left"
+        ).na.fill({"z": 0.0})
         rz_new = st2.agg(F.sum(F.col("r") * F.col("z"))).collect()[0][0] or 0.0
         beta = rz_new / rz if rz else 0.0
         rz = rz_new
-        state = _materialize(
+        state = _pin(
             st2.select(
                 "id", "x", "r", (F.col("z") + F.lit(beta) * F.col("p")).alias("p")
-            ),
-            n_rows,
+            )
         )
     x = state.select("id", "x")
     mean = x.agg(F.avg("x")).collect()[0][0] or 0.0

@@ -58,7 +58,12 @@ def count_exchanges(df: DataFrame) -> int:
     bucketing smoke check: the same equi-join against the bucketed edge
     table must plan one Exchange FEWER than against the plain table, and
     its scan must show ``Bucketed: true``."""
-    plan = physical_plan(df)
+    return count_exchange_lines(physical_plan(df))
+
+
+def count_exchange_lines(plan: str) -> int:
+    """Exchange operators in a plan STRING (for plans captured via
+    ``plans.iterate.PLAN_CAPTURE``, where the DataFrame is gone)."""
     return sum(1 for ln in plan.splitlines() if "Exchange" in ln)
 
 

@@ -63,8 +63,21 @@ def mirror(state: DataFrame, rows_bound: int) -> DataFrame:
     return F.broadcast(state)
 
 
+#: test/debug hook: when set to a list, ``checkpoint`` appends each
+#: DataFrame's physical-plan string before truncating it. This exposes
+#: the PER-ROUND loop plans (join strategy, Exchange count, bucketed
+#: scans) that eager checkpointing would otherwise discard — the plan
+#: proof that a bucketed edge table elides its Exchange inside a real
+#: algorithm loop lives on this hook (tests/test_bucketing.py).
+PLAN_CAPTURE: list[str] | None = None
+
+
 def checkpoint(df: DataFrame) -> DataFrame:
     """Eager lineage truncation honouring the reliable-checkpoint flag."""
+    if PLAN_CAPTURE is not None:
+        PLAN_CAPTURE.append(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
     spark = df.sparkSession
     reliable = (
         spark.conf.get("spark.icebug.reliableCheckpoint", "false").lower()

@@ -72,12 +72,21 @@ FROM tri, wed
 
 # q65 — triangle count via the semiring MxM path (AlgebraicTriangleCounting);
 # oracle = the plain SQL triangle count (same number, different engine path).
+# Id-capped subgraph: the MxM path materializes ALL wedges (that is what
+# A² is — the point of the algebraic surface, vs the m^1.5 oriented path
+# q24 uses for the full graph), so the full sf0.01 graph costs ~15 s of
+# sweep budget for no extra coverage; the cap exercises the identical
+# mxm/e_wise code, mirrored in the oracle.
+_Q65_CAP = 500
+
+
 def q65(spark: SparkSession, sf: str) -> DataFrame:
-    return algebraic_triangle_count(_eu(spark, sf))
+    eu = _eu(spark, sf).where((F.col("src") < _Q65_CAP) & (F.col("dst") < _Q65_CAP))
+    return algebraic_triangle_count(eu)
 
 
 Q65_SQL = f"""
-WITH ce AS ({_CE_SQL})
+WITH ce AS (SELECT * FROM ({_CE_SQL}) WHERE u < {_Q65_CAP} AND v < {_Q65_CAP})
 SELECT COUNT(*) AS n_triangles FROM ce e1
 JOIN ce e2 ON e2.u = e1.u AND e2.v > e1.v
 JOIN ce e3 ON e3.u = e1.v AND e3.v = e2.v
@@ -113,12 +122,15 @@ FROM reach GROUP BY source
 
 
 # q67 — 4-clique count (MaximalCliques/k-clique parity, join-ladder form).
+# Same id cap + rationale as q65: the join ladder fans out quadratically
+# in hub degree; the cap keeps the identical k_cliques path in budget.
 def q67(spark: SparkSession, sf: str) -> DataFrame:
-    return k_cliques(_eu(spark, sf), 4).agg(F.count(F.lit(1)).alias("n_4cliques"))
+    eu = _eu(spark, sf).where((F.col("src") < _Q65_CAP) & (F.col("dst") < _Q65_CAP))
+    return k_cliques(eu, 4).agg(F.count(F.lit(1)).alias("n_4cliques"))
 
 
 Q67_SQL = f"""
-WITH ce AS ({_CE_SQL})
+WITH ce AS (SELECT * FROM ({_CE_SQL}) WHERE u < {_Q65_CAP} AND v < {_Q65_CAP})
 SELECT COUNT(*) AS n_4cliques
 FROM ce e1
 JOIN ce e2 ON e2.u = e1.u AND e2.v > e1.v
@@ -157,11 +169,20 @@ SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg
 
 # q69 — max flow between the two highest-multiplicity hubs (rows-only:
 # augmenting-path iteration has no SQL twin).
+_Q69_CAP = 400
+
+
 def q69(spark: SparkSession, sf: str) -> DataFrame:
     # lightest source/sink (min total multiplicity): the hub pair needs
     # hundreds of unit-bottleneck augmentations (163 s at sf0.01); the
     # light pair converges in a handful while exercising the same code.
-    ew = derived_weighted_edges(spark, sf)
+    # Id-capped subgraph (mirrored in the oracle): each augmentation is a
+    # full BFS loop over the residual graph, so graph size multiplies the
+    # per-round job count — the cap keeps the certificate inside the
+    # sweep budget on the identical code path.
+    ew = derived_weighted_edges(spark, sf).where(
+        (F.col("src") < _Q69_CAP) & (F.col("dst") < _Q69_CAP)
+    )
     hubs = (
         ew.groupBy("src")
         .agg(F.sum("weight").alias("w"))
@@ -211,7 +232,7 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q69_SQL = f"""
-WITH ew AS ({EW_SQL}),
+WITH ew AS (SELECT * FROM ({EW_SQL}) WHERE src < {_Q69_CAP} AND dst < {_Q69_CAP}),
 s AS (SELECT src FROM ew GROUP BY src ORDER BY SUM(weight) ASC, src LIMIT 1),
 t AS (SELECT dst FROM ew GROUP BY dst ORDER BY SUM(weight) ASC, dst LIMIT 1)
 SELECT s.src AS source, t.dst AS sink, TRUE AS cut_certifies_optimal,

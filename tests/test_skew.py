@@ -55,3 +55,52 @@ def test_salt_scatters_duplicate_rows(spark):
     # and the join itself stays exact
     small = spark.createDataFrame([(7, "x")], "k BIGINT, v STRING")
     assert salted_join(big, small, "k", salt=8).count() == 4000
+
+
+def _hot_adj(spark):
+    # hub node 999 is a shared neighbor of 120 nodes (deg 120 ≫ threshold);
+    # plus a cold fringe of small wedges
+    rows = [(u, 999) for u in range(120)]
+    rows += [(u, 500 + u % 7) for u in range(40)]
+    return spark.createDataFrame(rows, "node BIGINT, nbr BIGINT")
+
+
+def test_common_neighbors_salted_parity(spark):
+    # wiring: spark.icebug.saltHotDegree routes hot middle nodes through
+    # salted_join; results must equal the plain path row-for-row.
+    from icebug_spark.operators.linkpred import common_neighbors
+
+    adj = _hot_adj(spark)
+    plain = common_neighbors(adj).collect()
+    spark.conf.set("spark.icebug.saltHotDegree", "50")
+    try:
+        salted = common_neighbors(adj).collect()
+    finally:
+        spark.conf.unset("spark.icebug.saltHotDegree")
+    key = lambda r: (r["u"], r["v"], r["common_neighbors"])
+    assert sorted(map(key, salted)) == sorted(map(key, plain))
+    assert len(plain) > 120 * 119 // 4  # the hub wedge block is present
+
+
+def test_neighbor_pairs_hot_key_scatters_partitions(spark):
+    # the point of the salt: the hub's d² wedge rows must land in >1
+    # shuffle partition. AQE coalescing is disabled so tiny test shuffles
+    # aren't merged back into one partition.
+    from icebug_spark.operators.linkpred import _neighbor_pairs
+
+    adj = _hot_adj(spark)
+    spark.conf.set("spark.icebug.saltHotDegree", "50")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        pairs = _neighbor_pairs(adj).where(F.col("n") == 999)
+        pids = (
+            pairs.withColumn("pid", F.spark_partition_id())
+            .select("pid")
+            .distinct()
+            .count()
+        )
+        assert pairs.count() == 120 * 119 // 2
+        assert pids > 1, "hot key's wedges all in one partition — no scatter"
+    finally:
+        spark.conf.unset("spark.icebug.saltHotDegree")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
