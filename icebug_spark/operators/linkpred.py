@@ -44,25 +44,42 @@ def _neighbor_pairs(adj: DataFrame, pair_filter=None) -> DataFrame:
     if pair_filter is not None:
         a = a.where(pair_filter(F.col("u")))
         b = b.where(pair_filter(F.col("v")))
-    thresh = int(adj.sparkSession.conf.get("spark.icebug.saltHotDegree", "0"))
+    spark = adj.sparkSession
+    thresh = int(spark.conf.get("spark.icebug.saltHotDegree", "0"))
+    pairs = None
     if thresh > 0:
-        # hot KEY SET is small by construction (few nodes exceed the
-        # threshold even when their edge mass is huge) → broadcastable.
+        # hot KEY SET is usually small (few nodes exceed the threshold
+        # even when their edge mass is huge) → broadcastable — but that
+        # assumption is VALIDATED, not trusted: a user-set low threshold
+        # on a big graph could make the force-broadcast OOM executors.
+        # The count is bounded by limit(cap+1) so the guard itself never
+        # scans the full key set; over the cap we fall back to the plain
+        # join and let AQE's runtime skew split handle it.
+        cap = int(spark.conf.get("spark.icebug.saltHotMaxKeys", "100000"))
         deg = b.groupBy("n").agg(F.count(F.lit(1)).alias("dn"))
-        hot = F.broadcast(deg.where(F.col("dn") > thresh).select("n"))
-        pairs = (
-            a.join(hot, "n", "left_anti")
-            .join(b.join(hot, "n", "left_anti"), "n")
-            .unionByName(
-                salted_join(
-                    a.join(hot, "n", "leftsemi"),
-                    b.join(hot, "n", "leftsemi"),
-                    "n",
-                    salt=_HOT_SALT,
+        hot_keys = deg.where(F.col("dn") > thresh).select("n")
+        n_hot = hot_keys.limit(cap + 1).count()
+        if 0 < n_hot <= cap:
+            # checkpoint so the four hot-set joins below don't recompute
+            # the degree aggregation once each
+            hot = F.broadcast(hot_keys.localCheckpoint(eager=True))
+            pairs = (
+                a.join(hot, "n", "left_anti")
+                .join(b.join(hot, "n", "left_anti"), "n")
+                .unionByName(
+                    salted_join(
+                        a.join(hot, "n", "leftsemi"),
+                        b.join(hot, "n", "leftsemi"),
+                        "n",
+                        salt=_HOT_SALT,
+                        # adjacency rows are distinct → the row-value
+                        # hash scatters without the duplicate-ordinal
+                        # shuffle
+                        disambiguate=False,
+                    )
                 )
             )
-        )
-    else:
+    if pairs is None:
         pairs = a.join(b, "n")
     return pairs.where(F.col("u") < F.col("v"))
 

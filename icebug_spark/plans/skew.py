@@ -31,6 +31,7 @@ def salted_join(
     key: str,
     salt: int = 16,
     how: str = "inner",
+    disambiguate: bool = True,
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``key`` with the big side's rows
     scattered over ``salt`` sub-keys and the small side replicated
@@ -39,13 +40,28 @@ def salted_join(
     value dominates the big side and the small side is too big to
     broadcast.
 
-    The salt mixes a per-row disambiguator (partition id + row position)
-    into the hash so that DUPLICATE big-side rows — and big sides whose
-    only column is the join key — still scatter uniformly instead of
-    collapsing into one salt bucket (the degenerate-skew case this
-    helper exists for). The scatter is deterministic for a fixed
-    physical layout of ``big``; a repartition may re-deal rows to salt
-    buckets, which never changes the join result, only the layout."""
+    The scatter is fully DETERMINISTIC — a pure function of the big
+    side's row VALUES (plus, with ``disambiguate``, each duplicate's
+    ordinal within its duplicate group). Determinism here is a cluster
+    correctness requirement, not a nicety: a nondeterministic salt (e.g.
+    one mixing ``spark_partition_id``/``monotonically_increasing_id``)
+    lives in a projection, which does NOT mark the map stage
+    indeterminate, so on a shuffle-fetch failure Spark recomputes map
+    output WITHOUT rolling back already-committed reducers — recomputed
+    rows can land in different salt buckets and rows get duplicated or
+    dropped (the class of bug SPARK-23207 fixed for round-robin
+    repartition). A value-derived salt replays identically on any retry.
+
+    ``disambiguate=True`` (default) additionally scatters DUPLICATE
+    big-side rows — and key-only frames, the degenerate-skew case —
+    by counting each distinct row's multiplicity (map-side partial agg)
+    and hashing the ordinal into the salt: deterministic because any
+    assignment of ordinals 1..k to k identical rows yields the same
+    output multiset. Costs one extra all-columns shuffle of the big
+    side (duplicates collapse before it moves); pass
+    ``disambiguate=False`` when big's rows are known distinct (e.g. an
+    adjacency list) to skip it — distinct rows already scatter on the
+    value hash alone."""
     if how not in ("inner", "left", "left_outer", "leftsemi", "left_semi", "left_anti"):
         # an unmatched small-side row exists once per salt replica, so
         # right/full joins would emit it `salt` times
@@ -53,7 +69,7 @@ def salted_join(
             f"salted_join supports inner/left-shaped joins, not {how!r} "
             "(unmatched small-side rows would duplicate per salt replica)"
         )
-    bs = _with_salt(big, salt)
+    bs = _with_salt(big, salt, disambiguate=disambiguate)
     ss = small.withColumn(
         "__salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
     )
@@ -61,19 +77,24 @@ def salted_join(
     return out.drop("__salt")
 
 
-def _with_salt(big: DataFrame, salt: int) -> DataFrame:
-    """``big`` plus its ``__salt`` scatter column. The per-row
-    disambiguator (partition id + in-partition position) keeps duplicate
-    rows and key-only frames scattering; row values are mixed in so the
-    scatter stays deterministic for a fixed physical layout."""
-    return big.withColumn(
-        "__salt",
-        F.pmod(
-            F.xxhash64(
-                F.spark_partition_id(),
-                F.monotonically_increasing_id(),
-                *[F.col(c) for c in big.columns],
-            ),
-            F.lit(salt),
-        ).cast("int"),
+def _with_salt(big: DataFrame, salt: int, disambiguate: bool = True) -> DataFrame:
+    """``big`` plus its ``__salt`` scatter column — deterministic (see
+    ``salted_join``). With ``disambiguate``, duplicate rows get distinct
+    ordinals via groupBy-count + ``sequence``/``explode`` (one partial-
+    aggregating shuffle); without, the salt is the row-value hash alone."""
+    cols = [F.col(c) for c in big.columns]
+    if not disambiguate:
+        return big.withColumn(
+            "__salt", F.pmod(F.xxhash64(*cols), F.lit(salt)).cast("int")
+        )
+    counted = big.groupBy(*big.columns).agg(F.count(F.lit(1)).alias("__cnt"))
+    return (
+        counted.select(
+            *big.columns,
+            F.explode(F.sequence(F.lit(1), F.col("__cnt"))).alias("__rn"),
+        )
+        .withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("__rn"), *cols), F.lit(salt)).cast("int")
+        )
+        .drop("__rn")
     )

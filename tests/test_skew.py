@@ -89,6 +89,7 @@ def test_neighbor_pairs_hot_key_scatters_partitions(spark):
     from icebug_spark.operators.linkpred import _neighbor_pairs
 
     adj = _hot_adj(spark)
+    prior_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     spark.conf.set("spark.icebug.saltHotDegree", "50")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try:
@@ -103,4 +104,52 @@ def test_neighbor_pairs_hot_key_scatters_partitions(spark):
         assert pids > 1, "hot key's wedges all in one partition — no scatter"
     finally:
         spark.conf.unset("spark.icebug.saltHotDegree")
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prior_coalesce
+        )
+
+
+def test_neighbor_pairs_hot_set_guard_falls_back(spark):
+    # a pathological threshold makes EVERY middle node "hot"; the guard
+    # must refuse the force-broadcast and fall back to the plain join —
+    # with identical results.
+    from icebug_spark.operators.linkpred import common_neighbors
+
+    adj = _hot_adj(spark)
+    plain = common_neighbors(adj).collect()
+    spark.conf.set("spark.icebug.saltHotDegree", "1")  # everything is hot
+    spark.conf.set("spark.icebug.saltHotMaxKeys", "2")  # tiny cap → trip it
+    try:
+        guarded = common_neighbors(adj).collect()
+    finally:
+        spark.conf.unset("spark.icebug.saltHotDegree")
+        spark.conf.unset("spark.icebug.saltHotMaxKeys")
+    key = lambda r: (r["u"], r["v"], r["common_neighbors"])
+    assert sorted(map(key, guarded)) == sorted(map(key, plain))
+
+
+def test_salt_is_deterministic_across_layouts(spark):
+    # cluster-retry safety: the (row, salt) assignment must be a pure
+    # function of row values (+ duplicate ordinal), NOT physical layout —
+    # a layout-dependent salt re-deals rows to different buckets when a
+    # fetch-failure retry recomputes map output, duplicating/dropping
+    # join rows (SPARK-23207 class). Same data through three different
+    # layouts → identical per-(row, salt) multisets.
+    from icebug_spark.plans.skew import _with_salt
+
+    base = spark.range(2000).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") % 17).alias("p")
+    )
+    layouts = [base, base.repartition(3), base.repartition(13, "p").sortWithinPartitions("k")]
+
+    def dist(df, **kw):
+        return sorted(
+            (r["k"], r["p"], r["__salt"], r["count"])
+            for r in _with_salt(df, 8, **kw).groupBy("k", "p", "__salt").count().collect()
+        )
+
+    expect = dist(layouts[0])
+    expect_nd = dist(layouts[0], disambiguate=False)
+    for lay in layouts[1:]:
+        assert dist(lay) == expect
+        assert dist(lay, disambiguate=False) == expect_nd
