@@ -100,13 +100,44 @@ def compact_node_ids(g: Graph) -> tuple[Graph, DataFrame]:
     relabel nodes to dense 0..n-1 by ascending old id. Returns
     (new graph, mapping(old_id, new_id)).
 
-    Scale note: a global row_number needs a total order — use zipWithIndex
-    semantics via a single window; for 100 TB graphs prefer
-    ``dense_rank`` over range-partitioned sort (Spark handles the skew)."""
-    w = Window.orderBy("id")
-    mapping = g.vertices.select("id").withColumn(
-        "new_id", (F.row_number().over(w) - 1).cast("long")
-    ).withColumnRenamed("id", "old_id")
+    Scale shape: two-pass zipWithIndex, not a global ``row_number``
+    window (``Window.orderBy`` with no partitionBy plans an Exchange
+    SinglePartition — ONE task ranks the whole vertex set, the classic
+    global-rank bottleneck at 1e9 nodes). Pass 1 range-partitions by id
+    and counts each partition (tiny P-row collect); pass 2 ranks WITHIN
+    each range partition in parallel and adds the cumulative offset of
+    the partitions before it. The mapping is deterministic — dense rank
+    by ascending id — regardless of where the range boundaries land."""
+    v = (
+        g.vertices.select("id")
+        .repartitionByRange(F.col("id"))
+        # materialize so spark_partition_id is stable across the count
+        # pass and the rank pass (range boundaries come from a sample)
+        .localCheckpoint(eager=True)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    spark = v.sparkSession
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in v.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "__pid INT, __off BIGINT")
+    )
+    w = Window.partitionBy("__pid").orderBy("id")
+    mapping = (
+        v.join(off, "__pid")
+        .withColumn(
+            "new_id",
+            (F.row_number().over(w) - 1 + F.col("__off")).cast("long"),
+        )
+        .drop("__pid", "__off")
+        .withColumnRenamed("id", "old_id")
+    )
     e = (
         g.edges.join(mapping.withColumnRenamed("old_id", "src"), "src")
         .withColumnRenamed("new_id", "new_src")

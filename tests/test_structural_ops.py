@@ -210,6 +210,25 @@ def test_compact_and_restore(spark):
     assert sorted(map(tuple, gr.edges.collect())) == [(10, 20), (20, 30)]
 
 
+def test_compact_is_dense_rank_and_parallel(spark):
+    # mapping semantics: dense 0..n-1 by ascending old id, on a vertex
+    # set big enough to span many range partitions — and the plan must
+    # NOT funnel the vertex set through a single-partition Exchange
+    # (the global-row_number shape this replaced).
+    from icebug_spark.graph.tools import compact_node_ids
+
+    ids = [i * 7 + 3 for i in range(5000)]
+    g = Graph.from_edge_list(
+        spark, [(ids[i], ids[i + 1]) for i in range(0, 4998, 2)], directed=True
+    )
+    gc, mapping = compact_node_ids(g)
+    got = {r["old_id"]: r["new_id"] for r in mapping.collect()}
+    present = sorted({u for i in range(0, 4998, 2) for u in (ids[i], ids[i + 1])})
+    assert got == {old: new for new, old in enumerate(present)}
+    plan = mapping._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
 def test_append_graphs(spark):
     from icebug_spark.graph.tools import append_graph
 
