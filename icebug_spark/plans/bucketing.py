@@ -19,6 +19,14 @@ This is the cluster-mode setup the mirror() docstring refers to:
 Bucket count rule of thumb at 100 TB: total edge bytes / ~256 MB,
 rounded to a power of two, and set spark.sql.shuffle.partitions to the
 same figure so the state side's exchange aligns with the bucket layout.
+Do NOT oversize: a join against a bucketed table pins its partition
+count to the bucket count and AQE cannot coalesce it, so every loop
+round schedules ``buckets`` tasks regardless of how little data the
+round carries — measured at sf0.1, a 20-round BFS against a ~20 MB
+edge table runs 2.8 s at 8 buckets but 5.1 s at 128 (pure scheduling
+floor), while the same table UNbucketed lets AQE shrink each round to
+1-2 tasks. Size buckets to the data, never above the parallelism one
+round's work can actually use (``tools/bench_bucketed.py``).
 """
 
 from __future__ import annotations

@@ -18,6 +18,21 @@ Writes ``BENCH_BUCKETED.json`` at the repo root and prints it. The
 acceptance bar (VERDICT r03): the bucketed shuffle-hash loops land
 within ~2x of broadcast mode at sf0.1 — evidence the 1e9-node path
 (where broadcast is impossible) has sane constants.
+
+Bucket-count sizing (the round-4 "bucketed BFS slower than plain
+shuffle-hash" anomaly, root-caused by a bucket-count sweep at sf0.1:
+plain 3.8s, 8 buckets 2.8s, 32 buckets 3.5s, 128 buckets 5.1s):
+a join against a bucketed table PINS its partition count to the bucket
+count and AQE cannot coalesce it, so every loop round schedules
+``buckets`` tasks even when the round's data is tiny — at toy scale a
+20-round BFS is pure task-scheduling floor, while the plain path's AQE
+coalesces each round to 1-2 tasks. PageRank, whose per-round shuffle
+carries real volume, won under bucketing even at 32. The rule (also in
+``plans/bucketing.py``): buckets ≈ edge bytes / ~256 MB on a cluster —
+sized to the DATA, never above the useful parallelism for one round's
+work. Default here is 8 (≈20 MB edge table at sf0.1); override with
+``$SPARK_GRAFT_BUCKETS``. Kernels are timed best-of-2 to keep one GC
+pause from deciding a 3-second comparison.
 """
 
 from __future__ import annotations
@@ -38,7 +53,7 @@ from icebug_spark.operators.traversal import bfs_distances  # noqa: E402
 from icebug_spark.plans.bucketing import write_bucketed_edges  # noqa: E402
 from icebug_spark.session import get_spark  # noqa: E402
 
-BUCKETS = 32
+BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", "8"))
 MODES = ("broadcast", "shuffle_hash", "bucketed")
 
 
@@ -90,9 +105,13 @@ def main() -> None:
                     ),
                 ),
             ):
-                t0 = time.time()
-                n = fn().count()
-                times[qname] = round(time.time() - t0, 2)
+                best = None
+                for _rep in range(2):
+                    t0 = time.time()
+                    n = fn().count()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                times[qname] = round(best, 2)
                 print(
                     f"# {mode}/{qname}: {times[qname]}s ({n} rows)",
                     file=sys.stderr,
