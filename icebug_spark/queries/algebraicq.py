@@ -3,8 +3,23 @@ reachability, cliques, randomization, max-flow (q64-q70)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Opt-in full-scale certificates: ``SPARK_GRAFT_FULLSCALE=1`` lifts the
+#: id caps below (and q97's instance caps in ``centralq``) so the
+#: uncapped code paths — hub-degree wedge fan-out, multi-augmentation
+#: max flow, deeper adaptive sampling — retain periodic oracle coverage.
+#: Read at import and interpolated into BOTH the Spark query and its SQL
+#: twin, so the comparison stays apples-to-apples either way. The
+#: routine sweep keeps the capped instances (identical code paths,
+#: ~10x less budget); run the slow variant occasionally:
+#:     SPARK_GRAFT_FULLSCALE=1 python tools/check_oracle.py \
+#:         /root/testdata/sf0.01 q65_algebraic_triangles \
+#:         q67_four_cliques q69_max_flow_hubs q97_kadabra_betweenness
+FULLSCALE = os.environ.get("SPARK_GRAFT_FULLSCALE") == "1"
 
 from icebug_spark.catalog import EU_SQL, EW_SQL, derived_edges, derived_weighted_edges, symmetrize, derived_edges_undirected
 from icebug_spark.operators.algebraic import algebraic_triangle_count
@@ -77,7 +92,7 @@ FROM tri, wed
 # q24 uses for the full graph), so the full sf0.01 graph costs ~15 s of
 # sweep budget for no extra coverage; the cap exercises the identical
 # mxm/e_wise code, mirrored in the oracle.
-_Q65_CAP = 500
+_Q65_CAP = 10**9 if FULLSCALE else 500
 
 
 def q65(spark: SparkSession, sf: str) -> DataFrame:
@@ -169,7 +184,7 @@ SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg
 
 # q69 — max flow between the two highest-multiplicity hubs (rows-only:
 # augmenting-path iteration has no SQL twin).
-_Q69_CAP = 400
+_Q69_CAP = 10**9 if FULLSCALE else 400
 
 
 def q69(spark: SparkSession, sf: str) -> DataFrame:
@@ -242,6 +257,9 @@ FROM s CROSS JOIN t
 
 
 # q70 — maximal-clique census (rows-only: BK enumeration).
+_Q70_CAP = 10**9 if FULLSCALE else 250
+
+
 def q70(spark: SparkSession, sf: str) -> DataFrame:
     """Maximal-clique certificate (enumeration has no SQL twin; the
     checkable claims): every emitted clique is COMPLETE (all member pairs
@@ -249,13 +267,13 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
     list) and MAXIMAL (no node outside is adjacent to all members), and
     the clique number is >= 3 iff the graph has a triangle (the triangle
     existence bit is recomputed by the oracle from the edge list). Runs on
-    the id-capped (<250) subgraph: ego-subgraph BK is quadratic in hub
+    the id-capped (_Q70_CAP) subgraph: ego-subgraph BK is quadratic in hub
     degree, and the uncapped sf0.01 graph (avg degree ~80) blows the
     applyInPandas shuffle; the cap keeps every ego subgraph bounded while
     exercising the identical code path (mirrored in the oracle)."""
     eu = (
         _eu(spark, sf)
-        .where((F.col("src") < 250) & (F.col("dst") < 250))
+        .where((F.col("src") < _Q70_CAP) & (F.col("dst") < _Q70_CAP))
         .localCheckpoint(eager=True)
     )
     mc = maximal_cliques(eu).localCheckpoint(eager=True)
@@ -305,7 +323,7 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q70_SQL = f"""
-WITH eu AS (SELECT * FROM ({EU_SQL}) WHERE src < 250 AND dst < 250),
+WITH eu AS (SELECT * FROM ({EU_SQL}) WHERE src < {_Q70_CAP} AND dst < {_Q70_CAP}),
 tri AS (
   SELECT 1 FROM eu a JOIN eu b ON b.src = a.dst AND b.dst > a.src
   JOIN eu c ON c.src = b.dst AND c.dst = a.src

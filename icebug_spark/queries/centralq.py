@@ -334,15 +334,21 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
     # Brandes over every node as truth, which scales with both the id cap
     # and the sampler's round budget — the smaller certificate instance
     # exercises the identical adaptive-sampling code for ~2.5x less sweep
-    # budget, and the bound formula is dimension-free.
+    # budget, and the bound formula is dimension-free. The pre-cap
+    # instance (120 nodes / 4 adaptive rounds — deeper convergence path)
+    # stays reachable via SPARK_GRAFT_FULLSCALE=1 (see queries/algebraicq
+    # for the periodic slow-sweep recipe).
+    from icebug_spark.queries.algebraicq import FULLSCALE
+
+    id_cap, rounds = (120, 4) if FULLSCALE else (80, 3)
     eu = (
         derived_edges_undirected(spark, sf)
-        .where((F.col("src") < 80) & (F.col("dst") < 80))
+        .where((F.col("src") < id_cap) & (F.col("dst") < id_cap))
         .localCheckpoint(eager=True)
     )
-    kb = kadabra_betweenness(eu, err=0.1, delta=0.1, max_rounds=3).localCheckpoint(
-        eager=True
-    )
+    kb = kadabra_betweenness(
+        eu, err=0.1, delta=0.1, max_rounds=rounds
+    ).localCheckpoint(eager=True)
     ids = [r[0] for r in eu.select(F.col("src").alias("id")).distinct().collect()]
     n = len(ids)
     exact = betweenness_sampled(eu, ids, max_hops=12).select(
