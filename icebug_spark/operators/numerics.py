@@ -24,7 +24,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from icebug_spark.plans.iterate import mirror
+from icebug_spark.plans.iterate import mirror, pin
 
 
 def _sym(edges_undirected: DataFrame) -> DataFrame:
@@ -104,7 +104,16 @@ def conjugate_gradient(
     n = deg.count()
 
     x = deg.select("id", F.lit(0.0).alias("x"))
-    r = b.select("id", F.col("x"))
+    # densify b over the FULL vertex set (missing ids = 0): the Jacobi
+    # step and every vector-vector join are inner joins on id, so a
+    # sparse b (effective_resistance passes just 2 rows) would silently
+    # restrict the whole iteration to b's support — CG then "converges"
+    # on the principal submatrix and returns x = alpha·D⁻¹b, not L⁺b.
+    r = pin(
+        deg.select("id")
+        .join(mirror(b.select("id", "x"), n), "id", "left")
+        .select("id", F.coalesce("x", F.lit(0.0)).alias("x"))
+    )
     # Jacobi preconditioner z = r / deg
     z = mirror(r, n).join(deg, "id").select(
         "id", (F.col("x") / F.col("deg")).alias("x")
@@ -114,13 +123,13 @@ def conjugate_gradient(
     b_norm = math.sqrt(_dot(b, b, n)) or 1.0
 
     for _ in range(max_iter):
-        lp = laplacian_mxv(eu, deg, p, n).localCheckpoint(eager=True)
+        lp = pin(laplacian_mxv(eu, deg, p, n))
         plp = _dot(p, lp, n)
         if abs(plp) < 1e-30:
             break
         alpha = rz / plp
-        x = _axpy(alpha, p, x).localCheckpoint(eager=True)
-        r = _axpy(-alpha, lp, r).localCheckpoint(eager=True)
+        x = pin(_axpy(alpha, p, x))
+        r = pin(_axpy(-alpha, lp, r))
         if math.sqrt(max(_dot(r, r, n), 0.0)) / b_norm < tol:
             break
         z = mirror(r, n).join(deg, "id").select(
@@ -129,7 +138,7 @@ def conjugate_gradient(
         rz_new = _dot(r, z, n)
         beta = rz_new / rz if rz else 0.0
         rz = rz_new
-        p = (_axpy(beta, p, z) if beta else z).localCheckpoint(eager=True)
+        p = pin(_axpy(beta, p, z) if beta else z)
 
     # pin to mean zero (nullspace of L is the constant vector)
     mean = x.agg(F.avg("x")).collect()[0][0] or 0.0

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from icebug_spark.operators.independent import luby_mis
+from icebug_spark.plans.iterate import pin
 
 
 def create_augmented_graph(
@@ -227,7 +228,10 @@ def gauss_seidel_relaxation(
         if x0 is not None
         else base.select("id", F.lit(0.0).alias("x"))
     )
-    x = x.localCheckpoint(eager=True)
+    # pin (stats-reset checkpoint): each class update references x twice
+    # (neighbor sum + left_anti carry-over), so inherited-stats digit
+    # counts would double per class update — see plans.iterate.pin.
+    x = pin(x)
     for _s in range(sweeps):
         for c in colors:
             cls = coloring.where(F.col("color") == c).select("id")
@@ -248,7 +252,5 @@ def gauss_seidel_relaxation(
                     ).alias("x"),
                 )
             )
-            x = (
-                x.join(cls, "id", "left_anti").unionByName(upd).localCheckpoint(eager=True)
-            )
+            x = pin(x.join(cls, "id", "left_anti").unionByName(upd))
     return x.select("id", "x")

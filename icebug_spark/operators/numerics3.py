@@ -39,50 +39,18 @@ from pyspark.sql import functions as F
 
 from icebug_spark.operators.matching import local_max_matching
 from icebug_spark.operators.numerics import _axpy, _dot, _sym, laplacian_mxv
-from icebug_spark.plans.iterate import mirror
+from icebug_spark.plans.iterate import mirror, pin
 
-
-def _pin(df: DataFrame) -> DataFrame:
-    """Pin a solver vector between V-cycle applications: eager
-    localCheckpoint, fully distributed, with the inherited plan stats
-    RESET to fresh leaf stats.
-
-    Why the reset: ``Dataset.localCheckpoint`` copies the source plan's
-    computed statistics onto the new ``LogicalRDD``
-    (``rewriteStatsAndConstraints``), and a join's ``sizeInBytes`` is the
-    BigInt PRODUCT of its children's — so its digit count is the SUM of
-    theirs. A solver that pins, joins the pinned frame 2-3× into the next
-    stage, and pins again therefore doubles-to-triples the stat's digit
-    count at every stage boundary: after ~100 pins (20 PCG cycles × ~6
-    pins/cycle) the BigInts themselves have 2^100-scale digit counts and
-    Catalyst's ``SizeInBytesOnlyStatsPlanVisitor`` OOMs the driver during
-    planning — by plan SHAPE, at n=40. Re-wrapping the checkpointed
-    RDD[InternalRow] in a fresh LogicalRDD (no stats rewrite) pins every
-    stage's stats at ``defaultSizeInBytes``: digit counts stay O(stage),
-    never compound. Join strategy is unaffected — every join against a
-    pinned vector goes through the explicit size-adaptive ``mirror``
-    hint (broadcast under the vertex cap, shuffle-hash past it), exactly
-    like BFS/CC/PageRank, so the solver never relied on inherited stats.
-
-    History: this used to round-trip small vectors through the driver
-    (toPandas → createDataFrame); the checkpointed path seemed 4-15x
-    slower per cycle, but the real cause was stat-less vectors planning
-    sort-merge joins — fixed by the ``mirror`` hints, which keep the
-    whole path distributed."""
-    spark = df.sparkSession
-    jdf = df._jdf.localCheckpoint(True)
-    try:
-        # fresh LogicalRDD over the SAME materialized InternalRow
-        # partitions — zero conversion, stats = defaultSizeInBytes
-        # (private[sql] is public at the bytecode level; Spark 3.0-4.x)
-        jnew = spark._jsparkSession.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
-    except Exception:
-        # public-API fallback: Row-typed round trip (one extra
-        # InternalRow↔Row conversion per partition, still distributed)
-        jnew = spark._jsparkSession.createDataFrame(jdf.toJavaRDD(), jdf.schema())
-    return DataFrame(jnew, spark)
+# Stage-boundary truncation with stats reset — see ``plans.iterate.pin``
+# for the full rationale (the round-4 regression: inherited-stats BigInt
+# digit counts compound multiplicatively across pins and OOM the driver
+# inside SizeInBytesOnlyStatsPlanVisitor at n=40 by plan shape alone).
+# History: this used to round-trip small vectors through the driver
+# (toPandas → createDataFrame); the checkpointed path seemed 4-15x
+# slower per cycle, but the real cause was stat-less vectors planning
+# sort-merge joins — fixed by the ``mirror`` hints at every vector join,
+# which keep the whole path distributed.
+_pin = pin
 
 
 def _level(eu: DataFrame):

@@ -63,6 +63,42 @@ def mirror(state: DataFrame, rows_bound: int) -> DataFrame:
     return F.broadcast(state)
 
 
+def pin(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint with the inherited plan statistics RESET to
+    fresh leaf stats — the stage-boundary truncation for SOLVER loops
+    whose stages join a vector against itself (directly or through an
+    MxV that references it twice).
+
+    Why not plain ``localCheckpoint``: Spark copies the source plan's
+    computed statistics onto the checkpointed ``LogicalRDD``, and a
+    join's ``sizeInBytes`` is the BigInt PRODUCT of its children's — its
+    digit count the SUM of theirs. A loop that pins, references the pin
+    2x in the next stage (every Laplacian MxV does), and pins again
+    DOUBLES the stat's digit count per stage; within ~100 stage
+    boundaries Catalyst's stats visitor is multiplying BigInts with
+    2^100-scale digit counts and the driver OOMs during planning — by
+    plan shape, independent of data size. Re-wrapping the checkpointed
+    RDD[InternalRow] in a fresh LogicalRDD (no stats rewrite) caps every
+    stage at ``defaultSizeInBytes``. Safe wherever every join against
+    the pinned frame carries an explicit ``mirror`` hint (all solver
+    vector joins do); plain loop states that rely on inherited stats for
+    auto-broadcast should keep using ``checkpoint``."""
+    spark = df.sparkSession
+    jdf = df._jdf.localCheckpoint(True)
+    try:
+        # fresh LogicalRDD over the SAME materialized InternalRow
+        # partitions — zero conversion (private[sql] is public at the
+        # bytecode level; Spark 3.0-4.x)
+        jnew = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+    except Exception:
+        # public-API fallback: Row-typed round trip (one extra
+        # InternalRow<->Row conversion per partition, still distributed)
+        jnew = spark._jsparkSession.createDataFrame(jdf.toJavaRDD(), jdf.schema())
+    return DataFrame(jnew, spark)
+
+
 #: test/debug hook: when set to a list, ``checkpoint`` appends each
 #: DataFrame's physical-plan string before truncating it. This exposes
 #: the PER-ROUND loop plans (join strategy, Exchange count, bucketed

@@ -1,0 +1,84 @@
+"""Conjugate gradient / commute time vs numpy pseudo-inverse.
+
+Regression coverage for the sparse-b truncation bug: every vector-vector
+step inside CG joins on id, so a right-hand side carrying only its
+nonzero rows (exactly what ``effective_resistance`` passes — 2 rows)
+used to restrict the whole iteration to b's support and "converge" on
+the principal submatrix. CG must densify b over the full vertex set.
+
+Parity targets: ``numerics/ConjugateGradient.hpp:25``,
+``distance/CommuteTimeDistance.hpp:24``,
+``centrality/SpanningEdgeCentrality.hpp:23``.
+"""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from icebug_spark.operators import numerics
+
+# 8-node graph: a 4-cycle bridged to a 4-star — small enough for exact
+# pinv truth, non-trivial enough that R_eff(u,v) differs from the
+# 2-node-submatrix answer the sparse-b bug used to produce.
+EDGES = [(0, 1), (1, 2), (2, 3), (3, 0), (3, 4), (4, 5), (4, 6), (4, 7), (5, 6)]
+N = 8
+
+
+def _pinv_L():
+    L = np.zeros((N, N))
+    for u, v in EDGES:
+        L[u, u] += 1
+        L[v, v] += 1
+        L[u, v] -= 1
+        L[v, u] -= 1
+    return L, np.linalg.pinv(L)
+
+
+def _edges_df(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long")
+
+
+def test_cg_sparse_b_matches_dense_b(spark):
+    """A 2-row b and its explicit dense twin must give the same solution."""
+    e = _edges_df(spark)
+    sparse = spark.createDataFrame([(0, 1.0), (7, -1.0)], "id long, x double")
+    dense = spark.createDataFrame(
+        [(i, {0: 1.0, 7: -1.0}.get(i, 0.0)) for i in range(N)],
+        "id long, x double",
+    )
+    xs = {r["id"]: r["x"] for r in numerics.conjugate_gradient(e, sparse, max_iter=60).collect()}
+    xd = {r["id"]: r["x"] for r in numerics.conjugate_gradient(e, dense, max_iter=60).collect()}
+    assert set(xs) == set(range(N))
+    for i in range(N):
+        assert abs(xs[i] - xd[i]) < 1e-8
+
+
+def test_commute_time_matches_pinv(spark):
+    L, Lp = _pinv_L()
+    vol = float(L.trace())
+    e = _edges_df(spark)
+    pairs = [(0, 7), (1, 4), (5, 6)]
+    got = {
+        (r["u"], r["v"]): r["commute_time"]
+        for r in numerics.commute_time_distances(e, pairs, max_iter=80).collect()
+    }
+    for u, v in pairs:
+        ev = np.zeros(N)
+        ev[u], ev[v] = 1.0, -1.0
+        exact = vol * float(ev @ Lp @ ev)
+        assert abs(got[(u, v)] - exact) < 1e-4, (u, v, got[(u, v)], exact)
+
+
+def test_spanning_edge_centrality_matches_pinv(spark):
+    _, Lp = _pinv_L()
+    e = _edges_df(spark)
+    out = numerics.spanning_edge_centrality(e, sample_edges=4, max_iter=80).collect()
+    assert out
+    for r in out:
+        ev = np.zeros(N)
+        ev[r["u"]], ev[r["v"]] = 1.0, -1.0
+        exact = float(ev @ Lp @ ev)  # unit weights: sec = w·R_eff = R_eff
+        assert abs(r["sec"] - exact) < 1e-4
+    # bridge (3,4) carries all cycle↔star current: R_eff must be ~1
+    bridge = [r for r in out if (r["u"], r["v"]) == (3, 4)]
+    if bridge:
+        assert abs(bridge[0]["sec"] - 1.0) < 1e-4
