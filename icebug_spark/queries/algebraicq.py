@@ -137,15 +137,34 @@ FROM reach GROUP BY source
 
 
 # q67 — 4-clique count (MaximalCliques/k-clique parity, join-ladder form).
-# Same id cap + rationale as q65: the join ladder fans out quadratically
-# in hub degree; the cap keeps the identical k_cliques path in budget.
+# Certificate instance: a deterministic ~35% ARITHMETIC edge sample
+# (pure integer hash, bit-identical in Spark and DuckDB), NOT an id cap.
+# The derived graph is a dense supplier core — every edge touches one of
+# ~100 hub suppliers — so any id window either hits the core (id<500
+# keeps 31k edges on 500 nodes and 526k 4-cliques; the 6-join oracle
+# alone ran 600+ s) or is empty (windows excluding suppliers have zero
+# edges, and degree-capping both endpoints empties it too). Edge
+# sampling thins hub degrees uniformly instead: 4-clique survival scales
+# as p^6, leaving a non-vacuous (~5k clique) instance that exercises the
+# identical k_cliques join ladder over the full id space in <1 s of
+# oracle time. FULLSCALE lifts the sample to the whole graph.
+_Q67_SAMPLE = (
+    "TRUE" if FULLSCALE else "((u*2654435761 + v*40503) % 100) < 35"
+)
+
+
 def q67(spark: SparkSession, sf: str) -> DataFrame:
-    eu = _eu(spark, sf).where((F.col("src") < _Q65_CAP) & (F.col("dst") < _Q65_CAP))
+    eu = _eu(spark, sf)
+    u, v = F.least("src", "dst"), F.greatest("src", "dst")
+    if not FULLSCALE:
+        eu = eu.where(
+            F.pmod(u * F.lit(2654435761) + v * F.lit(40503), F.lit(100)) < 35
+        )
     return k_cliques(eu, 4).agg(F.count(F.lit(1)).alias("n_4cliques"))
 
 
 Q67_SQL = f"""
-WITH ce AS (SELECT * FROM ({_CE_SQL}) WHERE u < {_Q65_CAP} AND v < {_Q65_CAP})
+WITH ce AS (SELECT * FROM ({_CE_SQL}) WHERE {_Q67_SAMPLE})
 SELECT COUNT(*) AS n_4cliques
 FROM ce e1
 JOIN ce e2 ON e2.u = e1.u AND e2.v > e1.v
