@@ -3,14 +3,16 @@
 Parity target: reference ``flow/EdmondsKarp.hpp:23`` with result API
 getMaxFlow:38 / getSourceSet / getFlow / getFlowVector (:38-87).
 
-Spark shape (SURVEY §2.9): the augmenting-path loop is inherently
-sequential (each augmentation changes the residual graph), so the driver
-loop runs one BFS per augmentation — each BFS is a distributed frontier
-expansion over the residual edges. Fine for moderate graphs; the loop
-count is bounded by O(VE) in theory but by maxflow/bottleneck in
-practice. The residual table is localCheckpoint'ed per round to keep
-lineage flat. For bulk all-pairs flow needs, prefer the Gomory-Hu-style
-sampling the reference also lacks.
+Spark shape (SURVEY §2.9): the augmenting loop is inherently sequential
+(each batch changes the residual graph), so the driver loop runs one BFS
+phase per round — a distributed frontier expansion over the residual
+edges that harvests ALL arc-disjoint shortest paths it finds (partial
+Dinic blocking flow) and applies them as one residual update. Round
+count is bounded by Dinic's O(V) phases rather than one-BFS-per-unit-of
+-flow; each phase is O(diameter) Spark jobs. The residual table is
+localCheckpoint'ed per round to keep lineage flat. For bulk all-pairs
+flow needs, prefer the Gomory-Hu-style sampling the reference also
+lacks.
 """
 
 from __future__ import annotations
@@ -19,44 +21,91 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _bfs_path(residual: DataFrame, source: int, sink: int, max_hops: int = 64):
-    """Shortest augmenting path in the residual graph (capacity > 0).
-    Returns list of (u, v) arcs, or None. The frontier carries the full
-    path as an array column; paths to sink are extracted on the driver
-    (one row)."""
+def _bfs_aug_paths(
+    residual: DataFrame,
+    source: int,
+    sink: int,
+    max_hops: int = 64,
+    max_paths: int = 64,
+):
+    """Shortest augmenting paths in the residual graph (capacity > 0).
+
+    Returns a list of (arcs, bottleneck) for a set of ARC-DISJOINT
+    shortest paths — a partial Dinic blocking-flow step. One BFS costs
+    O(diameter) Spark jobs, so harvesting every disjoint shortest path
+    it finds (instead of one path per BFS, Edmonds-Karp classic)
+    collapses unit-bottleneck instances from one BFS PER UNIT OF FLOW to
+    one BFS per level-graph phase. All harvested paths have the same
+    (shortest) length, so the Edmonds-Karp O(VE) argument still applies;
+    arc-disjointness makes simultaneous augmentation safe (each arc's
+    capacity is decreased only by the one path using it — reverse-arc
+    interactions only ADD capacity).
+
+    The frontier carries (path array, mincap). Each hop: one checkpoint
+    (keeps both the plan and the visited lineage flat — the step frame
+    is referenced three times) + one fused action reading frontier size
+    and up to ``max_paths`` sink-reaching candidates together."""
     spark = residual.sparkSession
-    arcs = residual.where(F.col("cap") > 1e-12).select("src", "dst")
+    arcs = residual.where(F.col("cap") > 1e-12).select("src", "dst", "cap")
     frontier = spark.createDataFrame([(source,)], "node BIGINT").select(
-        "node", F.array(F.col("node")).alias("path")
+        "node",
+        F.array(F.col("node")).alias("path"),
+        F.lit(float("inf")).alias("mincap"),
     )
     visited = frontier.select("node")
-    for _ in range(max_hops):
-        step = (
+    for _hop in range(max_hops):
+        expanded = (
             frontier.join(arcs, frontier.node == arcs.src)
-            .select(F.col("dst").alias("node"), F.concat("path", F.array("dst")).alias("path"))
+            .select(
+                F.col("dst").alias("node"),
+                F.concat("path", F.array("dst")).alias("path"),
+                F.least("mincap", "cap").alias("mincap"),
+            )
             .join(visited, "node", "left_anti")
         )
-        # one path per node suffices (BFS tree): pick lexicographically
-        # smallest for determinism
-        step = step.groupBy("node").agg(F.min("path").alias("path")).localCheckpoint(
-            eager=True
-        )
-        # one action per hop: frontier size + the sink's path together
-        # (the driver loop is job-submission-bound, not data-bound)
+        # one row per node continues the BFS (fattest path, deterministic
+        # tie-break); sink-reaching candidates are kept SEPARATELY — one
+        # per predecessor arc, fattest-first, bounded by max_paths
+        step = expanded.groupBy("node").agg(
+            F.max(F.struct("mincap", "path")).alias("best"),
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("node") == sink, F.struct("mincap", "path")
+                        )
+                    ),
+                    False,
+                ),
+                1,
+                max_paths,
+            ).alias("sink_paths"),
+        ).localCheckpoint(eager=True)
         agg = step.agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.min(F.when(F.col("node") == sink, F.col("path"))).alias("hit"),
+            F.max(F.when(F.col("node") == sink, F.col("sink_paths"))).alias("hits"),
         ).collect()[0]
         if agg["cnt"] == 0:
             return None
-        if agg["hit"] is not None:
-            p = agg["hit"]
-            return list(zip(p[:-1], p[1:]))
-        # steps are pairwise disjoint (anti-joined against visited), so a
-        # plain union needs no distinct; each step is checkpointed, so the
-        # visited lineage stays flat without its own checkpoint.
-        visited = visited.union(step.select("node"))
-        frontier = step
+        if agg["hits"]:
+            # greedy arc-disjoint selection, fattest first (driver-side:
+            # ≤ max_paths candidate paths of ≤ hop length each)
+            used: set[tuple[int, int]] = set()
+            out = []
+            for cand in agg["hits"]:
+                p = cand["path"]
+                cand_arcs = list(zip(p[:-1], p[1:]))
+                if any(a in used for a in cand_arcs):
+                    continue
+                used.update(cand_arcs)
+                out.append((cand_arcs, float(cand["mincap"])))
+            return out
+        visited = visited.union(
+            step.select("node")
+        )
+        frontier = step.select(
+            "node", F.col("best.path").alias("path"), F.col("best.mincap").alias("mincap")
+        )
     return None
 
 
@@ -84,20 +133,20 @@ def edmonds_karp(
     )
     max_flow = 0.0
     for _ in range(max_augmentations):
-        path = _bfs_path(residual, source, sink)
-        if path is None:
+        paths = _bfs_aug_paths(residual, source, sink)
+        if paths is None:
             break
-        path_df = spark.createDataFrame(path, "src BIGINT, dst BIGINT")
-        bottleneck = (
-            residual.join(path_df, ["src", "dst"], "leftsemi")
-            .agg(F.min("cap"))
-            .collect()[0][0]
-        )
-        max_flow += bottleneck
-        deltas = path_df.select("src", "dst", F.lit(-bottleneck).alias("d")).union(
-            path_df.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(bottleneck).alias("d")
-            )
+        # apply the whole arc-disjoint batch in ONE residual update:
+        # net delta per arc = Σ over paths (−b on used arc, +b on reverse)
+        delta_map: dict[tuple[int, int], float] = {}
+        for arcs_list, bottleneck in paths:
+            max_flow += bottleneck
+            for u, v in arcs_list:
+                delta_map[(u, v)] = delta_map.get((u, v), 0.0) - bottleneck
+                delta_map[(v, u)] = delta_map.get((v, u), 0.0) + bottleneck
+        deltas = spark.createDataFrame(
+            [(u, v, d) for (u, v), d in delta_map.items()],
+            "src BIGINT, dst BIGINT, d DOUBLE",
         )
         residual = (
             residual.join(deltas, ["src", "dst"], "left")

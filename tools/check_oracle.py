@@ -10,6 +10,15 @@ A full (unfiltered) sweep also writes ``CORRECTNESS_LOCAL.json`` at the
 repo root — per-query status + timing — as rotation insurance: the
 driver's per-round gate re-checks a subset, so this artifact is the
 committed all-green evidence for the rest of the registry.
+
+Concurrency: ``SPARK_GRAFT_SWEEP_JOBS`` (default 3) queries run at once.
+The registry's iterative graph queries are driver-latency-bound (many
+small sequential Spark jobs on tiny sf0.01 partitions), so interleaving
+them overlaps job-submission gaps instead of contending for cores —
+measured ~2x total wall at jobs=3 with per-query inflation well under
+the budget margin. Per-query ``secs`` are wall times UNDER that
+concurrency (recorded in the artifact as ``sweep_jobs``); set
+SPARK_GRAFT_SWEEP_JOBS=1 for isolated timings.
 """
 
 from __future__ import annotations
@@ -17,7 +26,9 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, ".")
 
@@ -43,6 +54,61 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 #: artifact before they can time out a full driver sweep.
 BUDGET_SECS = float(os.environ.get("SPARK_GRAFT_QUERY_BUDGET_SECS", "20"))
 
+SWEEP_JOBS = max(1, int(os.environ.get("SPARK_GRAFT_SWEEP_JOBS", "3")))
+
+_print_lock = threading.Lock()
+
+
+def _log(msg: str) -> None:
+    with _print_lock:
+        print(msg)
+
+
+def run_one(spark, con, sf_dir: str, name: str, fn, sql) -> dict:
+    """Run one query + oracle compare; returns the result record."""
+    t0 = time.time()
+
+    def record(status: str, detail: str | None = None, rows: int | None = None):
+        secs = round(time.time() - t0, 1)
+        if secs > BUDGET_SECS:
+            _log(f"OVER-BUDGET {name}: {secs}s > {BUDGET_SECS}s")
+        return {
+            "status": status,
+            "rows": rows,
+            "secs": secs,
+            "over_budget": secs > BUDGET_SECS,
+            "detail": detail,
+        }
+
+    try:
+        sdf = fn(spark, sf_dir).toPandas()
+    except Exception as exc:  # noqa: BLE001
+        _log(f"FAIL {name}: spark error: {exc}")
+        return record("fail", f"spark error: {str(exc)[:300]}")
+    if sql is None:
+        _log(f"rows-only {name}: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
+        return record("rows_only", rows=len(sdf))
+    try:
+        # cursor() gives this thread its own view of the shared catalog
+        odf = con.cursor().sql(sql).df()
+    except Exception as exc:  # noqa: BLE001
+        _log(f"FAIL {name}: duckdb error: {str(exc)[:300]}")
+        return record("fail", f"duckdb error: {str(exc)[:300]}")
+    s, o = normalize(sdf), normalize(odf)
+    if list(s.columns) != list(o.columns):
+        _log(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
+        return record("fail", f"columns {list(s.columns)} vs {list(o.columns)}")
+    if len(s) != len(o):
+        _log(f"FAIL {name}: rows {len(s)} vs {len(o)}")
+        return record("fail", f"rows {len(s)} vs {len(o)}")
+    try:
+        pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+        _log(f"PASS {name}: {len(s)} rows  [{time.time()-t0:.1f}s]")
+        return record("pass", rows=len(s))
+    except AssertionError as exc:
+        _log(f"FAIL {name}: value mismatch: {str(exc)[:400]}")
+        return record("fail", f"value mismatch: {str(exc)[:400]}")
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -52,67 +118,24 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    results: dict[str, dict] = {}
-    n_pass = n_fail = n_rows_only = 0
+    todo = [(n, fs) for n, fs in ALL.items() if not only or n in only]
     t_start = time.time()
-    for name, (fn, sql) in ALL.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-
-        def record(status: str, detail: str | None = None, rows: int | None = None):
-            secs = round(time.time() - t0, 1)
-            results[name] = {
-                "status": status,
-                "rows": rows,
-                "secs": secs,
-                "over_budget": secs > BUDGET_SECS,
-                "detail": detail,
+    results: dict[str, dict] = {}
+    if SWEEP_JOBS == 1:
+        for name, (fn, sql) in todo:
+            results[name] = run_one(spark, con, sf_dir, name, fn, sql)
+    else:
+        with ThreadPoolExecutor(max_workers=SWEEP_JOBS) as ex:
+            futs = {
+                name: ex.submit(run_one, spark, con, sf_dir, name, fn, sql)
+                for name, (fn, sql) in todo
             }
-            if secs > BUDGET_SECS:
-                print(f"OVER-BUDGET {name}: {secs}s > {BUDGET_SECS}s")
+            for name, fut in futs.items():
+                results[name] = fut.result()
 
-        try:
-            sdf = fn(spark, sf_dir).toPandas()
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {exc}")
-            record("fail", f"spark error: {str(exc)[:300]}")
-            n_fail += 1
-            continue
-        if sql is None:
-            print(f"rows-only {name}: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
-            record("rows_only", rows=len(sdf))
-            n_rows_only += 1
-            continue
-        try:
-            odf = con.sql(sql).df()
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {str(exc)[:300]}")
-            record("fail", f"duckdb error: {str(exc)[:300]}")
-            n_fail += 1
-            continue
-        s, o = normalize(sdf), normalize(odf)
-        if list(s.columns) != list(o.columns):
-            print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
-            record("fail", f"columns {list(s.columns)} vs {list(o.columns)}")
-            n_fail += 1
-            continue
-        if len(s) != len(o):
-            print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
-            record("fail", f"rows {len(s)} vs {len(o)}")
-            n_fail += 1
-            continue
-        try:
-            pd.testing.assert_frame_equal(
-                s, o, check_dtype=False, check_exact=True
-            )
-            print(f"PASS {name}: {len(s)} rows  [{time.time()-t0:.1f}s]")
-            record("pass", rows=len(s))
-            n_pass += 1
-        except AssertionError as exc:
-            print(f"FAIL {name}: value mismatch: {str(exc)[:400]}")
-            record("fail", f"value mismatch: {str(exc)[:400]}")
-            n_fail += 1
+    n_pass = sum(1 for v in results.values() if v["status"] == "pass")
+    n_fail = sum(1 for v in results.values() if v["status"] == "fail")
+    n_rows_only = sum(1 for v in results.values() if v["status"] == "rows_only")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     if not only:  # full sweep → commit-able artifact
         over = sorted(k for k, v in results.items() if v["over_budget"])
@@ -120,6 +143,7 @@ def main() -> int:
             "sf_dir": sf_dir,
             "total_secs": round(time.time() - t_start, 1),
             "budget_secs": BUDGET_SECS,
+            "sweep_jobs": SWEEP_JOBS,
             "n_over_budget": len(over),
             "over_budget": over,
             "n_pass": n_pass,
