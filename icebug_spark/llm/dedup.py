@@ -150,6 +150,38 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_df: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, band, bucket) — each doc's banded MinHash bucket keys
+    (r = num_hashes/bands signature rows hashed per band). Shared by the
+    batch LSH (``minhash_lsh_duplicates``) and the streaming incremental
+    dedup (``streaming.dedup.StreamingLshDedup``) so stream/batch
+    candidate parity holds by construction."""
+    sig = minhash_signatures(documents, n, num_hashes, shingle_df=shingle_df)
+    r = num_hashes // bands
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_duplicates(
     documents: DataFrame,
     n: int = 3,
@@ -168,24 +200,7 @@ def minhash_lsh_duplicates(
     One shingle table is materialized and shared by the signature build
     and the exact-verify stage — the corpus is tokenized once."""
     sh_all = shingles(documents, n).localCheckpoint(eager=True)
-    sig = minhash_signatures(documents, n, num_hashes, shingle_df=sh_all)
-    r = num_hashes // bands
-    band_rows = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)]).alias(
-                            "bucket"
-                        ),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    band_rows = band_buckets(documents, n, num_hashes, bands, shingle_df=sh_all)
     a = band_rows.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = band_rows.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     candidates = (

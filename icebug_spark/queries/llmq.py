@@ -535,8 +535,85 @@ HAVING COUNT(DISTINCT s.shingle) >= 2
 """
 
 
+def pii_scrub_q(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (``llm/scrub.py``) — full value oracle. The
+    synthetic corpus carries no organic PII, so the certificate INJECTS
+    deterministic doc_id-derived PII (emails/phones/IPs/SSNs/CCs on
+    overlapping doc_id moduli — varied per-doc combinations), then
+    scrubs; Spark's Java-regex chain and DuckDB's RE2 twin must agree on
+    every replaced byte and per-category count."""
+    from icebug_spark.llm.scrub import scrub_pii
+
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" user"), did, F.lit("@mail.example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" from 192.168."), (F.col("doc_id") % 256).cast("string"),
+                        F.lit("."), (F.col("doc_id") % 100).cast("string"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" ssn 987-65-4321")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" card 4111-1111-1111-1111")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(F.lit(" tel +1-555-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                        F.lit("-0199"))).otherwise(F.lit("")),
+    )
+    s = scrub_pii(d.select("doc_id", injected.alias("text")))
+    return s.select(
+        "doc_id", "text_scrubbed", "n_email", "n_cc", "n_ssn", "n_phone", "n_ipv4"
+    )
+
+
+_PII_INJECT_SQL = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' ssn 987-65-4321' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' card 4111-1111-1111-1111' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-0199'
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+PII_SCRUB_SQL = f"""
+WITH t0 AS ({_PII_INJECT_SQL}),
+t1 AS (SELECT doc_id,
+              len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS text
+       FROM t0),
+t2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(text, '\\b[0-9]{{4}}-[0-9]{{4}}-[0-9]{{4}}-[0-9]{{4}}\\b')) AS n_cc,
+              regexp_replace(text, '\\b[0-9]{{4}}-[0-9]{{4}}-[0-9]{{4}}-[0-9]{{4}}\\b', '<CC>', 'g') AS text
+       FROM t1),
+t3 AS (SELECT doc_id, n_email, n_cc,
+              len(regexp_extract_all(text, '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b')) AS n_ssn,
+              regexp_replace(text, '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b', '<SSN>', 'g') AS text
+       FROM t2),
+t4 AS (SELECT doc_id, n_email, n_cc, n_ssn,
+              len(regexp_extract_all(text, '\\+[0-9]{{1,3}}-[0-9]{{3}}-[0-9]{{3,4}}-[0-9]{{4}}\\b')) AS n_phone,
+              regexp_replace(text, '\\+[0-9]{{1,3}}-[0-9]{{3}}-[0-9]{{3,4}}-[0-9]{{4}}\\b', '<PHONE>', 'g') AS text
+       FROM t3),
+t5 AS (SELECT doc_id, n_email, n_cc, n_ssn, n_phone,
+              len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS n_ipv4,
+              regexp_replace(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IP>', 'g') AS text
+       FROM t4)
+SELECT doc_id, text AS text_scrubbed, n_email, n_cc, n_ssn, n_phone, n_ipv4
+FROM t5
+"""
+
+
 LLM = {
     "llm_dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "llm_pii_scrub": (pii_scrub_q, PII_SCRUB_SQL),
     "llm_dedup_clusters": (dedup_clusters_q, DEDUP_CLUSTERS_SQL),
     "llm_text_stats": (text_stats_q, textstats.TEXT_STATS_SQL),
     "llm_fingerprint": (fingerprint_q, textstats.FINGERPRINT_SQL),

@@ -161,3 +161,32 @@ def test_dedup_clusters_survivor_is_present_doc(spark):
     pairs = spark.createDataFrame([(5, 9), (9, 12)], "a BIGINT, b BIGINT")
     out = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in dedup_clusters(docs, pairs).collect()}
     assert out == {9: (9, True), 12: (9, False)}
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from icebug_spark.llm.scrub import scrub_pii, scrub_summary
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@corp.example.org now"),
+            (1, "card 4111-1111-1111-1111 and ssn 123-45-6789"),
+            (2, "call +1-555-123-4567 from 10.0.0.1 or 192.168.1.200"),
+            (3, "clean text, nothing to see"),
+            (4, "two mails x@y.io z@w.ai one ip 8.8.8.8"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[0]["text_scrubbed"] == "mail <EMAIL> now"
+    # CC masked BEFORE the SSN pattern can eat its tail
+    assert out[1]["text_scrubbed"] == "card <CC> and ssn <SSN>"
+    assert out[1]["n_cc"] == 1 and out[1]["n_ssn"] == 1
+    assert out[2]["text_scrubbed"] == "call <PHONE> from <IP> or <IP>"
+    assert out[2]["n_phone"] == 1 and out[2]["n_ipv4"] == 2
+    assert out[3]["text_scrubbed"] == "clean text, nothing to see"
+    assert all(out[3][f"n_{c}"] == 0 for c in ("email", "cc", "ssn", "phone", "ipv4"))
+    assert out[4]["n_email"] == 2 and out[4]["n_ipv4"] == 1
+
+    s = scrub_summary(docs).collect()[0]
+    assert s["total_email"] == 3 and s["total_ipv4"] == 3
+    assert s["n_docs_with_pii"] == 4 and s["n_docs"] == 5

@@ -1,0 +1,97 @@
+"""Streaming dedup vs batch-twin parity.
+
+The input corpus is split into several parquet files and streamed with
+maxFilesPerTrigger=1, so the incremental path really runs across
+multiple micro-batches (inter-batch state joins exercised), then the
+accumulated result is compared against the one-shot batch operator on
+the same rows.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from icebug_spark.llm import dedup as batch_dedup
+from icebug_spark.streaming.dedup import (
+    DOC_SCHEMA,
+    run_streaming_lsh_dedup,
+    streaming_exact_dedup,
+)
+
+DOCS = [
+    # three exact-dup groups (b == a modulo whitespace/case), plus near
+    # dups sharing most 3-shingles, plus unique docs
+    (0, "the quick brown fox jumps over the lazy dog", "en", "web", 43),
+    (1, "The  quick brown fox jumps over the lazy dog ", "en", "web", 45),
+    (2, "an entirely different document about spark engines", "en", "web", 50),
+    (3, "the quick brown fox jumps over the lazy cat", "en", "web", 43),
+    (4, "an entirely different document about spark engines", "en", "crawl", 50),
+    (5, "completely unrelated text with its own words here", "en", "web", 49),
+    (6, "the quick brown fox jumps over the lazy dog", "en", "crawl", 43),
+    (7, "another unique document mentioning nothing shared", "en", "web", 49),
+    (8, "an entirely different document about flink engines", "en", "web", 50),
+]
+
+
+@pytest.fixture()
+def doc_dir(spark, tmp_path):
+    p = str(tmp_path / "docs_stream")
+    df = spark.createDataFrame(DOCS, DOC_SCHEMA)
+    # 3 files -> 3 micro-batches at maxFilesPerTrigger=1
+    df.repartition(3, "doc_id").write.parquet(p)
+    return p
+
+
+def test_streaming_exact_dedup_matches_batch(spark, doc_dir, tmp_path):
+    out = (
+        streaming_exact_dedup(spark, doc_dir, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    out.awaitTermination()
+    got = spark.sql("SELECT * FROM dedup_sink").collect()
+    batch = batch_dedup.exact_duplicates(
+        spark.createDataFrame(DOCS, DOC_SCHEMA)
+    ).collect()
+    # one survivor per fingerprint group, fingerprints identical to batch
+    assert len(got) == len(batch)
+    assert {r["fp"] for r in got} == {r["fp"] for r in batch}
+    # every emitted doc is a member of its fp group in the batch manifest
+    batch_groups = {r["fp"]: r["n_copies"] for r in batch}
+    for r in got:
+        assert r["fp"] in batch_groups
+
+
+def test_streaming_lsh_pairs_match_batch_candidates(spark, doc_dir):
+    sink = run_streaming_lsh_dedup(
+        spark, doc_dir, n=3, num_hashes=16, bands=4, max_files_per_trigger=1
+    )
+    assert sink.n_batches >= 2, "stream must have run multiple micro-batches"
+    got = {(r["doc_a"], r["doc_b"]) for r in sink.pairs.collect()}
+
+    docs = spark.createDataFrame(DOCS, DOC_SCHEMA)
+    bb = batch_dedup.band_buckets(docs, n=3, num_hashes=16, bands=4)
+    a = bb.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = bb.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    expect = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    }
+    assert got == expect
+    # sanity: the exact-dup groups must be candidate pairs
+    assert (0, 1) in got and (0, 6) in got and (2, 4) in got
+
+
+def test_streaming_lsh_state_accumulates(spark, doc_dir):
+    sink = run_streaming_lsh_dedup(spark, doc_dir, max_files_per_trigger=1)
+    # state holds every doc x band
+    n_docs = sink.state.select("doc_id").distinct().count()
+    assert n_docs == len(DOCS)
+    assert sink.state.count() == len(DOCS) * 4
