@@ -15,10 +15,16 @@ from pyspark.sql import functions as F
 #: Read at import and interpolated into BOTH the Spark query and its SQL
 #: twin, so the comparison stays apples-to-apples either way. The
 #: routine sweep keeps the capped instances (identical code paths,
-#: ~10x less budget); run the slow variant occasionally:
-#:     SPARK_GRAFT_FULLSCALE=1 python tools/check_oracle.py \
+#: ~10x less budget); run the slow variant occasionally and commit the
+#: artifact (CORRECTNESS_FULLSCALE.json):
+#:     SPARK_GRAFT_FULLSCALE=1 SPARK_GRAFT_ARTIFACT=CORRECTNESS_FULLSCALE.json \
+#:         SPARK_GRAFT_QUERY_BUDGET_SECS=600 python tools/check_oracle.py \
 #:         /root/testdata/sf0.01 q65_algebraic_triangles \
-#:         q67_four_cliques q69_max_flow_hubs q97_kadabra_betweenness
+#:         q69_max_flow_hubs q97_kadabra_betweenness
+#: q67 is EXCLUDED from the fullscale list on purpose: its uncapped
+#: 6-way join oracle over the dense supplier core is hours-long in
+#: DuckDB (the capped id<500 core alone measured 629 s) — the ~35%
+#: arithmetic edge sample IS its tracked certificate variant.
 FULLSCALE = os.environ.get("SPARK_GRAFT_FULLSCALE") == "1"
 
 from icebug_spark.catalog import EU_SQL, EW_SQL, derived_edges, derived_weighted_edges, symmetrize, derived_edges_undirected

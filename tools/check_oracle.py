@@ -137,7 +137,10 @@ def main() -> int:
     n_fail = sum(1 for v in results.values() if v["status"] == "fail")
     n_rows_only = sum(1 for v in results.values() if v["status"] == "rows_only")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
-    if not only:  # full sweep → commit-able artifact
+    # SPARK_GRAFT_ARTIFACT names an artifact to write even for a
+    # filtered run — used for the slow FULLSCALE evidence sweep
+    forced = os.environ.get("SPARK_GRAFT_ARTIFACT")
+    if not only or forced:  # full sweep → commit-able artifact
         over = sorted(k for k, v in results.items() if v["over_budget"])
         artifact = {
             "sf_dir": sf_dir,
@@ -152,8 +155,10 @@ def main() -> int:
             "n_queries": len(results),
             "queries": results,
         }
+        if os.environ.get("SPARK_GRAFT_FULLSCALE") == "1":
+            artifact["fullscale"] = True
         out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "CORRECTNESS_LOCAL.json")
+                           forced or "CORRECTNESS_LOCAL.json")
         with open(out, "w") as f:
             json.dump(artifact, f, indent=1, sort_keys=True)
         print(f"wrote {out}")
