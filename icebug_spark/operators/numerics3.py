@@ -16,10 +16,15 @@ pointer-chasing pieces:
   Spark jobs), where LAMG's sequential Gauss-Seidel would cost one job
   per color class per sweep (the chromatic version exists as
   ``numerics2.gauss_seidel_relaxation`` for API parity);
-- interpolation: piecewise-constant prolongation over aggregates; LAMG's
-  energy-corrected interpolation and low-degree elimination stage are
-  dropped (documented divergence — they buy a constant factor in cycle
-  count, not correctness).
+- elimination: LAMG's low-degree elimination phase IS implemented
+  (``eliminate_low_degree`` — exact star-mesh Schur complement of an
+  independent low-degree set, ``MultiLevelSetup.hpp:278``), as a
+  single multi-stage phase before aggregation rather than re-run
+  between aggregation levels (documented simplification);
+- interpolation: piecewise-constant prolongation over aggregates;
+  LAMG's energy-corrected interpolation is dropped (documented
+  divergence — it buys a constant factor in cycle count, not
+  correctness).
 
 Setup is O(levels) matching+contraction passes (each one shuffle);
 each V-cycle is O(levels) smoother sweeps + one driver-side exact solve
@@ -63,6 +68,167 @@ def _level(eu: DataFrame):
     return eu, deg
 
 
+def eliminate_low_degree(
+    eu: DataFrame,
+    max_stages: int = 4,
+    min_elim_fraction: float = 0.01,
+    direct_solve_size: int = 128,
+):
+    """LAMG elimination phase (``MultiLevelSetup.hpp:278`` —
+    ``coarseningElimination`` / ``lowDegreeSweep`` /
+    ``eliminationOperators``), re-expressed distributed.
+
+    Per stage: pick an INDEPENDENT set F of low-degree nodes (reference:
+    Laplacian row nnz ≤ 4 incl. the diagonal ⇒ ≤ 3 neighbors at stage 0,
+    ≤ 4 later; independence makes A_FF diagonal), then eliminate F
+    EXACTLY via the star-mesh transform: node f's star becomes a clique
+    among its neighbors with weights w(c1,f)·w(c2,f)/deg(f) — the Schur
+    complement L_CC − L_CF·L_FF⁻¹·L_FC of a Laplacian is again a
+    Laplacian, and a degree-≤4 star fans out into ≤ 6 clique edges, so
+    the transform is a bounded-fan-out join, never a blow-up. The
+    reference's sequential greedy sweep becomes one local-min-hash round
+    (f ∈ F iff its hash-rank beats every low-degree neighbor) — a
+    deterministic parallel independent set, same guarantee (F
+    independent, all-low-degree), shuffle-count O(1) per stage.
+
+    Returns ``(eu_reduced, stages)``; each stage is ``(pq, fset)`` with
+    ``pq(f, c, p)`` the elimination operator row P[f,c] = w(f,c)/deg(f)
+    and q(f) = 1/deg(f) folded in as ``qv`` — everything solve-time
+    needs to restrict b (b'_c = b_c + Σ_f P[f,c]·b_f) and back-
+    substitute (x_f = q_f·b_f + Σ_c P[f,c]·x_c). Stages stop when F
+    would eliminate under ``min_elim_fraction`` of nodes (reference
+    SETUP_ELIMINATION_MIN_ELIM_FRACTION) or the level is already
+    direct-solvable."""
+    stages = []
+    for stage in range(max_stages):
+        deg = eu.groupBy(F.col("src").alias("id")).agg(
+            F.sum("weight").alias("deg"), F.count(F.lit(1)).alias("nnbr")
+        ).localCheckpoint(eager=True)
+        n = deg.count()
+        if n <= direct_solve_size:
+            break
+        thr = 3 + (1 if stage > 0 else 0)
+        low = deg.where(F.col("nnbr") <= thr).select("id")
+        # independence by local hash-rank: f survives iff no low-degree
+        # neighbor has a smaller (hash, id) key
+        rank = lambda c: F.xxhash64(F.lit(stage), c)  # noqa: E731
+        lowe = (
+            eu.join(low.withColumnRenamed("id", "src"), "src", "leftsemi")
+            .join(low.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+        )
+        losers = (
+            lowe.where(
+                (rank(F.col("dst")) < rank(F.col("src")))
+                | (
+                    (rank(F.col("dst")) == rank(F.col("src")))
+                    & (F.col("dst") < F.col("src"))
+                )
+            )
+            .select(F.col("src").alias("id"))
+            .distinct()
+        )
+        fset = low.join(losers, "id", "left_anti").localCheckpoint(eager=True)
+        nf = fset.count()
+        if nf <= min_elim_fraction * n or nf == 0:
+            break
+        if nf == n:  # never eliminate every node — keep one C node
+            keep = fset.orderBy("id").limit(1)
+            fset = fset.join(keep, "id", "left_anti").localCheckpoint(eager=True)
+            nf -= 1
+            if nf == 0:
+                break
+        # star rows (f, c, w) — every neighbor of an F node is a C node
+        # (F independent), carrying deg(f) for the operators
+        star = (
+            eu.join(fset.withColumnRenamed("id", "src"), "src", "leftsemi")
+            .join(
+                deg.select(F.col("id").alias("src"), F.col("deg").alias("fdeg")),
+                "src",
+            )
+            .select(
+                F.col("src").alias("f"),
+                F.col("dst").alias("c"),
+                "weight",
+                "fdeg",
+            )
+        )
+        pq = star.select(
+            "f",
+            "c",
+            (F.col("weight") / F.col("fdeg")).alias("p"),
+            (F.lit(1.0) / F.col("fdeg")).alias("qv"),
+        ).localCheckpoint(eager=True)
+        stages.append((pq, fset))
+        # star-mesh: clique among each f's neighbors + untouched C-C edges
+        a = pq.select("f", F.col("c").alias("c1"), F.col("p").alias("p1"))
+        b = star.select("f", F.col("c").alias("c2"), F.col("weight").alias("w2"))
+        clique = (
+            a.join(b, "f")
+            .where(F.col("c1") != F.col("c2"))
+            .select(
+                F.col("c1").alias("src"),
+                F.col("c2").alias("dst"),
+                (F.col("p1") * F.col("w2")).alias("weight"),
+            )
+        )
+        cc = (
+            eu.join(fset.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(fset.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .select("src", "dst", "weight")
+        )
+        eu = (
+            cc.unionByName(clique)
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+            .localCheckpoint(eager=True)
+        )
+    return eu, stages
+
+
+def elim_restrict(b: DataFrame, pq: DataFrame, fset: DataFrame, n: int) -> DataFrame:
+    """b'_c = b_c + Σ_f P[f,c]·b_f (exact restriction through one
+    elimination stage). Returns (b_reduced, b_f) — the caller keeps b_f
+    for back-substitution."""
+    bf = b.join(fset, "id", "leftsemi").localCheckpoint(eager=True)
+    contrib = (
+        pq.join(mirror(bf.withColumnRenamed("id", "f"), n), "f")
+        .groupBy(F.col("c").alias("id"))
+        .agg(F.sum(F.col("p") * F.col("x")).alias("x"))
+    )
+    bc = b.join(fset, "id", "left_anti")
+    reduced = (
+        bc.unionByName(contrib)
+        .groupBy("id")
+        .agg(F.sum("x").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    return reduced, bf
+
+
+def elim_prolong(
+    xc: DataFrame, bf: DataFrame, pq: DataFrame, n: int
+) -> DataFrame:
+    """x_f = q_f·b_f + Σ_c P[f,c]·x_c, then x = x_c ∪ x_f (exact
+    back-substitution through one elimination stage)."""
+    px = (
+        pq.join(
+            mirror(xc.withColumnRenamed("id", "c").withColumnRenamed("x", "xc"), n),
+            "c",
+        )
+        .groupBy(F.col("f").alias("id"))
+        .agg(F.sum(F.col("p") * F.col("xc")).alias("px"))
+    )
+    qb = (
+        pq.select("f", "qv").distinct()
+        .join(mirror(bf.withColumnRenamed("id", "f"), n), "f")
+        .select(F.col("f").alias("id"), (F.col("qv") * F.col("x")).alias("qb"))
+    )
+    xf = qb.join(px, "id", "left").select(
+        "id", (F.col("qb") + F.coalesce("px", F.lit(0.0))).alias("x")
+    )
+    return xc.unionByName(xf)
+
+
 def _jacobi(
     eu: DataFrame, deg: DataFrame, b: DataFrame, x: DataFrame | None,
     sweeps: int, n: int, omega: float = 2.0 / 3.0,
@@ -86,12 +252,23 @@ def lamg_hierarchy(
     edges_weighted_undirected: DataFrame,
     coarsest: int = 128,
     max_levels: int = 12,
+    elim_stages: int = 4,
 ) -> dict:
     """Build the multilevel hierarchy. Returns
-    ``{"levels": [(eu, deg, mapping), ...], "coarse": (ids, L)}``
-    where ``mapping`` maps this level's node ids to the NEXT level's
-    aggregate roots and ``coarse`` is the driver-side final Laplacian."""
+    ``{"elim": [(pq, fset), ...], "reduced_eu": eu,
+    "levels": [(eu, deg, mapping), ...], "coarse": (ids, L)}``
+    where ``elim`` holds the exact low-degree elimination stages
+    (reference ``MultiLevelSetup.hpp:247`` runs ELIMINATION before each
+    AGGREGATION; here one multi-stage elimination phase runs up front —
+    documented simplification: the re-elimination between aggregation
+    levels buys little once the low-degree fringe is gone), ``mapping``
+    maps a level's node ids to the NEXT level's aggregate roots and
+    ``coarse`` is the driver-side final Laplacian."""
     eu = _sym(edges_weighted_undirected).localCheckpoint(eager=True)
+    eu, elim = eliminate_low_degree(
+        eu, max_stages=elim_stages, direct_solve_size=coarsest
+    )
+    reduced_eu = eu
     levels = []
     for _l in range(max_levels):
         n = eu.select("src").distinct().count()
@@ -166,7 +343,12 @@ def lamg_hierarchy(
         i, j, w = idx[int(r["src"])], idx[int(r["dst"])], float(r["weight"])
         L[i, i] += w
         L[i, j] -= w
-    return {"levels": levels, "coarse": (ids, L)}
+    return {
+        "elim": elim,
+        "reduced_eu": reduced_eu,
+        "levels": levels,
+        "coarse": (ids, L),
+    }
 
 
 def _coarse_solve(hier: dict, b: DataFrame) -> DataFrame:
@@ -235,15 +417,24 @@ def lamg_solve(
     hier = hierarchy or lamg_hierarchy(
         edges_weighted_undirected, coarsest=coarsest, max_levels=max_levels
     )
+    b = b.select("id", "x").localCheckpoint(eager=True)
+    n_rows = b.count()
+    # exact low-degree elimination (restrict b through each stage; the
+    # per-stage b_f slices are kept for back-substitution after PCG)
+    elim = hier.get("elim", [])
+    bfs: list[DataFrame] = []
+    for pq, fset in elim:
+        b, bf = elim_restrict(b, pq, fset, n_rows)
+        bfs.append(bf)
     if hier["levels"]:
         eu, deg, _ = hier["levels"][0]
     else:
-        eu = _sym(edges_weighted_undirected).localCheckpoint(eager=True)
+        eu = hier.get("reduced_eu")
+        if eu is None:
+            eu = _sym(edges_weighted_undirected).localCheckpoint(eager=True)
         deg = eu.groupBy(F.col("src").alias("id")).agg(
             F.sum("weight").alias("deg")
         ).localCheckpoint(eager=True)
-    b = b.select("id", "x").localCheckpoint(eager=True)
-    n_rows = b.count()
     b_norm = math.sqrt(max(_dot(b, b, n_rows), 0.0)) or 1.0
 
     def _precond(res: DataFrame) -> DataFrame:
@@ -310,5 +501,8 @@ def lamg_solve(
             )
         )
     x = state.select("id", "x")
+    # exact back-substitution through the elimination stages, in reverse
+    for (pq, _fset), bf in reversed(list(zip(elim, bfs))):
+        x = _pin(elim_prolong(x, bf, pq, n_rows))
     mean = x.agg(F.avg("x")).collect()[0][0] or 0.0
     return x.select("id", (F.col("x") - F.lit(mean)).alias("x"))
