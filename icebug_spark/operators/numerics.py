@@ -47,16 +47,19 @@ def laplacian_mxv(
     checkpointed x has no stats and Catalyst sort-merges, reshuffling eu
     every solver iteration."""
     xm = x if rows_bound is None else mirror(x, rows_bound)
-    ax = (
-        eu.join(xm.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(F.col("src").alias("id"))
-        .agg(F.sum(F.col("weight") * F.col("x")).alias("ax"))
+    # ONE partial-aggregating shuffle: the D·x and −A·x contribution rows
+    # union before a single groupBy-sum (both feeder joins carry the
+    # broadcast/shuffle-hash mirror hint, so neither moves eu or deg).
+    # Missing-x ids are zero-extended — for the full-support vectors every
+    # solver maintains, identical to the old join form, minus one shuffle
+    # and the stat-less post-agg join it planned.
+    dx = deg.join(xm, "id").select(
+        "id", (F.col("deg") * F.col("x")).alias("x")
     )
-    return (
-        deg.join(xm, "id")
-        .join(ax, "id", "left")
-        .select("id", (F.col("deg") * F.col("x") - F.coalesce("ax", F.lit(0.0))).alias("x"))
+    ax = eu.join(xm.withColumnRenamed("id", "dst"), "dst").select(
+        F.col("src").alias("id"), (-F.col("weight") * F.col("x")).alias("x")
     )
+    return dx.unionByName(ax).groupBy("id").agg(F.sum("x").alias("x"))
 
 
 def _dot(a: DataFrame, b: DataFrame, rows_bound: int | None = None) -> float:

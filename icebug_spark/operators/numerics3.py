@@ -101,13 +101,24 @@ def eliminate_low_degree(
     direct-solvable."""
     stages = []
     for stage in range(max_stages):
+        thr = 3 + (1 if stage > 0 else 0)
         deg = eu.groupBy(F.col("src").alias("id")).agg(
             F.sum("weight").alias("deg"), F.count(F.lit(1)).alias("nnbr")
-        ).localCheckpoint(eager=True)
-        n = deg.count()
-        if n <= direct_solve_size:
+        )
+        # one-job probe: n and the low-degree candidate pool come from a
+        # single fused aggregate, and the stage only materializes its
+        # checkpoint cascade if the pool could clear the elimination
+        # fraction — the common non-engaging case (dense graphs, e.g.
+        # hub-heavy relational projections) costs ONE aggregate job.
+        # |F| ≤ n_low, so breaking on n_low is conservative-correct.
+        n, n_low = deg.agg(
+            F.count(F.lit(1)),
+            F.sum(F.when(F.col("nnbr") <= thr, 1).otherwise(0)),
+        ).collect()[0]
+        n_low = n_low or 0
+        if n <= direct_solve_size or n_low <= min_elim_fraction * n:
             break
-        thr = 3 + (1 if stage > 0 else 0)
+        deg = deg.localCheckpoint(eager=True)
         low = deg.where(F.col("nnbr") <= thr).select("id")
         # independence by local hash-rank: f survives iff no low-degree
         # neighbor has a smaller (hash, id) key
@@ -233,18 +244,41 @@ def _jacobi(
     eu: DataFrame, deg: DataFrame, b: DataFrame, x: DataFrame | None,
     sweeps: int, n: int, omega: float = 2.0 / 3.0,
 ) -> DataFrame:
-    """Damped Jacobi sweeps x ← x + ω·D⁻¹·(b − L·x); x=None starts from
-    the ω·D⁻¹·b half-step (zero initial guess). Lazy — the V-cycle is one
-    bounded-depth plan per application, checkpointed only at the PCG
-    level (each eager checkpoint is a full Spark job; at toy scale the
-    driver loop is job-submission-bound). ``n`` upper-bounds the vector
-    size for the mirror() hints."""
+    """Damped Jacobi sweeps x ← (1−ω)·x + ω·D⁻¹·b + ω·D⁻¹·A·x (the same
+    update as x + ω·D⁻¹·(b − L·x), distributed smarter): because D⁻¹ is
+    keyed by the groupBy key, every contribution row pre-scales by
+    ω/deg(id) and the WHOLE sweep collapses into ONE partial-aggregating
+    shuffle — three contribution row-sets (carry-over, loop-invariant
+    ω·D⁻¹·b, broadcast-joined neighbor term) union into a single
+    groupBy-sum. Was 3 shuffles/sweep (MxV agg + two axpy aggs); at
+    cluster scale that is 3× fewer exchanges of the n-sized vector per
+    sweep. Lazy — checkpointed only at the V-cycle/PCG level. ``n``
+    upper-bounds the vector size for the mirror() hints."""
+    degm = mirror(deg, n)
+    bd = mirror(b, n).join(degm, "id").select(
+        "id", (F.lit(omega) * F.col("x") / F.col("deg")).alias("x")
+    )
+    if x is None:  # zero initial guess: first sweep IS the b half-step
+        x = bd
+        sweeps -= 1
     for _s in range(sweeps):
-        r = b if x is None else _axpy(-1.0, laplacian_mxv(eu, deg, x, n), b)
-        step = mirror(r, n).join(deg, "id").select(
-            "id", (F.lit(omega) * F.col("x") / F.col("deg")).alias("x")
+        keep = x.select("id", (F.lit(1.0 - omega) * F.col("x")).alias("x"))
+        nbr = (
+            eu.join(mirror(x, n).withColumnRenamed("id", "dst"), "dst")
+            .join(degm.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("src").alias("id"),
+                (
+                    F.lit(omega) * F.col("weight") * F.col("x") / F.col("deg")
+                ).alias("x"),
+            )
         )
-        x = step if x is None else _axpy(1.0, step, x)
+        x = (
+            keep.unionByName(bd)
+            .unionByName(nbr)
+            .groupBy("id")
+            .agg(F.sum("x").alias("x"))
+        )
     return x
 
 
@@ -298,7 +332,13 @@ def lamg_hierarchy(
                 )
             ).alias("weight"),
         )
-        m = local_max_matching(jit)
+        # bounded rounds: aggregation does NOT need a MAXIMAL matching —
+        # any set of mutual-best pairs is a valid piecewise-constant
+        # aggregation (unmatched nodes stay singletons and coarsen at the
+        # next level), and the first 3 rounds capture the bulk of the
+        # pairs at a third of the driver round-trips; the stall guard
+        # below still catches pathological topologies.
+        m = local_max_matching(jit, max_rounds=3)
         # aggregate root = the smaller endpoint; unmatched nodes root themselves
         nodes = eu.select(F.col("src").alias("id")).distinct()
         roots = m.select(F.col("v").alias("id"), F.col("u").alias("agg"))
@@ -366,37 +406,55 @@ def _coarse_solve(hier: dict, b: DataFrame) -> DataFrame:
 
 
 def _vcycle(hier: dict, lvl: int, b: DataFrame, sweeps: int, n: int) -> DataFrame:
-    """One V-cycle level. Stage boundaries are PINNED (pre-smooth,
-    restricted residual, corrected iterate): a solver vector feeds the
-    next stage 2-3 times (residual, correction, warm start), and Spark's
-    analyzer CLONES duplicated subtrees for expr-id dedup — so an
-    unpinned composition makes both plan size and Catalyst's stats
-    estimation grow exponentially with stage depth (observed: BigInt
-    sizeInBytes products OOMing the driver during planning). Each pin is
-    one cheap job; the plan every stage submits stays O(one stage)."""
+    """One V-cycle level; the result is PINNED. Stage boundaries are
+    pinned (pre-smooth, restricted residual, returned post-smooth): a
+    solver vector feeds the next stage 2-3 times (residual, correction,
+    warm start), and Spark's analyzer CLONES duplicated subtrees for
+    expr-id dedup — so an unpinned composition makes both plan size and
+    Catalyst's stats estimation grow exponentially with stage depth
+    (observed: BigInt sizeInBytes products OOMing the driver during
+    planning). Pinning at the RETURN (instead of at the correction and
+    again in the caller) keeps the cross-level recursion boundary pinned
+    with one fewer job per level: the correction term is a lazy join
+    against the pinned coarse result, and the post-smooth references it
+    a bounded ≤4 subtree copies (exchange-reused), never compounding
+    across levels."""
     if lvl == len(hier["levels"]):
         return _coarse_solve(hier, b)
     eu, deg, mapping = hier["levels"][lvl]
     # pre-smooth from zero initial guess
     x = _pin(_jacobi(eu, deg, b, None, sweeps, n))
-    # residual r = b − L·x, restricted by aggregate sum (Pᵀ r)
-    lx = laplacian_mxv(eu, deg, x, n)
-    r = _axpy(-1.0, lx, b)
+    # residual r = b − L·x restricted by aggregate sum (Pᵀ r) in the SAME
+    # shuffle: every contribution row (b, −deg·x, +w·x_nb) keys to its
+    # aggregate root via a broadcast/mirror join BEFORE the single
+    # groupBy — one partial-aggregating exchange for residual+restrict
+    # (was three: MxV agg, axpy agg, restrict agg).
+    xm = mirror(x, n)
+    rb = b.select("id", "x")
+    rdx = deg.join(xm, "id").select(
+        "id", (-F.col("deg") * F.col("x")).alias("x")
+    )
+    rax = eu.join(xm.withColumnRenamed("id", "dst"), "dst").select(
+        F.col("src").alias("id"), (F.col("weight") * F.col("x")).alias("x")
+    )
     rc = (
-        mirror(r, n).join(mapping, "id")
+        rb.unionByName(rdx)
+        .unionByName(rax)
+        .join(mirror(mapping, n), "id")
         .groupBy(F.col("agg").alias("id"))
         .agg(F.sum("x").alias("x"))
     )
     rc = _pin(rc)
-    xc = _vcycle(hier, lvl + 1, rc, sweeps, n)
-    # prolong the correction (piecewise constant over aggregates)
+    xc = _vcycle(hier, lvl + 1, rc, sweeps, n)  # pinned by the recursion
+    # prolong the correction (piecewise constant over aggregates) — lazy:
+    # xc is pinned, so the corrected iterate is one union-agg above pins
     corr = mapping.join(
         mirror(xc.withColumnRenamed("id", "agg").withColumnRenamed("x", "c"), n),
         "agg",
     ).select("id", F.col("c").alias("x"))
-    x = _pin(_axpy(1.0, corr, x))
-    # post-smooth, warm-started at the corrected x (pinned by the caller)
-    return _jacobi(eu, deg, b, x, sweeps, n)
+    x = _axpy(1.0, corr, x)
+    # post-smooth, warm-started at the corrected x; pin the return
+    return _pin(_jacobi(eu, deg, b, x, sweeps, n))
 
 
 def lamg_solve(
@@ -439,11 +497,15 @@ def lamg_solve(
 
     def _precond(res: DataFrame) -> DataFrame:
         """One symmetric V-cycle, projected to mean zero (L's nullspace).
-        Checkpoint BEFORE the mean aggregate so the cycle's plan executes
-        exactly once."""
-        z = _pin(_vcycle(hier, 0, res, sweeps, n_rows))
-        mz = z.agg(F.avg("x")).collect()[0][0] or 0.0
-        return z.select("id", (F.col("x") - F.lit(mz)).alias("x"))
+        The cycle returns pinned, so the projection is a LAZY broadcast
+        crossJoin of the 1-row mean (no driver action — it rides whatever
+        job consumes z next, and the agg reads the pinned RDD, not the
+        cycle)."""
+        z = _vcycle(hier, 0, res, sweeps, n_rows)
+        mz = z.agg(F.avg("x").alias("mz"))
+        return z.crossJoin(F.broadcast(mz)).select(
+            "id", (F.col("x") - F.coalesce("mz", F.lit(0.0))).alias("x")
+        )
 
     # PCG with the V-cycle as preconditioner — LAMG's own acceleration
     # strategy (SolverLamg.hpp K-cycle + iterate recombination); the
@@ -473,10 +535,23 @@ def lamg_solve(
             eu, deg, state.select("id", F.col("p").alias("x")), n_rows
         ).withColumnRenamed("x", "lp")
         st = state.join(mirror(lp, n_rows), "id", "left").na.fill({"lp": 0.0})
-        plp, = st.agg(F.sum(F.col("p") * F.col("lp"))).collect()[0]
+        # ONE fused aggregate yields α AND the post-update residual norm
+        # algebraically: r⁺ = r − α·Lp ⇒ ‖r⁺‖² = r·r − 2α·r·Lp + α²·Lp·Lp
+        # — the convergence check costs no second job.
+        plp, rlp, lplp, rr0 = st.agg(
+            F.sum(F.col("p") * F.col("lp")),
+            F.sum(F.col("r") * F.col("lp")),
+            F.sum(F.col("lp") * F.col("lp")),
+            F.sum(F.col("r") * F.col("r")),
+        ).collect()[0]
         if plp is None or abs(plp) < 1e-300:
             break
         alpha = rz / plp
+        rr = (
+            (rr0 or 0.0)
+            - 2.0 * alpha * (rlp or 0.0)
+            + alpha * alpha * (lplp or 0.0)
+        )
         st = st.select(
             "id",
             (F.col("x") + F.lit(alpha) * F.col("p")).alias("x"),
@@ -484,7 +559,6 @@ def lamg_solve(
             "p",
         )
         st = _pin(st)
-        rr = st.agg(F.sum(F.col("r") * F.col("r"))).collect()[0][0] or 0.0
         if math.sqrt(max(rr, 0.0)) / b_norm < tol:
             state = st
             break
@@ -504,5 +578,10 @@ def lamg_solve(
     # exact back-substitution through the elimination stages, in reverse
     for (pq, _fset), bf in reversed(list(zip(elim, bfs))):
         x = _pin(elim_prolong(x, bf, pq, n_rows))
-    mean = x.agg(F.avg("x")).collect()[0][0] or 0.0
-    return x.select("id", (F.col("x") - F.lit(mean)).alias("x"))
+    # mean-zero pin as a lazy broadcast crossJoin — rides the caller's
+    # terminal action instead of costing a driver collect here (x sits
+    # above a pin, so the agg does not re-execute the solve)
+    mx = x.agg(F.avg("x").alias("mx"))
+    return x.crossJoin(F.broadcast(mx)).select(
+        "id", (F.col("x") - F.coalesce("mx", F.lit(0.0))).alias("x")
+    )

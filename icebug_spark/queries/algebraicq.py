@@ -376,13 +376,19 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
         .where((F.col("src") < 60) & (F.col("dst") < 60))
         .localCheckpoint(eager=True)
     )
-    deg = eu.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    hubs = [int(r["src"]) for r in deg.orderBy(F.desc("d"), "src").limit(2).collect()]
+    # ONE collect feeds hubs, the node list, AND the closed-form truth
+    # below — the certificate instance is 60 nodes by construction, and
+    # three separate driver actions were pure job-floor overhead
+    eu_rows = eu.collect()
+    import collections as _cl
+
+    _dcount: dict[int, int] = _cl.Counter(int(r["src"]) for r in eu_rows)
+    hubs = sorted(_dcount, key=lambda k: (-_dcount[k], k))[:2]
     u, v = hubs[0], hubs[1]
     # canonical one-direction edges: the solver symmetrizes internally,
     # so feeding both directions would double every Laplacian entry
     ew = eu.where(F.col("src") < F.col("dst")).withColumn("weight", F.lit(1.0))
-    nodes = sorted(int(r[0]) for r in eu.select("src").distinct().collect())
+    nodes = sorted(_dcount)
     b = spark.createDataFrame(
         [(u, 1.0), (v, -1.0)] + [(n, 0.0) for n in nodes if n not in (u, v)],
         "id BIGINT, x DOUBLE",
@@ -404,7 +410,7 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
     import collections
 
     adj = collections.defaultdict(list)
-    for row in eu.collect():  # eu carries both directions
+    for row in eu_rows:  # eu carries both directions
         s, t = int(row["src"]), int(row["dst"])
         adj[s].append(t)
         if s < t:  # count each undirected edge once, like the solver
