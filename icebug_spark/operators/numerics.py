@@ -96,8 +96,17 @@ def conjugate_gradient(
     (reference ``numerics/ConjugateGradient.hpp:25``). ``b`` must sum to 0
     (L is singular; solution pinned to mean-zero). Returns (id, x).
 
-    Each iteration: 1 MxV + 2 dot products + 2 axpy's — 3 shuffles keyed
-    by id; vectors localCheckpoint'ed to keep lineage flat."""
+    The four CG vectors ride ONE state frame (id, deg, x, r, p), and the
+    iteration costs exactly TWO driver actions: one fused scalar
+    aggregate (α's p·Lp plus the post-update ‖r⁺‖² and Jacobi-
+    preconditioned r⁺·z⁺, both derived algebraically from pre-update
+    sums: r⁺ = r − α·Lp distributes over Σ·², and z = r/deg makes
+    r·z = Σ r²/deg) and one pinning checkpoint of the updated state —
+    the search-direction update p⁺ = r⁺/deg + β·p folds into the same
+    projection. Was ~7 actions/iteration (MxV pin, three dot products,
+    three vector pins); on a cluster each action is a full barrier, so
+    this is the difference between 2 and 7 synchronization rounds per
+    CG step at any scale."""
     eu = _sym(edges_undirected).localCheckpoint(eager=True)
     deg = eu.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("deg"))
     deg = deg.localCheckpoint(eager=True)
@@ -106,46 +115,78 @@ def conjugate_gradient(
     # vertex cap (shuffle-hash past it) instead of stat-less sort-merges
     n = deg.count()
 
-    x = deg.select("id", F.lit(0.0).alias("x"))
-    # densify b over the FULL vertex set (missing ids = 0): the Jacobi
-    # step and every vector-vector join are inner joins on id, so a
-    # sparse b (effective_resistance passes just 2 rows) would silently
-    # restrict the whole iteration to b's support — CG then "converges"
-    # on the principal submatrix and returns x = alpha·D⁻¹b, not L⁺b.
-    r = pin(
-        deg.select("id")
-        .join(mirror(b.select("id", "x"), n), "id", "left")
-        .select("id", F.coalesce("x", F.lit(0.0)).alias("x"))
+    # densify b over the FULL vertex set (missing ids = 0): every state
+    # update keys on id, so a sparse b (effective_resistance passes just
+    # 2 rows) would silently restrict the whole iteration to b's support
+    # — CG then "converges" on the principal submatrix and returns
+    # x = alpha·D⁻¹b, not L⁺b. x₀ = 0, r₀ = b, p₀ = z₀ = D⁻¹·r₀.
+    bm = mirror(b.select("id", F.col("x").alias("bx")), n)
+    state = pin(
+        deg.join(bm, "id", "left").select(
+            "id",
+            "deg",
+            F.lit(0.0).alias("x"),
+            F.coalesce("bx", F.lit(0.0)).alias("r"),
+            (F.coalesce("bx", F.lit(0.0)) / F.col("deg")).alias("p"),
+        )
     )
-    # Jacobi preconditioner z = r / deg
-    z = mirror(r, n).join(deg, "id").select(
-        "id", (F.col("x") / F.col("deg")).alias("x")
-    )
-    p = z
-    rz = _dot(r, z, n)
-    b_norm = math.sqrt(_dot(b, b, n)) or 1.0
+    # one fused aggregate seeds rz = r·z = Σ r²/deg AND ‖b‖² (r₀ = b)
+    rz, bb = state.agg(
+        F.sum(F.col("r") * F.col("r") / F.col("deg")),
+        F.sum(F.col("r") * F.col("r")),
+    ).collect()[0]
+    rz = rz or 0.0
+    b_norm = math.sqrt(max(bb or 0.0, 0.0)) or 1.0
 
     for _ in range(max_iter):
-        lp = pin(laplacian_mxv(eu, deg, p, n))
-        plp = _dot(p, lp, n)
-        if abs(plp) < 1e-30:
+        lp = laplacian_mxv(
+            eu, deg, state.select("id", F.col("p").alias("x")), n
+        ).withColumnRenamed("x", "lp")
+        st = state.join(mirror(lp, n), "id", "left").na.fill({"lp": 0.0})
+        plp, rlp, lplp, rr0, rdlp, lpdlp = st.agg(
+            F.sum(F.col("p") * F.col("lp")),
+            F.sum(F.col("r") * F.col("lp")),
+            F.sum(F.col("lp") * F.col("lp")),
+            F.sum(F.col("r") * F.col("r")),
+            F.sum(F.col("r") * F.col("lp") / F.col("deg")),
+            F.sum(F.col("lp") * F.col("lp") / F.col("deg")),
+        ).collect()[0]
+        if plp is None or abs(plp) < 1e-30:
             break
         alpha = rz / plp
-        x = pin(_axpy(alpha, p, x))
-        r = pin(_axpy(-alpha, lp, r))
-        if math.sqrt(max(_dot(r, r, n), 0.0)) / b_norm < tol:
-            break
-        z = mirror(r, n).join(deg, "id").select(
-            "id", (F.col("x") / F.col("deg")).alias("x")
+        rr_new = (
+            (rr0 or 0.0)
+            - 2.0 * alpha * (rlp or 0.0)
+            + alpha * alpha * (lplp or 0.0)
         )
-        rz_new = _dot(r, z, n)
-        beta = rz_new / rz if rz else 0.0
+        rz_new = (
+            rz
+            - 2.0 * alpha * (rdlp or 0.0)
+            + alpha * alpha * (lpdlp or 0.0)
+        )
+        done = math.sqrt(max(rr_new, 0.0)) / b_norm < tol
+        beta = (rz_new / rz) if (rz and not done) else 0.0
+        rnew = F.col("r") - F.lit(alpha) * F.col("lp")
+        state = pin(
+            st.select(
+                "id",
+                "deg",
+                (F.col("x") + F.lit(alpha) * F.col("p")).alias("x"),
+                rnew.alias("r"),
+                (rnew / F.col("deg") + F.lit(beta) * F.col("p")).alias("p"),
+            )
+        )
         rz = rz_new
-        p = pin(_axpy(beta, p, z) if beta else z)
+        if done:
+            break
 
-    # pin to mean zero (nullspace of L is the constant vector)
-    mean = x.agg(F.avg("x")).collect()[0][0] or 0.0
-    return x.select("id", (F.col("x") - F.lit(mean)).alias("x"))
+    # pin to mean zero (nullspace of L is the constant vector) — lazy
+    # broadcast crossJoin; x sits above a pin, so no re-execution
+    x = state.select("id", "x")
+    mx = x.agg(F.avg("x").alias("mx"))
+    return x.crossJoin(F.broadcast(mx)).select(
+        "id", (F.col("x") - F.coalesce("mx", F.lit(0.0))).alias("x")
+    )
 
 
 def effective_resistance(
