@@ -70,6 +70,23 @@ def group_degree_greedy(eu: DataFrame, k: int = 5) -> DataFrame:
             .collect()
         )
         if not gains:
+            # coverage is total: every remaining pick has zero marginal
+            # gain — but the reference returns a group of EXACTLY k
+            # members regardless (``GroupDegree.hpp:38`` — k is "Size of
+            # the group"). Fill deterministically with the smallest node
+            # ids outside the group; the collect is k-bounded.
+            need = k - len(chosen)
+            fill = (
+                arcs.select(F.col("src").alias("id"))
+                .union(arcs.select(F.col("dst").alias("id")))
+                .distinct()
+                .join(group, "id", "left_anti")
+                .orderBy("id")
+                .limit(need)
+                .collect()
+            )
+            for j, frow in enumerate(fill):
+                chosen.append((int(frow["id"]), 0, rnd + j))
             break
         best, gain = int(gains[0]["src"]), int(gains[0]["gain"])
         chosen.append((best, gain, rnd))
@@ -124,6 +141,16 @@ def group_harmonic_greedy(eu: DataFrame, k: int = 5, max_hops: int = 16) -> Data
             )
         top = scores.orderBy(F.col("score").desc(), "c").limit(1).collect()
         if not top or top[0]["score"] <= 0:
+            # saturated: no remaining candidate improves Σ 1/d(v,S) — but
+            # the reference returns a group of EXACTLY k members
+            # (``GroupHarmonicCloseness.hpp`` — k is the group size).
+            # Fill deterministically with the smallest unchosen pool ids
+            # at zero marginal gain.
+            remaining = sorted(set(pool) - {c for c, _g, _r in chosen})
+            for fill_rnd in range(rnd, k):
+                if not remaining:
+                    break
+                chosen.append((remaining.pop(0), 0.0, fill_rnd))
             break
         best, gain = int(top[0]["c"]), float(top[0]["score"])
         chosen.append((best, round(gain, 6), rnd))

@@ -85,6 +85,14 @@ def seir_simulation(
             )
             .localCheckpoint(eager=True)
         )
+    # extinction (E = I = 0) is an absorbing state: the early break above
+    # skips the dead simulation work, but the census contract is still
+    # `steps` rows (the reference's census is fixed-length), so pad the
+    # remaining steps with the final compartment counts.
+    if census and len(census) < steps:
+        last = census[-1]
+        for pad_step in range(len(census), steps):
+            census.append((pad_step, last[1], last[2], last[3], last[4]))
     return spark.createDataFrame(
         census,
         "step INT, n_susceptible BIGINT, n_exposed BIGINT, n_infectious BIGINT, n_recovered BIGINT",

@@ -111,7 +111,10 @@ def run_one(spark, con, sf_dir: str, name: str, fn, sql) -> dict:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # default matches the driver gate's scale (sf0.01) — the committed
+    # CORRECTNESS_LOCAL artifact must certify the same instances the gate
+    # re-checks
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -157,8 +160,16 @@ def main() -> int:
         }
         if os.environ.get("SPARK_GRAFT_FULLSCALE") == "1":
             artifact["fullscale"] = True
+        # gate-scale (sf0.01) full sweeps own CORRECTNESS_LOCAL.json; a
+        # full sweep at any OTHER scale writes a scale-suffixed artifact
+        # (cross-scale robustness evidence) instead of clobbering it
+        default_name = (
+            "CORRECTNESS_LOCAL.json"
+            if sf_dir.rstrip("/").endswith("sf0.01")
+            else f"CORRECTNESS_{os.path.basename(sf_dir.rstrip('/'))}.json"
+        )
         out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           forced or "CORRECTNESS_LOCAL.json")
+                           forced or default_name)
         with open(out, "w") as f:
             json.dump(artifact, f, indent=1, sort_keys=True)
         print(f"wrote {out}")
