@@ -304,10 +304,21 @@ def lamg_hierarchy(
     )
     reduced_eu = eu
     levels = []
+    prev_n = None
     for _l in range(max_levels):
         n = eu.select("src").distinct().count()
         if n <= coarsest:
             break
+        # coarsening-stall guard (reference MultiLevelSetup monitors the
+        # coarsening fraction the same way): hub-star topologies lose one
+        # matched pair per level, so grinding more matching+contraction
+        # levels at <10% reduction each is pure setup cost AND deepens
+        # every later V-cycle — stop and let the size-guarded direct
+        # solve below take the remainder (or raise, identically to the
+        # exhausted-max_levels path).
+        if prev_n is not None and n > 0.9 * prev_n:
+            break
+        prev_n = n
         # tie-jitter the matching weights (symmetric per undirected edge):
         # on equal weights local-max's deterministic tie-break forms a
         # sequential chain (O(n) rounds on a path); a multiplicative hash
