@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from icebug_spark.plans.iterate import iterate
+from icebug_spark.plans.iterate import iterate, mirror
 
 
 def katz_centrality(
@@ -22,22 +22,27 @@ def katz_centrality(
     """Katz: x ← α·Aᵀx + β iterated a fixed number of rounds (reference
     KatzCentrality.hpp:29 runs to tolerance; fixed rounds keep the DuckDB
     oracle expressible). Scores not normalized. → (id, katz) 6dp."""
-    e = edges.select("src", "dst")
+    # loop-invariant edge projection materialized ONCE — without this
+    # every round's action re-reads the source scan
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n = nodes.count()
     x = nodes.withColumn("katz", F.lit(float(beta)))
 
     def step(cur: DataFrame, _i: int) -> DataFrame:
         contrib = (
-            e.join(cur.withColumnRenamed("id", "src"), "src")
+            # node-bounded state: mirror() broadcasts under the vertex cap
+            # (shuffle-hash past it) so the m-sized edge table never moves
+            e.join(mirror(cur, n).withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("katz").alias("c"))
         )
-        return nodes.join(contrib, "id", "left").select(
+        return nodes.join(mirror(contrib, n), "id", "left").select(
             "id",
             (F.lit(float(beta)) + F.lit(alpha) * F.coalesce("c", F.lit(0.0))).alias("katz"),
         )
@@ -54,16 +59,19 @@ def eigenvector_centrality(
     iteration, which oscillates on bipartite graphs; the +I shift keeps
     the same principal eigenvector and always converges). →
     (id, eigen) 6dp."""
-    eu = edges_undirected.select("src", "dst")
+    # loop-invariant edge projection materialized ONCE
+    eu = edges_undirected.select("src", "dst").localCheckpoint(eager=True)
     nodes = eu.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
     x = nodes.withColumn("v", F.lit(1.0))
     for _ in range(max_iter):
         nb = (
-            eu.join(x.withColumnRenamed("id", "src"), "src")
+            # mirror() so the edge table stays in place every round
+            eu.join(mirror(x, n).withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("v").alias("nbsum"))
         )
-        y = x.join(nb, "id", "left").select(
+        y = x.join(mirror(nb, n), "id", "left").select(
             "id", (F.col("v") + F.coalesce("nbsum", F.lit(0.0))).alias("y")
         )
         # Norm folded into the plan (broadcast 1-row cross join) — one
