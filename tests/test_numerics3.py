@@ -142,3 +142,33 @@ def test_lamg_elimination_plus_aggregation_matches_pinv(spark):
     assert len(x) == n
     for i in range(n):
         assert x[i] == pytest.approx(exp[i], abs=1e-5)
+
+
+def test_lamg_star_stall_guard_matches_pinv(spark):
+    """A star stalls matching-based coarsening (one matched pair per
+    level). With elimination disabled, the stall guard must stop
+    aggregating after the <10%-reduction level instead of grinding
+    max_levels, and the size-guarded direct coarse solve still yields
+    the exact pseudo-inverse solution."""
+    n = 41  # hub 0 + 40 leaves
+    edges = [(0, i, 1.0) for i in range(1, n)]
+    g = Graph.from_edge_list(spark, edges, directed=False, weighted=True)
+    hier = lamg_hierarchy(g.edges, coarsest=4, max_levels=12, elim_stages=0)
+    assert len(hier["levels"]) <= 2, "stall guard must stop early on a star"
+    b = spark.createDataFrame(
+        [(0, 1.0), (n - 1, -1.0)] + [(i, 0.0) for i in range(1, n - 1)],
+        "id BIGINT, x DOUBLE",
+    )
+    x = {
+        r["id"]: r["x"]
+        for r in lamg_solve(
+            g.edges, b, tol=1e-9, max_cycles=20, hierarchy=hier
+        ).collect()
+    }
+    exp = np.linalg.pinv(_laplacian(n, edges)) @ np.array(
+        [1.0] + [0.0] * (n - 2) + [-1.0]
+    )
+    exp -= exp.mean()
+    assert len(x) == n
+    for i in range(n):
+        assert x[i] == pytest.approx(exp[i], abs=1e-6)
