@@ -40,9 +40,11 @@ def local_max_matching(
     )
     spark = edges_weighted.sparkSession
     matched = []
-    for _ in range(max_rounds):
-        if canon.limit(1).count() == 0:
-            break
+    for rnd in range(max_rounds):
+        # the first round's input is the caller's (non-degenerate) edge
+        # set and later rounds break below when the residual empties, so
+        # no separate emptiness probe is needed — every skipped probe is
+        # one fewer driver round-trip
         both = canon.select(F.col("u").alias("id"), "u", "v", "weight").union(
             canon.select(F.col("v").alias("id"), "u", "v", "weight")
         )
@@ -62,6 +64,8 @@ def local_max_matching(
         if mutual.limit(1).count() == 0:
             break
         matched.append(mutual)
+        if rnd + 1 == max_rounds:
+            break  # the residual rebuild below would never be consumed
         used = mutual.select(F.col("u").alias("id")).union(
             mutual.select(F.col("v").alias("id"))
         ).distinct()
@@ -71,6 +75,8 @@ def local_max_matching(
             .select("u", "v", "weight")
             .localCheckpoint(eager=True)
         )
+        if canon.limit(1).count() == 0:
+            break
     if not matched:
         return spark.createDataFrame([], "u long, v long, weight double")
     out = matched[0]

@@ -8,13 +8,18 @@ coarse, prolong the correction, smooth again. The distributed
 re-expression keeps that load-bearing structure and substitutes the
 pointer-chasing pieces:
 
-- aggregation: local-max matching contraction (``operators/matching.py``)
-  instead of LAMG's affinity-table aggregation — same geometric coarsening
-  rate (≥ ~½ per level on bounded-degree graphs), pure joins;
+- aggregation: AFFINITY-GUIDED local-max matching contraction — the
+  reference's test-vector affinity (``computeAffinityMatrix``,
+  ``MultiLevelSetup.hpp:604``; TV_NUM=4 random ±1 vectors relaxed by
+  homogeneous Jacobi, ``LAMGSettings.hpp:16``) weights a distributed
+  mutual-best matching (``operators/matching.py``) in place of the
+  sequential energy-corrected seed-greedy — same coupling signal, same
+  geometric coarsening rate, pure joins (TVs relaxed once, root-
+  restricted per level exactly like the reference's tv[i] = tv[seed]);
 - smoother: damped Jacobi (ω = 2/3) — the canonical parallel AMG
-  smoother: one Laplacian MxV + one scaled correction per sweep (3
-  Spark jobs), where LAMG's sequential Gauss-Seidel would cost one job
-  per color class per sweep (the chromatic version exists as
+  smoother, fused to ONE partial-aggregating shuffle per sweep, where
+  LAMG's sequential Gauss-Seidel would cost one job per color class
+  per sweep (the chromatic version exists as
   ``numerics2.gauss_seidel_relaxation`` for API parity);
 - elimination: LAMG's low-degree elimination phase IS implemented
   (``eliminate_low_degree`` — exact star-mesh Schur complement of an
@@ -22,9 +27,10 @@ pointer-chasing pieces:
   single multi-stage phase before aggregation rather than re-run
   between aggregation levels (documented simplification);
 - interpolation: piecewise-constant prolongation over aggregates;
-  LAMG's energy-corrected interpolation is dropped (documented
-  divergence — it buys a constant factor in cycle count, not
-  correctness).
+  LAMG's energy-corrected interpolation COEFFICIENTS are dropped
+  (documented divergence — a constant factor in cycle count, not
+  correctness; the affinity machinery above captures the aggregate-
+  selection half of that design).
 
 Setup is O(levels) matching+contraction passes (each one shuffle);
 each V-cycle is O(levels) smoother sweeps + one driver-side exact solve
@@ -282,6 +288,85 @@ def _jacobi(
     return x
 
 
+def _tv_relax(
+    eu: DataFrame, deg: DataFrame, n: int, k: int = 4, sweeps: int = 3,
+    seed: int = 17, omega: float = 2.0 / 3.0,
+) -> DataFrame:
+    """k test vectors for affinity-guided aggregation (reference
+    ``MultiLevelSetup.hpp`` TVs): seed deterministic ±1 vectors by node
+    hash and relax with ``sweeps`` homogeneous damped-Jacobi sweeps
+    (b = 0), so each vector approximates the algebraically smooth error
+    the coarse grid must represent. All k vectors ride ONE frame
+    (id, t0..t{k-1}) — one fused partial-aggregating shuffle per sweep,
+    the same single-exchange shape as ``_jacobi``."""
+    cols = [f"t{i}" for i in range(k)]
+    degm = mirror(deg, n)
+    tv = deg.select(
+        "id",
+        *[
+            F.when(
+                F.pmod(F.xxhash64("id", F.lit(seed + i)), F.lit(2)) == 0,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias(c)
+            for i, c in enumerate(cols)
+        ],
+    )
+    for _s in range(sweeps):
+        keep = tv.select(
+            "id", *[(F.lit(1.0 - omega) * F.col(c)).alias(c) for c in cols]
+        )
+        nbr = (
+            eu.join(mirror(tv, n).withColumnRenamed("id", "dst"), "dst")
+            .join(degm.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("src").alias("id"),
+                *[
+                    (
+                        F.lit(omega) * F.col("weight") * F.col(c) / F.col("deg")
+                    ).alias(c)
+                    for c in cols
+                ],
+            )
+        )
+        tv = (
+            keep.unionByName(nbr)
+            .groupBy("id")
+            .agg(*[F.sum(c).alias(c) for c in cols])
+        )
+    return tv.localCheckpoint(eager=True)
+
+
+def _affinity_edges(eu: DataFrame, tv: DataFrame, n: int) -> DataFrame:
+    """Per-edge TV affinity (reference
+    ``MultiLevelSetup::computeAffinityMatrix``, ``MultiLevelSetup.hpp:604``):
+    aff(i,j) = (Σ_k t_k[i]·t_k[j])² / (Σ_k t_k[i]² · Σ_k t_k[j]²) — high
+    when the smooth error is proportional across the edge, i.e. the two
+    nodes belong in one aggregate. Two broadcast/mirror joins, no
+    shuffle. Returned as (src, dst, weight) for the matching."""
+    cols = [c for c in tv.columns if c != "id"]
+    k = len(cols)
+    s = tv.select(
+        F.col("id").alias("src"), *[F.col(c).alias(f"s{i}") for i, c in enumerate(cols)]
+    )
+    d = tv.select(
+        F.col("id").alias("dst"), *[F.col(c).alias(f"d{i}") for i, c in enumerate(cols)]
+    )
+    ij = sum(F.col(f"s{i}") * F.col(f"d{i}") for i in range(k))
+    ns = sum(F.col(f"s{i}") * F.col(f"s{i}") for i in range(k))
+    nd = sum(F.col(f"d{i}") * F.col(f"d{i}") for i in range(k))
+    return (
+        eu.join(mirror(s, n), "src")
+        .join(mirror(d, n), "dst")
+        .select(
+            "src",
+            "dst",
+            ((ij * ij) / (ns * nd + F.lit(1e-300))).alias("weight"),
+        )
+    )
+
+
 def lamg_hierarchy(
     edges_weighted_undirected: DataFrame,
     coarsest: int = 128,
@@ -305,6 +390,7 @@ def lamg_hierarchy(
     reduced_eu = eu
     levels = []
     prev_n = None
+    tv = None  # test vectors, relaxed once then root-restricted per level
     for _l in range(max_levels):
         n = eu.select("src").distinct().count()
         if n <= coarsest:
@@ -319,13 +405,27 @@ def lamg_hierarchy(
         if prev_n is not None and n > 0.9 * prev_n:
             break
         prev_n = n
+        # affinity-guided aggregation (reference parity: the seed-greedy
+        # of ``MultiLevelSetup::aggregationStage`` picks aggregates by TV
+        # affinity, not raw edge weight): relax the test vectors ONCE on
+        # the finest aggregation level, restrict them to the aggregate
+        # roots after each level (the reference's tv[i] = tv[seed]), and
+        # weight THIS level's matching by per-edge affinity. Contraction
+        # below still sums TRUE edge weights — affinity only steers WHICH
+        # nodes aggregate.
+        if tv is None:
+            deg_f = eu.groupBy(F.col("src").alias("id")).agg(
+                F.sum("weight").alias("deg")
+            )
+            tv = _tv_relax(eu, deg_f, n)
+        aff = _affinity_edges(eu, tv, n)
         # tie-jitter the matching weights (symmetric per undirected edge):
-        # on equal weights local-max's deterministic tie-break forms a
+        # on equal affinities local-max's deterministic tie-break forms a
         # sequential chain (O(n) rounds on a path); a multiplicative hash
         # jitter restores the O(log n) expected round count, and ANY
-        # maximal matching is a valid aggregation (heavier edges still
-        # dominate — the jitter is 1e-6-relative).
-        jit = eu.select(
+        # maximal matching is a valid aggregation (stronger affinities
+        # still dominate — the jitter is 1e-6-relative).
+        jit = aff.select(
             "src",
             "dst",
             (
@@ -372,6 +472,13 @@ def lamg_hierarchy(
             break
         eu_l, deg_l = _level(eu)
         levels.append((eu_l, deg_l, mapping))
+        # restrict the test vectors to the aggregate roots (reference:
+        # tv[i] = tv[seed] — the coarse node inherits its root's values),
+        # so deeper levels reuse the one relaxation. Lazy: a semi-join
+        # over the PINNED tv frame rides the next level's matching job.
+        tv = tv.join(
+            mapping.select(F.col("agg").alias("id")).distinct(), "id", "leftsemi"
+        )
         eu = coarse
     # coarsest: exact driver-side pseudo-inverse solve — size-guarded:
     # coarsening can stall on hub topologies (a star loses one pair per
