@@ -562,7 +562,12 @@ def _vcycle(hier: dict, lvl: int, b: DataFrame, sweeps: int, n: int) -> DataFram
         .groupBy(F.col("agg").alias("id"))
         .agg(F.sum("x").alias("x"))
     )
-    rc = _pin(rc)
+    # the pin guards rc against multi-reference plan growth at the NEXT
+    # level — but when the next level is the driver coarse solve, rc is
+    # consumed exactly once by an immediate collect, so the pin would be
+    # a pure extra job
+    if lvl + 1 < len(hier["levels"]):
+        rc = _pin(rc)
     xc = _vcycle(hier, lvl + 1, rc, sweeps, n)  # pinned by the recursion
     # prolong the correction (piecewise constant over aggregates) — lazy:
     # xc is pinned, so the corrected iterate is one union-agg above pins

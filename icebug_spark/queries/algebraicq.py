@@ -398,8 +398,12 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
         # sweeps=2: the V(2,2) cycle converges this instance in ~5 PCG
         # iterations where V(1,1) needs 10+ — fewer driver round-trips
         # dominate the extra lazy smoother sweeps (measured 28.6->20.6 s)
+        # coarsest=36: affinity matching coarsens this 60-node instance
+        # to ~32 — one aggregation level + the exact coarse solve. 30
+        # would trigger a SECOND full matching+contraction level for 13
+        # nodes of progress (measured ~8 s of pure setup at job floor).
         for r in lamg_solve(
-            ew, b, tol=1e-6, max_cycles=10, coarsest=30, sweeps=2
+            ew, b, tol=1e-6, max_cycles=10, coarsest=36, sweeps=2
         ).collect()
     }
     r_lamg = x[u] - x[v]
