@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from icebug_spark.operators.traversal import bfs_distances, multi_source_bfs
+from icebug_spark.plans.iterate import mirror
 
 
 def eccentricity(edges_undirected: DataFrame, sources: list[int]) -> DataFrame:
@@ -83,6 +84,7 @@ def algebraic_distance(
     hash-seeded init. → (src, dst, alg_dist) 6dp."""
     eu = edges_undirected.select("src", "dst").localCheckpoint(eager=True)
     nodes = eu.select(F.col("src").alias("id")).distinct()
+    n = nodes.count()  # sizes the mirror() hints below
     cols = []
     for k in range(n_systems):
         u = (
@@ -93,12 +95,14 @@ def algebraic_distance(
     x = nodes.select("id", *cols).localCheckpoint(eager=True)
     for _ in range(rounds):
         nb = (
-            eu.join(x.withColumnRenamed("id", "src"), "src")
+            # mirror(): the edge table never moves — broadcast under the
+            # vertex cap, shuffle-hash past it
+            eu.join(mirror(x, n).withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(*[F.avg(f"x{k}").alias(f"a{k}") for k in range(n_systems)])
         )
         x = (
-            x.join(nb, "id", "left")
+            x.join(mirror(nb, n), "id", "left")
             .select(
                 "id",
                 *[
@@ -113,9 +117,9 @@ def algebraic_distance(
         )
     dist = None
     j = (
-        eu.join(x.withColumnRenamed("id", "src"), "src")
+        eu.join(mirror(x, n).withColumnRenamed("id", "src"), "src")
         .join(
-            x.select(
+            mirror(x, n).select(
                 F.col("id").alias("dst"),
                 *[F.col(f"x{k}").alias(f"y{k}") for k in range(n_systems)],
             ),

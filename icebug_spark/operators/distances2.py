@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from icebug_spark.operators.traversal import multi_source_bfs
+from icebug_spark.plans.iterate import mirror
 
 _PHI = 0.77351  # Flajolet-Martin bias correction
 
@@ -69,13 +70,19 @@ def anf_sketch_iteration(
 
     One round: sk(v) ← sk(v) OR (OR of neighbor sketches) — a single
     groupBy with bitwise-OR zip, no per-node state on the driver."""
+    # loop-invariant edge table materialized once; n sizes the hints
+    eu = eu.localCheckpoint(eager=True)
     nodes = eu.select(F.col("src").alias("id")).distinct()
     sk = _init_sketches(nodes, k, seed).localCheckpoint(eager=True)
     spark = eu.sparkSession
+    # a sketch row (id + k-long array) is ~8x an (id, x) row, so scale
+    # the row bound the broadcast cap compares against accordingly
+    n = nodes.count() * max(1, k // 4)
     out = [(0, float(nodes.count()))]
     for h in range(1, max_h + 1):
         nbr = (
-            eu.join(sk.withColumnRenamed("id", "src"), "src")
+            # mirror(): node-bounded sketches move, the edge table stays
+            eu.join(mirror(sk, n).withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(
                 F.array(
@@ -84,7 +91,7 @@ def anf_sketch_iteration(
             )
         )
         sk = (
-            sk.join(nbr, "id", "left")
+            sk.join(mirror(nbr, n), "id", "left")
             .select(
                 "id",
                 F.when(F.col("nsk").isNull(), F.col("sk"))
