@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from icebug_spark.plans.iterate import mirror
+
 
 def boruvka_msf(
     edges_weighted: DataFrame, maximum: bool = False, max_rounds: int = 40
@@ -44,11 +46,13 @@ def boruvka_msf(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    n = comp.count()  # sizes the mirror() hints on the label joins
     forest = None
     for _ in range(max_rounds):
         labeled = (
-            e.join(comp.select(F.col("id").alias("u"), F.col("comp").alias("cu")), "u")
-            .join(comp.select(F.col("id").alias("v"), F.col("comp").alias("cv")), "v")
+            # node-bounded labels move, the edge table stays in place
+            e.join(mirror(comp.select(F.col("id").alias("u"), F.col("comp").alias("cu")), n), "u")
+            .join(mirror(comp.select(F.col("id").alias("v"), F.col("comp").alias("cv")), n), "v")
             .where(F.col("cu") != F.col("cv"))
         ).localCheckpoint(eager=True)
         if labeled.limit(1).count() == 0:
@@ -83,6 +87,7 @@ def boruvka_msf(
         lbl = (
             merge.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
         )
+        s_prev = None  # last round's label sum — saves one aggregate/round
         for _i in range(20):
             msgs = merge.join(lbl.withColumnRenamed("id", "a"), "a").select(
                 F.col("b").alias("id"), "lbl"
@@ -94,11 +99,13 @@ def boruvka_msf(
                 .agg(F.min("lbl").alias("lbl"))
                 .localCheckpoint(eager=True)
             )
-            s_old = lbl.agg(F.sum("lbl")).collect()[0][0]
+            if s_prev is None:
+                s_prev = lbl.agg(F.sum("lbl")).collect()[0][0]
             s_new = new.agg(F.sum("lbl")).collect()[0][0]
             lbl = new
-            if s_old == s_new:
+            if s_prev == s_new:
                 break
+            s_prev = s_new
         comp = (
             comp.join(lbl.withColumnRenamed("id", "comp"), "comp", "left")
             .select("id", F.coalesce("lbl", F.col("comp")).alias("comp"))
