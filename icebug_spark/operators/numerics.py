@@ -130,12 +130,8 @@ def conjugate_gradient(
             (F.coalesce("bx", F.lit(0.0)) / F.col("deg")).alias("p"),
         )
     )
-    # one fused aggregate seeds rz = r·z = Σ r²/deg AND ‖b‖² (r₀ = b)
-    rz, bb = state.agg(
-        F.sum(F.col("r") * F.col("r") / F.col("deg")),
-        F.sum(F.col("r") * F.col("r")),
-    ).collect()[0]
-    rz = rz or 0.0
+    # ‖b‖² for the relative stopping test (r₀ = b)
+    bb = state.agg(F.sum(F.col("r") * F.col("r"))).collect()[0][0]
     b_norm = math.sqrt(max(bb or 0.0, 0.0)) or 1.0
 
     for _ in range(max_iter):
@@ -143,29 +139,37 @@ def conjugate_gradient(
             eu, deg, state.select("id", F.col("p").alias("x")), n
         ).withColumnRenamed("x", "lp")
         st = state.join(mirror(lp, n), "id", "left").na.fill({"lp": 0.0})
-        plp, rlp, lplp, rr0, rdlp, lpdlp = st.agg(
+        # every scalar the step needs, MEASURED from the materialized
+        # state in one aggregate: rr0/rz0 are the exact ‖r‖² and r·z of
+        # the CURRENT iterate (z = r/deg), so the stopping test and α
+        # never accumulate recursion drift — a recursively-updated rz
+        # was observed to diverge after true convergence (the derived
+        # residual stalls above a tight tol on FP noise while β keeps
+        # amplifying it). Only β's numerator is derived algebraically
+        # (r⁺ = r − α·Lp distributes over the pre-update sums), and the
+        # next iteration re-measures it fresh, so that error is
+        # one-step, not compounding.
+        plp, rlp, lplp, rr0, rz0, rdlp, lpdlp = st.agg(
             F.sum(F.col("p") * F.col("lp")),
             F.sum(F.col("r") * F.col("lp")),
             F.sum(F.col("lp") * F.col("lp")),
             F.sum(F.col("r") * F.col("r")),
+            F.sum(F.col("r") * F.col("r") / F.col("deg")),
             F.sum(F.col("r") * F.col("lp") / F.col("deg")),
             F.sum(F.col("lp") * F.col("lp") / F.col("deg")),
         ).collect()[0]
+        if math.sqrt(max(rr0 or 0.0, 0.0)) / b_norm < tol:
+            break
         if plp is None or abs(plp) < 1e-30:
             break
-        alpha = rz / plp
-        rr_new = (
-            (rr0 or 0.0)
-            - 2.0 * alpha * (rlp or 0.0)
-            + alpha * alpha * (lplp or 0.0)
-        )
+        rz0 = rz0 or 0.0
+        alpha = rz0 / plp
         rz_new = (
-            rz
+            rz0
             - 2.0 * alpha * (rdlp or 0.0)
             + alpha * alpha * (lpdlp or 0.0)
         )
-        done = math.sqrt(max(rr_new, 0.0)) / b_norm < tol
-        beta = (rz_new / rz) if (rz and not done) else 0.0
+        beta = (rz_new / rz0) if rz0 else 0.0
         rnew = F.col("r") - F.lit(alpha) * F.col("lp")
         state = pin(
             st.select(
@@ -176,9 +180,6 @@ def conjugate_gradient(
                 (rnew / F.col("deg") + F.lit(beta) * F.col("p")).alias("p"),
             )
         )
-        rz = rz_new
-        if done:
-            break
 
     # pin to mean zero (nullspace of L is the constant vector) — lazy
     # broadcast crossJoin; x sits above a pin, so no re-execution

@@ -588,6 +588,7 @@ def lamg_solve(
     sweeps: int = 1,
     coarsest: int = 128,
     max_levels: int = 12,
+    elim_stages: int = 4,
     hierarchy: dict | None = None,
 ) -> DataFrame:
     """Solve L·x = b by iterated V-cycles (reference ``Lamg.hpp:32``
@@ -596,7 +597,10 @@ def lamg_solve(
     prebuilt ``hierarchy`` to amortize setup over many right-hand sides
     (the reference's setup/solve split)."""
     hier = hierarchy or lamg_hierarchy(
-        edges_weighted_undirected, coarsest=coarsest, max_levels=max_levels
+        edges_weighted_undirected,
+        coarsest=coarsest,
+        max_levels=max_levels,
+        elim_stages=elim_stages,
     )
     b = b.select("id", "x").localCheckpoint(eager=True)
     n_rows = b.count()

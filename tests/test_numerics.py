@@ -12,6 +12,7 @@ Parity targets: ``numerics/ConjugateGradient.hpp:25``,
 """
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from icebug_spark.operators import numerics
@@ -82,3 +83,51 @@ def test_spanning_edge_centrality_matches_pinv(spark):
     bridge = [r for r in out if (r["u"], r["v"]) == (3, 4)]
     if bridge:
         assert abs(bridge[0]["sec"] - 1.0) < 1e-4
+
+
+def test_cg_and_lamg_random_weighted_graphs_match_pinv(spark):
+    """Randomized invariant (fixed seeds): on random connected weighted
+    graphs, the fused-state CG and the LAMG V-cycle/PCG solver must both
+    reproduce the numpy pseudo-inverse solution of L·x = b."""
+    from icebug_spark.operators.numerics3 import lamg_solve
+
+    for seed in (3, 11):
+        rng = np.random.default_rng(seed)
+        n = 24
+        # random spanning tree (guarantees connectivity) + extra edges
+        edges = []
+        for v in range(1, n):
+            u = int(rng.integers(0, v))
+            edges.append((u, v, float(rng.uniform(0.5, 3.0))))
+        seen = {(u, v) for u, v, _w in edges}
+        for _ in range(2 * n):
+            u, v = sorted(rng.integers(0, n, 2).tolist())
+            if u != v and (u, v) not in seen:
+                seen.add((u, v))
+                edges.append((int(u), int(v), float(rng.uniform(0.5, 3.0))))
+        L = np.zeros((n, n))
+        for u, v, w in edges:
+            L[u, u] += w
+            L[v, v] += w
+            L[u, v] -= w
+            L[v, u] -= w
+        vec = rng.standard_normal(n)
+        vec -= vec.mean()
+        exp = np.linalg.pinv(L) @ vec
+        exp -= exp.mean()
+        e = spark.createDataFrame(edges, "src long, dst long, weight double")
+        b = spark.createDataFrame(
+            [(i, float(vec[i])) for i in range(n)], "id BIGINT, x DOUBLE"
+        )
+        xc = {
+            r["id"]: r["x"]
+            for r in numerics.conjugate_gradient(e, b, max_iter=200, tol=1e-10).collect()
+        }
+        for i in range(n):
+            assert xc[i] == pytest.approx(exp[i], abs=1e-6), f"CG seed={seed} i={i}"
+        xl = {
+            r["id"]: r["x"]
+            for r in lamg_solve(e, b, tol=1e-9, max_cycles=25, coarsest=8).collect()
+        }
+        for i in range(n):
+            assert xl[i] == pytest.approx(exp[i], abs=1e-5), f"LAMG seed={seed} i={i}"
