@@ -85,17 +85,33 @@ def _rk_sample(
 
 
 def _rk_pairs(nodes: DataFrame, n: int, r: int, seed: int) -> DataFrame:
-    """Deterministic (s, t) pair sample: rank nodes by seeded hash, pair
-    the i-th with the (i+r+1 mod n)-th — r rows (pair, s, t)."""
-    ranked = nodes.withColumn("h", F.xxhash64(F.lit(seed), "id")).withColumn(
+    """Deterministic (s, t) pair sample: the 2r+1 lowest seeded-hash
+    nodes — a distributed TakeOrdered top-k, NOT a global row_number
+    window (Window.orderBy with no partitionBy plans an Exchange
+    SinglePartition: one task ranks the whole 1e9-node vertex set) —
+    then ranked locally (the window runs over O(r) sample-bounded
+    rows) and paired i ↔ rank i+r+1, so s and t draws are disjoint.
+    The concrete t draw differs from the previous whole-set-ranking
+    implementation (which paired with the LARGEST hashes); both are
+    deterministic uniform samples — consumers certify distribution-
+    level properties (ε-bounds vs exact), not specific pairs."""
+    k = int(min(2 * r + 1, n))
+    top = (
+        nodes.withColumn("h", F.xxhash64(F.lit(seed), "id"))
+        .orderBy("h", "id")
+        .limit(k)
+    )
+    ranked = top.withColumn(
         "rn", F.row_number().over(Window.orderBy("h", "id")) - 1
     )
     s_side = ranked.where(F.col("rn") < r).select(
         F.col("rn").alias("pair"), F.col("id").alias("s")
     )
-    t_side = ranked.withColumn("rn2", (F.col("rn") + r + 1) % n).where(
-        F.col("rn2") < r
-    ).select(F.col("rn2").alias("pair"), F.col("id").alias("t"))
+    t_side = ranked.withColumn(
+        "rn2", F.pmod(F.col("rn") - F.lit(r + 1), F.lit(k))
+    ).where(F.col("rn2") < r).select(
+        F.col("rn2").alias("pair"), F.col("id").alias("t")
+    )
     return s_side.join(t_side, "pair").where(F.col("s") != F.col("t")).localCheckpoint(
         eager=True
     )
@@ -276,14 +292,24 @@ def kadabra_betweenness(
     counts = None
     n_pairs = 0
     for rnd in range(max_rounds):
-        ranked = nodes.withColumn(
-            "h", F.xxhash64(F.lit(seed * 1000 + rnd), "id")
-        ).withColumn("rn", F.row_number().over(Window.orderBy("h", "id")) - 1)
+        # distributed top-k by seeded hash instead of a global row_number
+        # window (which single-tasks the whole vertex set — see _rk_pairs);
+        # the local re-rank window covers only the O(batch) sampled rows
+        shift = batch + 1 + rnd
+        k = int(min(batch + shift, n))
+        top = (
+            nodes.withColumn("h", F.xxhash64(F.lit(seed * 1000 + rnd), "id"))
+            .orderBy("h", "id")
+            .limit(k)
+        )
+        ranked = top.withColumn(
+            "rn", F.row_number().over(Window.orderBy("h", "id")) - 1
+        )
         s_side = ranked.where(F.col("rn") < batch).select(
             F.col("rn").alias("pair"), F.col("id").alias("s")
         )
         t_side = (
-            ranked.withColumn("rn2", (F.col("rn") + batch + 1 + rnd) % n)
+            ranked.withColumn("rn2", F.pmod(F.col("rn") - F.lit(shift), F.lit(k)))
             .where(F.col("rn2") < batch)
             .select(F.col("rn2").alias("pair"), F.col("id").alias("t"))
         )
