@@ -450,16 +450,18 @@ def node_structural_rand_sampled(
     """SampledNodeStructuralRandMeasure (reference .hpp:21): Rand
     DISTANCE estimated on a deterministic pseudo-random sample of node
     pairs. → 1 row (rand_distance DOUBLE 6dp)."""
-    from pyspark.sql import Window
-
     joined = pa.select("id", F.col("subset").alias("sa")).join(
         pb.select("id", F.col("subset").alias("sb")), "id"
     )
-    ranked = joined.withColumn("h", F.xxhash64(F.lit(seed), "id")).withColumn(
-        "rn", F.row_number().over(Window.orderBy("h", "id"))
-    )
     k = int(math.isqrt(max_samples * 2)) + 2  # k*(k-1)/2 >= max_samples
-    sample = ranked.where(F.col("rn") <= k).localCheckpoint(eager=True)
+    # distributed TakeOrdered top-k — not a global row_number window
+    # (which single-tasks the whole node set); same sampled set
+    sample = (
+        joined.withColumn("h", F.xxhash64(F.lit(seed), "id"))
+        .orderBy("h", "id")
+        .limit(k)
+        .localCheckpoint(eager=True)
+    )
     l = sample.select(
         F.col("id").alias("u"), F.col("sa").alias("sau"), F.col("sb").alias("sbu")
     )
@@ -490,13 +492,13 @@ def graph_structural_rand_sampled(
     """SampledGraphStructuralRandMeasure (reference .hpp:21): Rand
     distance over a sample of CONNECTED node pairs (edges). → 1 row
     (rand_distance DOUBLE 6dp)."""
-    from pyspark.sql import Window
-
     e = edges_undirected.where(F.col("src") < F.col("dst"))
+    # distributed TakeOrdered top-k over the EDGE set — the old global
+    # row_number window single-tasked every edge at 1e12-edge scale
     sample = (
         e.withColumn("h", F.xxhash64(F.lit(seed), "src", "dst"))
-        .withColumn("rn", F.row_number().over(Window.orderBy("h", "src", "dst")))
-        .where(F.col("rn") <= max_samples)
+        .orderBy("h", "src", "dst")
+        .limit(max_samples)
     )
     j = (
         sample.join(pa.select(F.col("id").alias("src"), F.col("subset").alias("sau")), "src")
