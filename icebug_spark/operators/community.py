@@ -28,6 +28,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from icebug_spark.plans.zipindex import dense_index
+
 from icebug_spark.plans.iterate import iterate
 
 
@@ -127,13 +129,9 @@ def louvain(
         e = coarsen(e, part).localCheckpoint(eager=True)
 
     # compact community ids densely (Partition::compact,
-    # structures/Partition.hpp — dense_rank relabel)
-    wc = Window.orderBy("subset")
-    compact = (
-        mapping.select("subset").distinct().withColumn(
-            "dense", (F.dense_rank().over(wc) - 1).cast("long")
-        )
-    )
+    # structures/Partition.hpp) — two-pass zipWithIndex, not a global
+    # dense_rank window (single-partition sort of every community id)
+    compact = dense_index(mapping, ["subset"])
     return mapping.join(compact, "subset").select(
         "id", F.col("dense").alias("subset")
     )
@@ -460,7 +458,5 @@ def partition_intersection(pa: DataFrame, pb: DataFrame) -> DataFrame:
         pa.select("id", F.col("subset").alias("sa"))
         .join(pb.select("id", F.col("subset").alias("sb")), "id")
     )
-    w = Window.orderBy("sa", "sb")
-    return j.withColumn("subset", (F.dense_rank().over(w) - 1).cast("long")).select(
-        "id", "subset"
-    )
+    d = dense_index(j, ["sa", "sb"], out="subset")
+    return j.join(d, ["sa", "sb"]).select("id", "subset")

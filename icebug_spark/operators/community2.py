@@ -24,6 +24,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from icebug_spark.plans.zipindex import dense_index
+
 from icebug_spark.operators.community import _local_move, coarsen, louvain
 
 
@@ -63,10 +65,8 @@ def leiden(
         )
         e = coarsen(e, refined).localCheckpoint(eager=True)
 
-    wc = Window.orderBy("subset")
-    compact = mapping.select("subset").distinct().withColumn(
-        "dense", (F.dense_rank().over(wc) - 1).cast("long")
-    )
+    # two-pass zipWithIndex dense relabel — no single-partition window
+    compact = dense_index(mapping, ["subset"])
     return mapping.join(compact, "subset").select("id", F.col("dense").alias("subset"))
 
 
@@ -188,10 +188,8 @@ def louvain_map_equation(
         )
         e = coarsen(e, part).localCheckpoint(eager=True)
 
-    wc = Window.orderBy("subset")
-    compact = mapping.select("subset").distinct().withColumn(
-        "dense", (F.dense_rank().over(wc) - 1).cast("long")
-    )
+    # two-pass zipWithIndex dense relabel — no single-partition window
+    compact = dense_index(mapping, ["subset"])
     return mapping.join(compact, "subset").select("id", F.col("dense").alias("subset"))
 
 
