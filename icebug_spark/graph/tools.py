@@ -107,35 +107,12 @@ def compact_node_ids(g: Graph) -> tuple[Graph, DataFrame]:
     and counts each partition (tiny P-row collect); pass 2 ranks WITHIN
     each range partition in parallel and adds the cumulative offset of
     the partitions before it. The mapping is deterministic — dense rank
-    by ascending id — regardless of where the range boundaries land."""
-    v = (
-        g.vertices.select("id")
-        .repartitionByRange(F.col("id"))
-        # materialize so spark_partition_id is stable across the count
-        # pass and the rank pass (range boundaries come from a sample)
-        .localCheckpoint(eager=True)
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    spark = v.sparkSession
-    counts = sorted(
-        (r["__pid"], r["cnt"])
-        for r in v.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    offsets, acc = [], 0
-    for pid, cnt in counts:
-        offsets.append((pid, acc))
-        acc += cnt
-    off = F.broadcast(
-        spark.createDataFrame(offsets or [(0, 0)], "__pid INT, __off BIGINT")
-    )
-    w = Window.partitionBy("__pid").orderBy("id")
+    by ascending id — regardless of where the range boundaries land.
+    (Shared implementation: ``plans.zipindex.dense_index``.)"""
+    from icebug_spark.plans.zipindex import dense_index
+
     mapping = (
-        v.join(off, "__pid")
-        .withColumn(
-            "new_id",
-            (F.row_number().over(w) - 1 + F.col("__off")).cast("long"),
-        )
-        .drop("__pid", "__off")
+        dense_index(g.vertices, ["id"], out="new_id", assume_distinct=True)
         .withColumnRenamed("id", "old_id")
     )
     e = (
