@@ -6,7 +6,7 @@ Everything is a pure DataFrame expression; ids are BIGINT, weights DOUBLE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from icebug_spark.graph.core import Graph
@@ -279,7 +279,11 @@ def edge_ids(g: Graph) -> DataFrame:
     The reference materializes ids once after indexEdges(); here the id
     table IS the lookup structure (join against it for batched lookups —
     point lookups at scale should hit a bucketed/sorted copy)."""
-    w = Window.orderBy("src", "dst")
-    return g.edges.select("src", "dst").distinct().withColumn(
-        "edge_id", F.row_number().over(w).cast("long") - 1
+    from icebug_spark.plans.zipindex import dense_index
+
+    return dense_index(
+        g.edges.select("src", "dst").distinct(),
+        ["src", "dst"],
+        out="edge_id",
+        assume_distinct=True,
     )

@@ -455,13 +455,19 @@ def node_structural_rand_sampled(
     )
     k = int(math.isqrt(max_samples * 2)) + 2  # k*(k-1)/2 >= max_samples
     # distributed TakeOrdered top-k — not a global row_number window
-    # (which single-tasks the whole node set); same sampled set
-    sample = (
-        joined.withColumn("h", F.xxhash64(F.lit(seed), "id"))
-        .orderBy("h", "id")
-        .limit(k)
-        .localCheckpoint(eager=True)
-    )
+    # (which single-tasks the whole node set); same sampled set. In the
+    # exact regime (k covers every node) skip the top-k entirely: a
+    # GlobalLimit sized past the input would buffer the whole set in one
+    # TakeOrdered heap.
+    if k >= joined.count():
+        sample = joined.localCheckpoint(eager=True)
+    else:
+        sample = (
+            joined.withColumn("h", F.xxhash64(F.lit(seed), "id"))
+            .orderBy("h", "id")
+            .limit(k)
+            .localCheckpoint(eager=True)
+        )
     l = sample.select(
         F.col("id").alias("u"), F.col("sa").alias("sau"), F.col("sb").alias("sbu")
     )
@@ -494,12 +500,19 @@ def graph_structural_rand_sampled(
     (rand_distance DOUBLE 6dp)."""
     e = edges_undirected.where(F.col("src") < F.col("dst"))
     # distributed TakeOrdered top-k over the EDGE set — the old global
-    # row_number window single-tasked every edge at 1e12-edge scale
-    sample = (
-        e.withColumn("h", F.xxhash64(F.lit(seed), "src", "dst"))
-        .orderBy("h", "src", "dst")
-        .limit(max_samples)
-    )
+    # row_number window single-tasked every edge at 1e12-edge scale. In
+    # the exact regime (max_samples >= |edges|) skip the top-k: a
+    # GlobalLimit sized past the input makes TakeOrdered buffer the whole
+    # edge set (a max_samples-entry bounded heap) in ONE task — the exact
+    # OOM this rewrite was meant to remove.
+    if max_samples >= e.count():
+        sample = e
+    else:
+        sample = (
+            e.withColumn("h", F.xxhash64(F.lit(seed), "src", "dst"))
+            .orderBy("h", "src", "dst")
+            .limit(max_samples)
+        )
     j = (
         sample.join(pa.select(F.col("id").alias("src"), F.col("subset").alias("sau")), "src")
         .join(pa.select(F.col("id").alias("dst"), F.col("subset").alias("sav")), "dst")

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -32,11 +32,11 @@ def hashing_overlapper(partitions: list[DataFrame]) -> DataFrame:
     )
     cols = [f"c{i}" for i in range(len(partitions))]
     hashed = joined.select("id", F.xxhash64(*cols).alias("h"))
-    # label table is cluster-count-sized — the single-partition global
-    # ordering window only ever sees that small side
-    labels = hashed.select("h").distinct().withColumn(
-        "cluster", F.dense_rank().over(Window.orderBy("h")) - 1
-    )
+    # label table is cluster-count-sized but can still reach node scale
+    # (singleton clusters) — dense-relabel via the two-pass zipWithIndex
+    from icebug_spark.plans.zipindex import dense_index
+
+    labels = dense_index(hashed, ["h"], out="cluster")
     return hashed.join(labels, "h").select("id", F.col("cluster").cast("long"))
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from icebug_spark.plans.zipindex import dense_index
+
 
 def degree_preserving_shuffle(eu: DataFrame, seed: int = 42) -> DataFrame:
     """DegreePreservingShuffle: relabel nodes with a random permutation
@@ -73,10 +75,15 @@ def edge_switching(
         .localCheckpoint(eager=True)
     )
     for r in range(rounds):
-        w = Window.orderBy(F.xxhash64("u", "v", F.lit(seed), F.lit(r)))
-        paired = e.withColumn("rn", F.row_number().over(w) - 1).withColumn(
-            "pair", (F.col("rn") / 2).cast("long")
-        ).withColumn("side", F.pmod("rn", F.lit(2)))
+        # seeded random pairing via the two-pass dense index (ascending
+        # hash order) — the naive global row_number window funnels every
+        # edge through ONE task per round
+        hashed = e.withColumn("h", F.xxhash64("u", "v", F.lit(seed), F.lit(r)))
+        paired = (
+            dense_index(hashed, ["h", "u", "v"], out="rn", assume_distinct=True)
+            .withColumn("pair", (F.col("rn") / 2).cast("long"))
+            .withColumn("side", F.pmod("rn", F.lit(2)))
+        )
         a = paired.where(F.col("side") == 0).select(
             "pair", F.col("u").alias("a"), F.col("v").alias("b")
         )
@@ -164,10 +171,12 @@ def curveball_trades(
             F.pmod(F.xxhash64("id", F.lit(seed), F.lit(r), F.lit(0)), F.lit(2))
             == half_parity
         )
-        wn = Window.orderBy(F.xxhash64("id", F.lit(seed), F.lit(r)), "id")
-        paired = half.withColumn("rn", F.row_number().over(wn) - 1).withColumn(
-            "trade", (F.col("rn") / 2).cast("long")
-        ).withColumn("side", F.pmod("rn", F.lit(2)))
+        hashed = half.withColumn("h", F.xxhash64("id", F.lit(seed), F.lit(r)))
+        paired = (
+            dense_index(hashed, ["h", "id"], out="rn", assume_distinct=True)
+            .withColumn("trade", (F.col("rn") / 2).cast("long"))
+            .withColumn("side", F.pmod("rn", F.lit(2)))
+        )
         x = paired.where(F.col("side") == 0).select("trade", F.col("id").alias("x"))
         y = paired.where(F.col("side") == 1).select("trade", F.col("id").alias("y"))
         pairs = x.join(y, "trade").localCheckpoint(eager=True)

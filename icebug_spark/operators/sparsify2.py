@@ -167,13 +167,16 @@ def random_node_edge_score(
         .crossJoin(F.broadcast(counts))
         .select("u", "v", "m", (-F.log(u01) / hazard).alias("t"))
     )
-    w = Window.orderBy(F.col("t"))
-    return timed.select(
+    # normalized global rank of the exponential arrival times — two-pass
+    # zipWithIndex instead of an all-edges single-partition window ((t,u,v)
+    # is unique: t is a continuous hash draw, (u,v) canonical)
+    from icebug_spark.plans.zipindex import dense_index
+
+    ranked = dense_index(timed, ["t", "u", "v", "m"], out="rn", assume_distinct=True)
+    return ranked.select(
         "u",
         "v",
-        F.round((F.row_number().over(w) - 1).cast("double") / F.col("m"), 9).alias(
-            "rne_score"
-        ),
+        F.round(F.col("rn").cast("double") / F.col("m"), 9).alias("rne_score"),
     )
 
 

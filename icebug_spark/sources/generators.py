@@ -217,13 +217,13 @@ def barabasi_albert_batched(
                 spark.range(m_per_node).select(F.col("id").alias("k")), how="cross"
             )
         )
-        # pick the j-th element of the endpoint multiset via hash index
+        # pick the j-th element of the endpoint multiset via hash index;
+        # the multiset is ranked with the two-pass zipWithIndex (a global
+        # row_number window would funnel all 2m endpoints through one task)
         idx = F.pmod(F.xxhash64("src", "k", F.lit(seed)), F.lit(cnt))
-        from pyspark.sql import Window
+        from icebug_spark.plans.zipindex import dense_index
 
-        tgt = prev_targets.withColumn(
-            "rn", F.row_number().over(Window.orderBy("t")) - 1
-        )
+        tgt = dense_index(prev_targets, ["t"], out="rn", assume_distinct=True)
         new_edges = (
             news.withColumn("rn", idx)
             .join(tgt, "rn")

@@ -140,14 +140,14 @@ def configuration_model(
     ranks. Self-loops/multi-edges dropped (reference rejects or keeps per
     flag; we drop — the EdgeSwitching chain in
     ``operators/randomization.py`` is the exactness refinement)."""
-    from pyspark.sql import Window
+    from icebug_spark.plans.zipindex import dense_index
 
     stubs = degrees.select(
         "id", F.explode(F.sequence(F.lit(1), F.col("deg"))).alias("s")
     ).withColumn("h", F.xxhash64(F.lit(seed), "id", "s"))
-    ranked = stubs.withColumn(
-        "rn", F.row_number().over(Window.orderBy("h", "id", "s")) - 1
-    )
+    # 2m stubs ranked via two-pass zipWithIndex — (h, id, s) is unique so
+    # the shuffled order is identical to the old global window's
+    ranked = dense_index(stubs, ["h", "id", "s"], out="rn", assume_distinct=True)
     left = ranked.where(F.col("rn") % 2 == 0).select(
         (F.col("rn") / 2).cast("long").alias("k"), F.col("id").alias("src")
     )

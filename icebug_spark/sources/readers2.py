@@ -100,11 +100,9 @@ def read_snap(spark: SparkSession, path: str, directed: bool = False) -> Graph:
         .union(raw.select(F.col("b").alias("nid")))
         .distinct()
     )
-    from pyspark.sql import Window
+    from icebug_spark.plans.zipindex import dense_index
 
-    remap = ids.withColumn(
-        "dense", (F.dense_rank().over(Window.orderBy("nid")) - 1).cast("long")
-    )
+    remap = dense_index(ids, ["nid"], out="dense", assume_distinct=True)
     edges = (
         raw.join(remap.withColumnRenamed("nid", "a"), "a")
         .withColumnRenamed("dense", "src")
