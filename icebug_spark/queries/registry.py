@@ -6,6 +6,7 @@ from icebug_spark.queries.algebraicq import ALGEBRAIC
 from icebug_spark.queries.centralq import CENTRAL
 from icebug_spark.queries.communityq import COMMUNITY
 from icebug_spark.queries.communityq3 import COMMUNITY3
+from icebug_spark.queries.coverq import COVER
 from icebug_spark.queries.distanceq import DISTANCE2
 from icebug_spark.queries.edgescoreq import EDGESCORE
 from icebug_spark.queries.graphq import GRAPH
@@ -23,7 +24,7 @@ from icebug_spark.queries.structuralq import STRUCTURAL
 # NEVER checked driver-side now lead; the four-rounds-checked sections
 # close the list. The full registry is still swept locally every round
 # (tools/check_oracle.py → CORRECTNESS_LOCAL.json).
-ALL = {**CENTRAL, **LLM, **EDGESCORE, **SCD, **ALGEBRAIC, **QUALITY, **DISTANCE2, **POINT, **SPARSIFY2, **STRUCTURAL, **RELATIONAL, **GRAPH, **COMMUNITY, **COMMUNITY3}
+ALL = {**COVER, **CENTRAL, **LLM, **EDGESCORE, **SCD, **ALGEBRAIC, **QUALITY, **DISTANCE2, **POINT, **SPARSIFY2, **STRUCTURAL, **RELATIONAL, **GRAPH, **COMMUNITY, **COMMUNITY3}
 
 
 def queries():

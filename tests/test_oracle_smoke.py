@@ -19,6 +19,9 @@ SUBSET = [
     "q29_pagerank",
     "llm_dedup_exact",
     "llm_embedding_topk",
+    "q115_graph_summary",
+    "q121_compact_subgraph",
+    "q122_partition_coarsening",
 ]
 
 
