@@ -246,26 +246,24 @@ def random_link_split(
 
 def roc_points(predictions: DataFrame, truth: DataFrame, score_col: str) -> DataFrame:
     """ROCMetric: (fpr, tpr) at every score threshold. predictions =
-    (u, v, score); truth = positive pairs (u, v). One descending sort +
-    running TP/FP windows — the whole sweep in a single pass."""
+    (u, v, score); truth = positive pairs (u, v). Per-threshold partial
+    aggregation + a distributed prefix sum over the (far smaller)
+    threshold table — the old per-row running window funneled EVERY
+    prediction through one task."""
+    from icebug_spark.plans.zipindex import running_sums
+
     labeled = predictions.join(
         truth.select("u", "v", F.lit(1).alias("pos")), ["u", "v"], "left"
     ).select("u", "v", F.col(score_col).alias("s"), F.coalesce("pos", F.lit(0)).alias("pos"))
     totals = labeled.agg(
         F.sum("pos").alias("p"), F.sum(1 - F.col("pos")).alias("n")
     )
-    w = Window.orderBy(F.col("s").desc(), "u", "v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    per_s = labeled.groupBy("s").agg(
+        F.sum("pos").alias("tp"), F.sum(1 - F.col("pos")).alias("fp")
     )
-    pts = labeled.select(
-        "s",
-        F.sum("pos").over(w).alias("tp"),
-        F.sum(1 - F.col("pos")).over(w).alias("fp"),
-    )
+    pts = running_sums(per_s, ["s"], ["tp", "fp"], descending=True)
     return (
-        pts.groupBy("s")
-        .agg(F.max("tp").alias("tp"), F.max("fp").alias("fp"))
-        .crossJoin(F.broadcast(totals))
+        pts.crossJoin(F.broadcast(totals))
         .select(
             F.round(F.col("fp").cast("double") / F.greatest("n", F.lit(1)).cast("double"), 6).alias("fpr"),
             F.round(F.col("tp").cast("double") / F.greatest("p", F.lit(1)).cast("double"), 6).alias("tpr"),
@@ -292,23 +290,19 @@ def precision_recall_points(
     predictions: DataFrame, truth: DataFrame, score_col: str
 ) -> DataFrame:
     """PrecisionRecallMetric: (recall, precision) per threshold, same
-    single-pass window sweep as roc_points."""
+    per-threshold aggregation + distributed prefix sum as roc_points."""
+    from icebug_spark.plans.zipindex import running_sums
+
     labeled = predictions.join(
         truth.select("u", "v", F.lit(1).alias("pos")), ["u", "v"], "left"
     ).select("u", "v", F.col(score_col).alias("s"), F.coalesce("pos", F.lit(0)).alias("pos"))
     totals = labeled.agg(F.sum("pos").alias("p"))
-    w = Window.orderBy(F.col("s").desc(), "u", "v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    per_s = labeled.groupBy("s").agg(
+        F.sum("pos").alias("tp"), F.count(F.lit(1)).alias("k")
     )
-    pts = labeled.select(
-        "s",
-        F.sum("pos").over(w).alias("tp"),
-        F.count(F.lit(1)).over(w).alias("k"),
-    )
+    pts = running_sums(per_s, ["s"], ["tp", "k"], descending=True)
     return (
-        pts.groupBy("s")
-        .agg(F.max("tp").alias("tp"), F.max("k").alias("k"))
-        .crossJoin(F.broadcast(totals))
+        pts.crossJoin(F.broadcast(totals))
         .select(
             F.round(F.col("tp").cast("double") / F.greatest("p", F.lit(1)).cast("double"), 6).alias("recall"),
             F.round(F.col("tp").cast("double") / F.col("k").cast("double"), 6).alias("precision"),

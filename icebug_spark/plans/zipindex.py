@@ -16,6 +16,57 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def running_sums(
+    values: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    descending: bool = False,
+) -> DataFrame:
+    """Global cumulative sums of ``sum_cols`` in ``order_cols`` order
+    without a single-partition window: range-partition by the ordering,
+    sum per partition (tiny P-row collect), then window WITHIN each range
+    partition in parallel and add the broadcast offset of the partitions
+    before it. Ties in ``order_cols`` accumulate in arbitrary relative
+    order — pass a unique ordering (or pre-aggregate per key) when the
+    per-row running value matters. ``sum_cols`` must be integer-valued
+    (offsets travel as BIGINT)."""
+    order_exprs = [
+        F.col(c).desc() if descending else F.col(c).asc() for c in order_cols
+    ]
+    v = (
+        values.repartitionByRange(*order_exprs)
+        # materialize so spark_partition_id is stable across the totals
+        # pass and the window pass (range boundaries come from a sample)
+        .localCheckpoint(eager=True)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    spark = v.sparkSession
+    per = {
+        r["__pid"]: r
+        for r in v.groupBy("__pid")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    }
+    rows, acc = [], {c: 0 for c in sum_cols}
+    for pid in sorted(per):
+        rows.append((pid, *[acc[c] for c in sum_cols]))
+        for c in sum_cols:
+            acc[c] += per[pid][c] or 0
+    schema = "__pid INT, " + ", ".join(f"__off_{c} BIGINT" for c in sum_cols)
+    off = F.broadcast(
+        spark.createDataFrame(rows or [(0, *[0] * len(sum_cols))], schema)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = v.join(off, "__pid")
+    for c in sum_cols:
+        out = out.withColumn(c, F.sum(c).over(w) + F.col(f"__off_{c}"))
+    return out.drop("__pid", *[f"__off_{c}" for c in sum_cols])
+
+
 def dense_index(
     values: DataFrame,
     cols: list[str],

@@ -445,8 +445,8 @@ Q128_SQL = (
 # SPARK_GRAFT_FULLSCALE=1 lifts the cap (same opt-in as algebraicq's
 # certificates).
 _Q129_CAP = 10**9 if FULLSCALE else 300
-_Q129_MOVES = 8 if FULLSCALE else 2
-_Q129_REFINES = 4 if FULLSCALE else 1
+_Q129_MOVES = 4 if FULLSCALE else 2
+_Q129_REFINES = 2 if FULLSCALE else 1
 
 
 def q129(spark: SparkSession, sf: str) -> DataFrame:
@@ -514,6 +514,43 @@ SELECT id FROM h2 ORDER BY id
 """
 
 
+# q131 — ROCMetric (linkprediction/ROCMetric.hpp) full-value oracle:
+# score = edge weight, truth = the deterministic (u+v)%3 pair subset.
+# Exercises the distributed prefix-sum curve sweep
+# (plans.zipindex.running_sums) against DuckDB's window cumulative.
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.operators.linkpred2 import roc_points
+
+    ew = derived_weighted_edges(spark, sf)
+    preds = (
+        ew.where(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .agg(F.max("weight").alias("score"))
+    )
+    truth = preds.where((F.col("u") + F.col("v")) % 3 == 0).select("u", "v")
+    return roc_points(preds, truth, "score")
+
+
+Q131_SQL = f"""
+WITH ew AS ({EW_SQL}),
+canon AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+                 MAX(weight) AS s
+          FROM ew WHERE src <> dst GROUP BY 1, 2),
+lab AS (SELECT u, v, s, CASE WHEN (u + v) % 3 = 0 THEN 1 ELSE 0 END AS pos
+        FROM canon),
+per AS (SELECT s, SUM(pos) AS tp_d, SUM(1 - pos) AS fp_d FROM lab GROUP BY s),
+cum AS (SELECT s, SUM(tp_d) OVER (ORDER BY s DESC) AS tp,
+               SUM(fp_d) OVER (ORDER BY s DESC) AS fp FROM per),
+tot AS (SELECT SUM(pos) AS p, SUM(1 - pos) AS n FROM lab)
+SELECT DISTINCT
+  ROUND(CAST(fp AS DOUBLE) / GREATEST(n, 1), 6) AS fpr,
+  ROUND(CAST(tp AS DOUBLE) / GREATEST(p, 1), 6) AS tpr
+FROM cum, tot
+"""
+
+
 COVER = {
     "q115_graph_summary": (q115, Q115_SQL),
     "q116_transpose_merge": (q116, Q116_SQL),
@@ -531,4 +568,5 @@ COVER = {
     "q128_matching_coarsen_cert": (q128, Q128_SQL),
     "q129_leiden_quality": (q129, Q129_SQL),
     "q130_affected_nodes": (q130, Q130_SQL),
+    "q131_roc_curve": (q131, Q131_SQL),
 }

@@ -296,3 +296,36 @@ def test_union_maximum_spanning_forest(spark):
         (r["src"], r["dst"]) for r in union_maximum_spanning_forest(e2).collect()
     )
     assert got2 == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_running_sums_matches_naive_window_and_parallel(spark):
+    # parity vs the naive global cumulative window on a multi-partition
+    # input, descending order, two sum columns — and no single-partition
+    # Exchange in the plan (the global-window shape this replaced).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from icebug_spark.plans.zipindex import running_sums
+
+    rows = [(i * 3 % 971, i % 5, (i * 7) % 11) for i in range(2000)]
+    df = spark.createDataFrame(rows, "s LONG, a LONG, b LONG").groupBy("s").agg(
+        F.sum("a").alias("a"), F.sum("b").alias("b")
+    )
+    got = {
+        r["s"]: (r["a"], r["b"])
+        for r in running_sums(df, ["s"], ["a", "b"], descending=True).collect()
+    }
+    w = (
+        Window.orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["s"]: (r["a"], r["b"])
+        for r in df.select(
+            "s", F.sum("a").over(w).alias("a"), F.sum("b").over(w).alias("b")
+        ).collect()
+    }
+    assert got == want
+    out = running_sums(df, ["s"], ["a", "b"], descending=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
