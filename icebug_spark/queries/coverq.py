@@ -551,6 +551,46 @@ FROM cum, tot
 """
 
 
+# q132 — DynConnectedComponents (components/
+# DynConnectedComponents.hpp:31): labels maintained under an insertion
+# batch must equal the static CC of the final graph; the oracle
+# recomputes the component-size histogram from scratch (q28's recursive
+# CTE shape).
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.operators.components import connected_components
+    from icebug_spark.streaming.dynamic2 import dyn_cc_update
+
+    eu = _eu(spark, sf)
+    re_added = eu.where((F.col("src") + F.col("dst")) % 17 == 0)
+    old = eu.join(re_added, ["src", "dst"], "left_anti")
+    comp0 = connected_components(old)
+    batch = re_added.select(
+        F.lit("EDGE_ADDITION").alias("type"),
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+    )
+    comp = dyn_cc_update(comp0, eu, batch)
+    return (
+        comp.groupBy(F.col("component").alias("component_min_id"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy("component_min_id")
+    )
+
+
+Q132_SQL = f"""
+WITH RECURSIVE eu AS ({EU_SQL}),
+reach(node, label) AS (
+  SELECT src, src FROM eu
+  UNION
+  SELECT eu.dst, r.label FROM reach r JOIN eu ON eu.src = r.node
+  WHERE r.label < eu.dst
+)
+SELECT component_min_id, COUNT(*) AS size
+FROM (SELECT node, MIN(label) AS component_min_id FROM reach GROUP BY node)
+GROUP BY component_min_id ORDER BY component_min_id
+"""
+
+
 COVER = {
     "q115_graph_summary": (q115, Q115_SQL),
     "q116_transpose_merge": (q116, Q116_SQL),
@@ -569,4 +609,5 @@ COVER = {
     "q129_leiden_quality": (q129, Q129_SQL),
     "q130_affected_nodes": (q130, Q130_SQL),
     "q131_roc_curve": (q131, Q131_SQL),
+    "q132_dyncc_inserts": (q132, Q132_SQL),
 }

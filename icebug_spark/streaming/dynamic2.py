@@ -135,11 +135,24 @@ def dyn_cc_update(
     dels = batch.where(F.col("type") == "EDGE_REMOVAL")
     eu = _sym(edges_new).localCheckpoint(eager=True)
 
+    # normalize label coverage to the UPDATED graph's node set: an added
+    # edge may introduce endpoints the old labeling never saw (they seed
+    # as their own component and merge via propagation), and endpoints
+    # that lost their last edge drop out (matching a static relabel)
+    nodes = eu.select(F.col("src").alias("id")).distinct()
+    comp = nodes.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
     if dels.limit(1).count() > 0:
-        # components touched by a removal → full relabel restricted to them
+        # components touched by ANY event → full relabel restricted to
+        # them. Removals may split; additions in the same batch may merge
+        # two components a removal never touched — restricting to removal
+        # endpoints alone would freeze that merge away.
         touched = (
-            dels.select(F.col("u").alias("id"))
-            .union(dels.select(F.col("v").alias("id")))
+            batch.select(F.col("u").alias("id"))
+            .union(batch.select(F.col("v").alias("id")))
+            .where(F.col("id").isNotNull())
             .join(comp, "id")
             .select("component")
             .distinct()
@@ -179,7 +192,13 @@ def dyn_cc_update(
         cur = merged
         if changed == 0:
             break
-    return frozen.union(cur) if frozen is not None else cur
+    # frozen's anti-join on "component" moves the key column first — a
+    # positional union would transpose (id, component); match by name
+    return (
+        frozen.select("id", "component").unionByName(cur.select("id", "component"))
+        if frozen is not None
+        else cur
+    )
 
 
 def dyn_katz_update(
