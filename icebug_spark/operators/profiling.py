@@ -65,7 +65,9 @@ def profile(
         rows.append(("largest_component", float(cstats["largest"] or 0)))
 
     if include_diameter:
-        d = diameter_double_sweep(edges_undirected).collect()[0][0]
+        # the double sweep expects BOTH arc directions — on raw one-way
+        # arcs its second sweep starts at a sink and reports 0
+        d = diameter_double_sweep(sym).collect()[0][0]
         rows.append(("diameter_lower_bound", float(d or 0)))
 
     if include_clustering:

@@ -591,6 +591,52 @@ GROUP BY component_min_id ORDER BY component_min_id
 """
 
 
+# q133 — Tarjan biconnectivity (components2: BiconnectedComponents.hpp,
+# articulation points, bridges) on the min-neighbor forest of the
+# derived graph. A min-id-neighbor edge set is provably acyclic, so the
+# expected answers are SQL-derivable: EVERY forest edge is a bridge and
+# its own biconnected component, and a forest node is an articulation
+# point iff its degree >= 2. Full-value oracle for the Tarjan path.
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.operators.components2 import (
+        articulation_points,
+        biconnected_components,
+        bridges,
+    )
+
+    eu = _eu(spark, sf)
+    forest = (
+        eu.groupBy("src")
+        .agg(F.min("dst").alias("dst"))
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = forest.count()
+    n_bridges = bridges(forest).count()
+    n_art = articulation_points(forest).count()
+    n_bcc = biconnected_components(forest).select("bcc").distinct().count()
+    return spark.createDataFrame(
+        [(n_edges, n_bridges, n_art, n_bcc)],
+        "n_edges BIGINT, n_bridges BIGINT, n_articulation BIGINT, n_bcc BIGINT",
+    )
+
+
+Q133_SQL = f"""
+WITH eu AS ({EU_SQL}),
+mn AS (SELECT src, MIN(dst) AS dst FROM eu GROUP BY src),
+forest AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM mn),
+deg AS (SELECT id, COUNT(*) AS d FROM
+        (SELECT u AS id FROM forest UNION ALL SELECT v FROM forest) GROUP BY id)
+SELECT (SELECT COUNT(*) FROM forest) AS n_edges,
+       (SELECT COUNT(*) FROM forest) AS n_bridges,
+       (SELECT COUNT(*) FROM deg WHERE d >= 2) AS n_articulation,
+       (SELECT COUNT(*) FROM forest) AS n_bcc
+"""
+
+
 COVER = {
     "q115_graph_summary": (q115, Q115_SQL),
     "q116_transpose_merge": (q116, Q116_SQL),
@@ -610,4 +656,5 @@ COVER = {
     "q130_affected_nodes": (q130, Q130_SQL),
     "q131_roc_curve": (q131, Q131_SQL),
     "q132_dyncc_inserts": (q132, Q132_SQL),
+    "q133_biconnected_forest": (q133, Q133_SQL),
 }
