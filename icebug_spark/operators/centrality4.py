@@ -487,18 +487,22 @@ def square_clustering(edges_undirected: DataFrame) -> DataFrame:
         .join(deg.withColumnRenamed("id", "w").withColumnRenamed("deg", "dw"), "w")
     )
     # squares through (v,u,w): common neighbors of u,w other than v
-    # q_v = q_all − 1 (v itself is always a common neighbor in a wedge)
+    # q_v = q_all − 1 (v itself is always a common neighbor in a wedge).
+    # Potential per Lind et al. (the reference's formula): with
+    # η = 1 + q_v + a(u,w), potential(u,w) = q_v + (k_u − η)·(k_w − η)
+    # — a PRODUCT of the remaining free stubs, not their sum (a 4-cycle
+    # must score exactly 1.0).
+    eta = 1 + (F.col("q_all") - 1) + F.col("is_edge")
     per_pair = j.select(
         "v",
         (F.col("q_all") - 1).alias("squares"),
         (
-            (F.col("du") - (1 + F.col("q_all") - 1 + F.col("is_edge")))
-            + (F.col("dw") - (1 + F.col("q_all") - 1 + F.col("is_edge")))
-            + (F.col("q_all") - 1)
+            (F.col("q_all") - 1)
+            + (F.col("du") - eta) * (F.col("dw") - eta)
         ).alias("potential"),
     )
     agg = per_pair.groupBy(F.col("v").alias("id")).agg(
-        F.sum("squares").alias("sq"), F.sum(F.col("squares") + F.col("potential")).alias("pot")
+        F.sum("squares").alias("sq"), F.sum("potential").alias("pot")
     )
     return agg.select(
         "id",

@@ -288,18 +288,21 @@ def dynamic_events_from_generator(
     tagged = edges.withColumn(
         "batch", F.pmod(F.xxhash64(F.lit(seed), "src", "dst"), F.lit(batches)).cast("int")
     )
+    # EVENT_SCHEMA-compatible global order (streaming/updater.py:26,
+    # consumed by replay_by_timestep's seq bounds): batch b's events get
+    # seq 2b, its closing TIME_STEP marker 2b+1 — strictly interleaved
     ev = tagged.select(
-        F.col("batch").cast("long").alias("ts"),
+        (F.col("batch").cast("long") * 2).alias("seq"),
         F.lit("EDGE_ADDITION").alias("type"),
         F.col("src").alias("u"),
         F.col("dst").alias("v"),
         F.lit(1.0).alias("w"),
     )
     steps = spark.range(batches).select(
-        F.col("id").alias("ts"),
+        (F.col("id") * 2 + 1).alias("seq"),
         F.lit("TIME_STEP").alias("type"),
         F.lit(None).cast("long").alias("u"),
         F.lit(None).cast("long").alias("v"),
         F.lit(None).cast("double").alias("w"),
     )
-    return ev.union(steps).orderBy("ts", "type", "u", "v")
+    return ev.union(steps).orderBy("seq", "type", "u", "v")

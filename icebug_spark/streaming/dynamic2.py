@@ -21,8 +21,13 @@ from pyspark.sql import functions as F
 
 
 def _sym(e: DataFrame) -> DataFrame:
-    return e.select("src", "dst").union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # distinct matters: callers may already hold both arc directions, and
+    # duplicated arcs silently double walk counts in dyn_katz_update
+    # (min-based BFS/CC label updates only waste work)
+    return (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
     )
 
 
