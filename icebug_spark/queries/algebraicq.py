@@ -402,8 +402,11 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
         # to ~32 — one aggregation level + the exact coarse solve. 30
         # would trigger a SECOND full matching+contraction level for 13
         # nodes of progress (measured ~8 s of pure setup at job floor).
+        # tol=1e-5: the certificate margin below is 1e-4, so the old
+        # 1e-6 stopping tolerance bought nothing but extra PCG cycles
+        # (each one a fixed stack of driver-synchronous jobs)
         for r in lamg_solve(
-            ew, b, tol=1e-6, max_cycles=10, coarsest=36, sweeps=2
+            ew, b, tol=1e-5, max_cycles=10, coarsest=36, sweeps=2
         ).collect()
     }
     r_lamg = x[u] - x[v]

@@ -604,7 +604,10 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
         bridges,
     )
 
-    eu = _eu(spark, sf)
+    # self-arcs (a node id that is both customer and supplier buying from
+    # itself) are excluded: Tarjan's adjacency drops self-loops, so the
+    # SQL twin must never count one as a forest edge
+    eu = _eu(spark, sf).where(F.col("src") != F.col("dst"))
     forest = (
         eu.groupBy("src")
         .agg(F.min("dst").alias("dst"))
@@ -625,7 +628,7 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q133_SQL = f"""
-WITH eu AS ({EU_SQL}),
+WITH eu AS (SELECT * FROM ({EU_SQL}) WHERE src <> dst),
 mn AS (SELECT src, MIN(dst) AS dst FROM eu GROUP BY src),
 forest AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM mn),
 deg AS (SELECT id, COUNT(*) AS d FROM
