@@ -114,12 +114,16 @@ def test_streaming_window_matches_batch(spark, sf_dir, tmp_path):
     """Structured Streaming windowed counts == batch equivalent on the
     same data (availableNow trigger, memory sink)."""
     from icebug_spark.catalog import table
-    from icebug_spark.streaming.windows import run_batch_equivalent, tumbling_counts
+    from icebug_spark.streaming.windows import (
+        run_batch_equivalent,
+        streaming_events,
+        tumbling_counts,
+    )
 
     events = table(spark, sf_dir, "events")
     src_dir = str(tmp_path / "stream_src")
     events.write.mode("overwrite").parquet(src_dir)
-    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    stream = streaming_events(spark, src_dir, events.schema)
     q = (
         tumbling_counts(stream, watermark="0 seconds")
         .writeStream.format("memory")
