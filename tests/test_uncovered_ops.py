@@ -221,3 +221,19 @@ def test_load_all_tables(spark, sf_dir):
     dfs = load_all(spark, sf_dir)
     assert set(dfs) == set(TABLES)
     assert dfs["nation"].count() == 25
+
+
+def test_graph_to_undirected_and_in_degrees(spark):
+    # weighted: symmetrization keeps max weight per direction pair
+    gw = Graph.from_edge_list(
+        spark, [(0, 1, 3.0), (1, 0, 5.0), (1, 2, 1.0)], directed=True, weighted=True
+    )
+    und = gw.to_undirected()
+    assert und.directed is False
+    rows = {(r["src"], r["dst"]): r["weight"] for r in und.edges.collect()}
+    assert rows[(0, 1)] == 5.0 and rows[(1, 0)] == 5.0
+    assert rows[(1, 2)] == 1.0 and rows[(2, 1)] == 1.0
+    # in_degrees counts incoming arcs on the directed view
+    g = Graph.from_edge_list(spark, [(0, 2), (1, 2), (2, 0)], directed=True)
+    ind = {r["id"]: r["degree"] for r in g.in_degrees().collect()}
+    assert ind == {2: 2, 0: 1}
