@@ -114,3 +114,24 @@ def test_apply_edge_events_last_wins(spark):
     )
     new = apply_edge_events(old, batch)
     assert sorted(map(tuple, new.collect())) == [(1, 2)]
+
+
+def test_dyn_bfs_mixed_batch(spark):
+    # remove the short edge AND add a brand-new shortcut in one batch:
+    # dists must match a static recompute on the final graph.
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    old = _sym_df(spark, pairs)
+    dist0 = bfs_distances(old, source=0)
+    batch = _batch(
+        spark,
+        [
+            ("EDGE_REMOVAL", 1, 2), ("EDGE_REMOVAL", 2, 1),
+            ("EDGE_ADDITION", 0, 4), ("EDGE_ADDITION", 4, 0),
+        ],
+    )
+    new = apply_edge_events(old, batch)
+    got = _dists(dyn_bfs_update(dist0, new, batch))
+    want = _dists(bfs_distances(new, source=0))
+    assert got == want
+    # 2 and 3 now reached only via the new shortcut 0-4
+    assert got[4] == 1 and got[3] == 2 and got[2] == 3
