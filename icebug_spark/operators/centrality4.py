@@ -488,17 +488,19 @@ def square_clustering(edges_undirected: DataFrame) -> DataFrame:
     )
     # squares through (v,u,w): common neighbors of u,w other than v
     # q_v = q_all − 1 (v itself is always a common neighbor in a wedge).
-    # Potential per Lind et al. (the reference's formula): with
-    # η = 1 + q_v + a(u,w), potential(u,w) = q_v + (k_u − η)·(k_w − η)
-    # — a PRODUCT of the remaining free stubs, not their sum (a 4-cycle
-    # must score exactly 1.0).
+    # Potential per the reference (LocalSquareClusteringCoefficient.cpp:37-40):
+    # potential(u,w) = deg(u) + deg(w) − numCommonNeighbors − 1, minus 2 more
+    # if (u,w) is an edge — i.e. with η = 1 + q_v + a(u,w) it's the SUM form
+    # q_v + (k_u − η) + (k_w − η) of the remaining free stubs (a pure 4-cycle
+    # still scores exactly 1.0: q_v=1, k_u=k_w=2, η=2 → 1/1).
     eta = 1 + (F.col("q_all") - 1) + F.col("is_edge")
     per_pair = j.select(
         "v",
         (F.col("q_all") - 1).alias("squares"),
         (
             (F.col("q_all") - 1)
-            + (F.col("du") - eta) * (F.col("dw") - eta)
+            + (F.col("du") - eta)
+            + (F.col("dw") - eta)
         ).alias("potential"),
     )
     agg = per_pair.groupBy(F.col("v").alias("id")).agg(

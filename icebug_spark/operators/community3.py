@@ -450,9 +450,11 @@ def node_structural_rand_sampled(
     """SampledNodeStructuralRandMeasure (reference .hpp:21): Rand
     DISTANCE estimated on a deterministic pseudo-random sample of node
     pairs. → 1 row (rand_distance DOUBLE 6dp)."""
+    # checkpoint BEFORE the exact-regime count so the guard doesn't
+    # re-run the pa⋈pb join lineage once extra per call
     joined = pa.select("id", F.col("subset").alias("sa")).join(
         pb.select("id", F.col("subset").alias("sb")), "id"
-    )
+    ).localCheckpoint(eager=True)
     k = int(math.isqrt(max_samples * 2)) + 2  # k*(k-1)/2 >= max_samples
     # distributed TakeOrdered top-k — not a global row_number window
     # (which single-tasks the whole node set); same sampled set. In the
@@ -460,7 +462,7 @@ def node_structural_rand_sampled(
     # GlobalLimit sized past the input would buffer the whole set in one
     # TakeOrdered heap.
     if k >= joined.count():
-        sample = joined.localCheckpoint(eager=True)
+        sample = joined
     else:
         sample = (
             joined.withColumn("h", F.xxhash64(F.lit(seed), "id"))
@@ -498,7 +500,11 @@ def graph_structural_rand_sampled(
     """SampledGraphStructuralRandMeasure (reference .hpp:21): Rand
     distance over a sample of CONNECTED node pairs (edges). → 1 row
     (rand_distance DOUBLE 6dp)."""
-    e = edges_undirected.where(F.col("src") < F.col("dst"))
+    # checkpoint BEFORE the exact-regime count so the guard doesn't
+    # re-run whatever lineage produced edges_undirected once extra
+    e = edges_undirected.where(F.col("src") < F.col("dst")).localCheckpoint(
+        eager=True
+    )
     # distributed TakeOrdered top-k over the EDGE set — the old global
     # row_number window single-tasked every edge at 1e12-edge scale. In
     # the exact regime (max_samples >= |edges|) skip the top-k: a

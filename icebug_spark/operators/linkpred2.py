@@ -28,7 +28,7 @@ adjacency, one row per directed arc.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from icebug_spark.operators.linkpred import _neighbor_pairs, common_neighbors

@@ -544,6 +544,9 @@ per AS (SELECT s, SUM(pos) AS tp_d, SUM(1 - pos) AS fp_d FROM lab GROUP BY s),
 cum AS (SELECT s, SUM(tp_d) OVER (ORDER BY s DESC) AS tp,
                SUM(fp_d) OVER (ORDER BY s DESC) AS fp FROM per),
 tot AS (SELECT SUM(pos) AS p, SUM(1 - pos) AS n FROM lab)
+-- DISTINCT over the ROUNDED pair mirrors roc_points' trailing
+-- .distinct() (linkpred2.py:271): both sides dedup (fpr,tpr) at 6dp, so
+-- thresholds that round to the same point collapse identically at any SF.
 SELECT DISTINCT
   ROUND(CAST(fp AS DOUBLE) / GREATEST(n, 1), 6) AS fpr,
   ROUND(CAST(tp AS DOUBLE) / GREATEST(p, 1), 6) AS tpr

@@ -76,6 +76,14 @@ def test_square_clustering_c4_is_one(spark):
     p = _sym(spark, [(0, 1), (1, 2), (2, 3)])
     got_p = {r["id"]: r["square_cc"] for r in square_clustering(p).collect()}
     assert all(v == 0.0 for v in got_p.values())
+    # C4 + pendant off node 1: the SUM potential (reference
+    # LocalSquareClusteringCoefficient.cpp:37-40) gives node 0
+    # potential = deg(1)+deg(3)−q_all−1 = 3+2−2−1 = 2 → cc = 1/2;
+    # the (wrong) product form would give 1.0.
+    c4p = _sym(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (1, 4)])
+    got_c = {r["id"]: r["square_cc"] for r in square_clustering(c4p).collect()}
+    assert got_c[0] == 0.5 and got_c[2] == 0.5
+    assert got_c[3] == 1.0  # both neighbors (0,2) fully used by the square
 
 
 def test_complex_paths_threshold_spread(spark):
