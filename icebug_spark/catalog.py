@@ -152,6 +152,25 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     return edges.select("src", "dst").union(rev).distinct()
 
 
+def derived_canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C(u, v) := canonical (u < v, loop-free) undirected edge set,
+    materialized once per session. The triangle/clustering family (q24,
+    q25, edge scores) all start from this table; without the memo each
+    query re-runs the least/greatest distinct (~1.3 s at sf0.1). Same
+    100 TB shape as E/EU: C is the persisted canonical-edge artifact
+    every triangle-ish analysis reads."""
+    from icebug_spark.operators.triangles import canonical_edges
+
+    key = (spark.sparkContext.applicationId, sf_dir, "C")
+    cached = _DERIVED_CACHE.get(key)
+    if cached is not None:
+        return cached
+    c = canonical_edges(derived_edges(spark, sf_dir, materialize=True))
+    c = c.localCheckpoint(eager=True)
+    _DERIVED_CACHE[key] = c
+    return c
+
+
 # Shared SQL fragments for the DuckDB oracle twins (the oracle has views
 # named after the tables; keep these textually identical across queries).
 E_SQL = (

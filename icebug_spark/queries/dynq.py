@@ -1,0 +1,420 @@
+"""Dynamic-operator coverage queries q134-q141: oracle-backed checks for
+the operators that previously had only pytest goldens (VERDICT r5 "golden"
+rows): DynKatz, DynSSSP, DynAPSP, DynTopHarmonicCloseness,
+DynamicBSuitorMatcher, KPathCentrality, GedWalk and
+LocalSquareClusteringCoefficient.
+
+Conventions match coverq.py: the dyn-vs-static-recompute template
+(q125/q132) gives FULL-VALUE oracles for the deterministic maintenance
+operators — remove a deterministic edge subset, replay it as an event
+batch, and let DuckDB recompute the static answer on the final graph from
+scratch. Seeded-randomized / greedy operators (k-path walks, GedWalk,
+dynamic b-suitor) get invariant certificates with literal-TRUE oracles,
+the invariants being real (validity, dominance, monotone greedy gains).
+Reference parity pointers live in each query's docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icebug_spark.catalog import (
+    EU_SQL,
+    derived_edges_undirected,
+    derived_weighted_edges,
+)
+from icebug_spark.queries.pointq import EWU_SQL, _bf_unrolled_sql, _ewu
+
+_KATZ_ALPHA = 0.001  # alpha * lambda_max < 1 on the symmetrized graph
+_KATZ_ITER = 8
+
+
+def _eu(spark: SparkSession, sf: str) -> DataFrame:
+    return derived_edges_undirected(spark, sf)
+
+
+def _first_pair(eu: DataFrame) -> tuple[int, int]:
+    """Deterministic undirected edge: the lexicographically smallest
+    canonical pair. One-row collect — not a driver loop."""
+    r = (
+        eu.where(F.col("src") < F.col("dst"))
+        .orderBy("src", "dst")
+        .limit(1)
+        .collect()[0]
+    )
+    return int(r["src"]), int(r["dst"])
+
+
+def _without_pair(eu: DataFrame, u: int, v: int) -> DataFrame:
+    return eu.where(
+        ~(
+            ((F.col("src") == u) & (F.col("dst") == v))
+            | ((F.col("src") == v) & (F.col("dst") == u))
+        )
+    )
+
+
+# q134 — DynKatzCentrality (centrality/DynKatzCentrality.hpp:23): Katz
+# scores maintained under an insertion batch (apply_edge_events replay of
+# a deterministically removed subset) must equal the truncated series
+# sum_k alpha^k A^k 1 on the final graph, which the oracle recomputes
+# per-iteration with a recursive CTE. Full value, 6dp.
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.streaming.dynamic2 import apply_edge_events, dyn_katz_update
+
+    eu = _eu(spark, sf)
+    re_added = eu.where((F.col("src") + F.col("dst")) % 23 == 0)
+    old = eu.join(re_added, ["src", "dst"], "left_anti")
+    batch = re_added.select(
+        F.lit("EDGE_ADDITION").alias("type"),
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+    )
+    edges_new = apply_edge_events(old, batch)
+    return dyn_katz_update(edges_new, alpha=_KATZ_ALPHA, iters=_KATZ_ITER).orderBy(
+        "id"
+    )
+
+
+Q134_SQL = f"""
+WITH RECURSIVE eu AS MATERIALIZED ({EU_SQL}),
+nodes AS (SELECT DISTINCT src AS id FROM eu),
+k(iter, id, term) AS (
+  SELECT 0, id, CAST(1.0 AS DOUBLE) FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, p.id, {_KATZ_ALPHA} * COALESCE(c.s, 0.0)
+  FROM k p LEFT JOIN (
+    SELECT eu.src AS id, SUM(k2.term) AS s
+    FROM k k2 JOIN eu ON eu.dst = k2.id GROUP BY eu.src
+  ) c ON c.id = p.id
+  WHERE p.iter < {_KATZ_ITER}
+)
+SELECT id, ROUND(SUM(term), 6) AS katz FROM k GROUP BY id ORDER BY id
+"""
+
+
+# q135 — DynDijkstra / DynSSSP (distance/DynDijkstra.hpp:20,
+# DynSSSP.hpp:20): weighted source-1 distances maintained under a MIXED
+# removal+addition batch must equal static Bellman-Ford on the final
+# graph (removed: (src+dst)%19==0 pairs; re-added: %23==0 pairs — the
+# removal path exercises the affected-cone invalidation). Full value, 2dp.
+def q135(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.operators.traversal import sssp_weighted
+    from icebug_spark.streaming.dynamic3 import dyn_sssp_update
+
+    ewu = _ewu(spark, sf)
+    s = F.col("src") + F.col("dst")
+    added = (s % 23) == 0
+    removed = ((s % 19) == 0) & ~((s % 23) == 0)
+    old = ewu.where(~added)
+    d0 = sssp_weighted(old, 1)
+    final = ewu.where(~removed).localCheckpoint(eager=True)
+    batch = (
+        ewu.where(added)
+        .select(
+            F.lit("EDGE_ADDITION").alias("type"),
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            F.col("weight").alias("w"),
+        )
+        .union(
+            ewu.where(removed).select(
+                F.lit("EDGE_REMOVAL").alias("type"),
+                F.col("src").alias("u"),
+                F.col("dst").alias("v"),
+                F.col("weight").alias("w"),
+            )
+        )
+    )
+    newd = dyn_sssp_update(d0, final, batch, max_rounds=30)
+    return newd.select("id", F.round("dist", 2).alias("dist")).orderBy("id")
+
+
+_Q135_ROUNDS = 20  # > q88's 14: removals can lengthen shortest paths
+
+Q135_SQL = f"""
+WITH ewu AS MATERIALIZED (
+  SELECT * FROM ({EWU_SQL})
+  WHERE (src + dst) % 19 <> 0 OR (src + dst) % 23 = 0
+),
+{_bf_unrolled_sql(1, _Q135_ROUNDS)}
+SELECT id, ROUND(dist, 2) AS dist FROM d{_Q135_ROUNDS} ORDER BY id
+"""
+
+
+# q136 — DynAPSP (distance/DynAPSP.hpp:20): the maintained
+# (source, id, dist) table over the 5 smallest node ids, after removing
+# and re-inserting the smallest canonical edge, must equal static
+# multi-source BFS on the final graph. Full-value per-source distance
+# histogram (the insert splice's gap filter is exercised for real: a
+# wrong affected-source set changes counts).
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.streaming.dynamic3 import DynAPSP
+
+    eu = _eu(spark, sf)
+    u, v = _first_pair(eu)
+    srcs = [
+        int(r["id"])
+        for r in eu.select(F.col("src").alias("id")).distinct().orderBy("id").limit(5).collect()
+    ]
+    dyn = DynAPSP(_without_pair(eu, u, v), srcs, max_hops=30)
+    dyn.insert_edge(u, v)
+    return (
+        dyn.distances()
+        .groupBy("source", F.col("dist").cast("long").alias("dist"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("source", "dist")
+    )
+
+
+Q136_SQL = f"""
+WITH RECURSIVE eu AS MATERIALIZED ({EU_SQL}),
+srcs AS (SELECT DISTINCT src AS id FROM eu ORDER BY id LIMIT 5),
+b(source, id, dist) AS (
+  SELECT id, id, 0 FROM srcs
+  UNION
+  SELECT b.source, eu.dst, b.dist + 1
+  FROM b JOIN eu ON eu.src = b.id WHERE b.dist < 30
+),
+d AS (SELECT source, id, MIN(dist) AS dist FROM b GROUP BY source, id)
+SELECT source, CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_nodes
+FROM d GROUP BY source, dist ORDER BY source, dist
+"""
+
+
+# q137 — DynTopHarmonicCloseness (centrality/DynTopHarmonicCloseness.hpp):
+# top-10 harmonic closeness over the top-40-degree candidate pool,
+# maintained under the same remove-then-reinsert splice, must equal the
+# static q84-shaped recompute on the final graph. Full value, 6dp.
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.streaming.dynamic3 import DynTopHarmonicCloseness
+
+    eu = _eu(spark, sf)
+    u, v = _first_pair(eu)
+    deg = eu.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    cands = [
+        int(r["id"])
+        for r in deg.orderBy(F.desc("deg"), F.asc("id")).limit(40).collect()
+    ]
+    dyn = DynTopHarmonicCloseness(_without_pair(eu, u, v), cands, k=10, max_hops=12)
+    dyn.insert_edge(u, v)
+    return dyn.top_k()
+
+
+Q137_SQL = f"""
+WITH RECURSIVE eu AS MATERIALIZED ({EU_SQL}),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM eu GROUP BY src),
+cands AS (SELECT id FROM deg ORDER BY deg DESC, id LIMIT 40),
+bfs(source, node, dist) AS (
+  SELECT id, id, 0 FROM cands
+  UNION
+  SELECT b.source, eu.dst, b.dist + 1
+  FROM bfs b JOIN eu ON eu.src = b.node WHERE b.dist < 12
+),
+best AS (SELECT source, node, MIN(dist) AS dist FROM bfs GROUP BY source, node)
+SELECT source AS id, ROUND(SUM(1.0 / dist), 6) AS harmonic
+FROM best WHERE dist > 0
+GROUP BY source ORDER BY harmonic DESC, id LIMIT 10
+"""
+
+
+# q138 — DynamicBSuitorMatcher (matching/DynamicBSuitorMatcher.hpp:19)
+# certificate: after inserting a strictly-dominating-weight edge between
+# the smallest and largest node ids, the ball-local rematch MUST match
+# that edge (suitor rounds prefer max weight); after removing it the
+# matching must stay valid (multiplicity <= 1, no duplicate pairs, every
+# matched pair is a current edge) and the dominating pair must be gone.
+# Greedy order isn't SQL-reproducible, so the oracle pins the invariants.
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.streaming.dynamic3 import DynamicBSuitorMatcher
+
+    ew = derived_weighted_edges(spark, sf)
+    ids = ew.select(F.col("src").alias("id")).union(
+        ew.select(F.col("dst").alias("id"))
+    )
+    lo = ids.agg(F.min("id")).collect()[0][0]
+    hi = ids.agg(F.max("id")).collect()[0][0]
+    big = (ew.agg(F.sum("weight")).collect()[0][0] or 1.0) + 1.0
+    dyn = DynamicBSuitorMatcher(ew, b=1)
+    dyn.insert_edge(int(lo), int(hi), float(big))
+    mid = dyn.matching.localCheckpoint(eager=True)
+    dominating_matched = (
+        mid.where(
+            (F.least("u", "v") == int(lo)) & (F.greatest("u", "v") == int(hi))
+        ).count()
+        == 1
+    )
+    dyn.remove_edge(int(lo), int(hi))
+    m = dyn.matching.localCheckpoint(eager=True)
+    both = m.select(F.col("u").alias("id")).union(m.select(F.col("v").alias("id")))
+    overmatched = (
+        both.groupBy("id").agg(F.count(F.lit(1)).alias("k")).where(F.col("k") > 1).count()
+    )
+    canon_edges = dyn.edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    m_canon = m.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    )
+    not_an_edge = m_canon.join(canon_edges, ["u", "v"], "left_anti").count()
+    dominating_gone = (
+        m_canon.where((F.col("u") == int(lo)) & (F.col("v") == int(hi))).count() == 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                bool(dominating_matched),
+                overmatched == 0,
+                not_an_edge == 0,
+                bool(dominating_gone),
+                m.count() >= 1,
+            )
+        ],
+        "dominating_matched BOOLEAN, valid_matching BOOLEAN, "
+        "edges_exist BOOLEAN, dominating_gone BOOLEAN, has_matches BOOLEAN",
+    )
+
+
+Q138_SQL = (
+    "SELECT TRUE AS dominating_matched, TRUE AS valid_matching, "
+    "TRUE AS edges_exist, TRUE AS dominating_gone, TRUE AS has_matches"
+)
+
+
+# q139 — KPathCentrality (centrality/KPathCentrality.hpp:18) certificate:
+# seeded random simple paths aren't SQL-reproducible, but the scores obey
+# hard structural invariants — non-negative, bounded by the k-1 interior
+# slots per walk, EXACTLY zero on degree-1 nodes (an interior node of a
+# simple path needs two distinct neighbors), and positive somewhere on a
+# graph with wedges.
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.operators.centrality4 import k_path_centrality
+
+    eu = _eu(spark, sf)
+    kp = k_path_centrality(eu, k=4, walks_per_node=4, seed=11).localCheckpoint(
+        eager=True
+    )
+    deg = eu.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    j = kp.join(deg, "id").localCheckpoint(eager=True)
+    row = j.agg(
+        F.min("kpath").alias("mn"),
+        F.max("kpath").alias("mx"),
+        F.sum("kpath").alias("tot"),
+        F.max(F.when(F.col("deg") == 1, F.col("kpath")).otherwise(0.0)).alias(
+            "leaf_mx"
+        ),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                row["mn"] >= 0.0,
+                row["mx"] <= 3.0,
+                row["leaf_mx"] == 0.0,
+                row["tot"] > 0.0,
+            )
+        ],
+        "nonnegative BOOLEAN, bounded BOOLEAN, leaves_zero BOOLEAN, "
+        "some_positive BOOLEAN",
+    )
+
+
+Q139_SQL = (
+    "SELECT TRUE AS nonnegative, TRUE AS bounded, TRUE AS leaves_zero, "
+    "TRUE AS some_positive"
+)
+
+
+# q140 — GedWalk (centrality/GedWalk.hpp:19) certificate: the greedy
+# group-selection loop evaluates a LINEAR (hence submodular) walk-
+# exposure score exactly, so marginal gains must be positive and
+# non-increasing, and the k selected nodes distinct graph nodes.
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.operators.centrality4 import gedwalk_group
+
+    eu = _eu(spark, sf)
+    sel = gedwalk_group(eu, k=2, alpha=0.5, depth=2).orderBy("rank").collect()
+    ids = [r["id"] for r in sel]
+    gains = [r["gain"] for r in sel]
+    node_set = {
+        int(r["id"]) for r in eu.select(F.col("src").alias("id")).distinct().collect()
+    }
+    return spark.createDataFrame(
+        [
+            (
+                len(sel) == 2,
+                len(set(ids)) == 2,
+                all(i in node_set for i in ids),
+                all(g > 0 for g in gains),
+                gains[0] >= gains[1] if len(gains) == 2 else False,
+            )
+        ],
+        "k_rows BOOLEAN, distinct_ids BOOLEAN, ids_in_graph BOOLEAN, "
+        "gains_positive BOOLEAN, gains_nonincreasing BOOLEAN",
+    )
+
+
+Q140_SQL = (
+    "SELECT TRUE AS k_rows, TRUE AS distinct_ids, TRUE AS ids_in_graph, "
+    "TRUE AS gains_positive, TRUE AS gains_nonincreasing"
+)
+
+
+# q141 — LocalSquareClusteringCoefficient
+# (centrality/LocalSquareClusteringCoefficient.cpp:37-40): full-value
+# quadrangle arithmetic on the id%3==0 subgraph — per wedge pair (u,w)
+# centered at v: squares += ncn-1, potential += deg(u)+deg(w)-ncn-1
+# (-2 more if (u,w) is an edge). The oracle repeats the arithmetic in
+# pure SQL; any divergence in the wedge join, the common-neighbor count
+# or the potential form flips values.
+def q141(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.operators.centrality4 import square_clustering
+
+    eu = _eu(spark, sf).where(
+        (F.col("src") % 3 == 0) & (F.col("dst") % 3 == 0)
+    )
+    return square_clustering(eu).orderBy("id")
+
+
+Q141_SQL = f"""
+WITH eu0 AS MATERIALIZED ({EU_SQL}),
+eu AS (SELECT src, dst FROM eu0 WHERE src % 3 = 0 AND dst % 3 = 0),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM eu GROUP BY src),
+cn AS (
+  SELECT a.src AS u, b.src AS w, COUNT(*) AS q
+  FROM eu a JOIN eu b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY a.src, b.src
+),
+wedge AS (
+  SELECT e1.dst AS u, e1.src AS v, e2.dst AS w
+  FROM eu e1 JOIN eu e2 ON e1.src = e2.src AND e1.dst < e2.dst
+),
+per AS (
+  SELECT wg.v,
+         cn.q - 1 AS sq,
+         du.d + dw.d - cn.q - 1
+           - CASE WHEN ed.src IS NOT NULL THEN 2 ELSE 0 END AS pot
+  FROM wedge wg
+  JOIN cn ON cn.u = wg.u AND cn.w = wg.w
+  JOIN deg du ON du.id = wg.u
+  JOIN deg dw ON dw.id = wg.w
+  LEFT JOIN eu ed ON ed.src = wg.u AND ed.dst = wg.w
+)
+SELECT v AS id,
+       ROUND(CASE WHEN SUM(pot) > 0
+                  THEN CAST(SUM(sq) AS DOUBLE) / CAST(SUM(pot) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS square_cc
+FROM per GROUP BY v ORDER BY id
+"""
+
+
+DYN = {
+    "q134_dynkatz_events": (q134, Q134_SQL),
+    "q135_dynsssp_mixed": (q135, Q135_SQL),
+    "q136_dynapsp_insert": (q136, Q136_SQL),
+    "q137_dyntopharmonic_insert": (q137, Q137_SQL),
+    "q138_dynbsuitor_certificate": (q138, Q138_SQL),
+    "q139_kpath_certificate": (q139, Q139_SQL),
+    "q140_gedwalk_certificate": (q140, Q140_SQL),
+    "q141_square_clustering": (q141, Q141_SQL),
+}

@@ -170,8 +170,12 @@ FROM deg a JOIN deg b ON a.node < b.node
 def q24(spark: SparkSession, sf: str) -> DataFrame:
     # canonical_edges(E) ≡ canonical_edges(EU): least/greatest collapses
     # both orientations, so the symmetrize union+distinct is skipped.
+    # The canonical set itself is the session-memoized C artifact —
+    # q24/q25 (and a cluster's whole triangle family) share one build.
+    from icebug_spark.catalog import derived_canonical_edges
+
     e = derived_edges(spark, sf, materialize=True)
-    return triangles.triangle_count(e)
+    return triangles.triangle_count(e, canon=derived_canonical_edges(spark, sf))
 
 
 Q24_SQL = f"""
@@ -185,8 +189,12 @@ FROM c e1 JOIN c e2 ON e1.v = e2.u JOIN c e3 ON e3.u = e1.u AND e3.v = e2.v
 
 # Q25 — local clustering coefficient (LocalClusteringCoefficient parity).
 def q25(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.catalog import derived_canonical_edges
+
     e = derived_edges(spark, sf, materialize=True)
-    return triangles.local_clustering_coefficient(e)
+    return triangles.local_clustering_coefficient(
+        e, canon=derived_canonical_edges(spark, sf)
+    )
 
 
 Q25_SQL = f"""

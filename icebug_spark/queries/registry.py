@@ -8,6 +8,7 @@ from icebug_spark.queries.communityq import COMMUNITY
 from icebug_spark.queries.communityq3 import COMMUNITY3
 from icebug_spark.queries.coverq import COVER
 from icebug_spark.queries.distanceq import DISTANCE2
+from icebug_spark.queries.dynq import DYN
 from icebug_spark.queries.edgescoreq import EDGESCORE
 from icebug_spark.queries.graphq import GRAPH
 from icebug_spark.queries.llmq import LLM
@@ -25,7 +26,7 @@ from icebug_spark.queries.structuralq import STRUCTURAL
 # first (q114 LAMG, q110 PLL, the SCD block). The full registry is still
 # swept locally every round (tools/check_oracle.py →
 # CORRECTNESS_LOCAL.json).
-_MERGED = {**COVER, **CENTRAL, **LLM, **EDGESCORE, **SCD, **ALGEBRAIC, **QUALITY, **DISTANCE2, **POINT, **SPARSIFY2, **STRUCTURAL, **RELATIONAL, **GRAPH, **COMMUNITY, **COMMUNITY3}
+_MERGED = {**DYN, **COVER, **CENTRAL, **LLM, **EDGESCORE, **SCD, **ALGEBRAIC, **QUALITY, **DISTANCE2, **POINT, **SPARSIFY2, **STRUCTURAL, **RELATIONAL, **GRAPH, **COMMUNITY, **COMMUNITY3}
 
 _NEVER_DRIVER_CHECKED_PRE_R06 = [
     "q114_commute_time_lamg", "q110_pll_exact_distances",

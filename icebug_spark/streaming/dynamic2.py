@@ -218,8 +218,13 @@ def dyn_katz_update(
     win in Spark comes from reusing the cached symmetrized edge table, not
     per-entry deltas. → (id, katz) 6dp."""
     eu = _sym(edges_new).localCheckpoint(eager=True)
-    x = eu.select(F.col("src").alias("id")).distinct().withColumn("term", F.lit(1.0))
-    katz = x.select("id", F.col("term").alias("katz"))
+    x = (
+        eu.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("term", F.lit(1.0))
+        .localCheckpoint(eager=True)
+    )
+    terms = [x]
     for _ in range(iters):
         x = (
             eu.join(x.withColumnRenamed("id", "dst"), "dst")
@@ -227,12 +232,12 @@ def dyn_katz_update(
             .agg((F.lit(alpha) * F.sum("term")).alias("term"))
             .localCheckpoint(eager=True)
         )
-        katz = (
-            katz.join(x, "id", "full_outer")
-            .select(
-                "id",
-                (F.coalesce("katz", F.lit(0.0)) + F.coalesce("term", F.lit(0.0))).alias("katz"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        terms.append(x)
+    # one final aggregation over the (checkpointed) per-iteration term
+    # tables — half the checkpoints of a per-iteration full-outer merge,
+    # and one shuffle instead of `iters` sequential joins
+    allt = terms[0]
+    for t in terms[1:]:
+        allt = allt.unionByName(t)
+    katz = allt.groupBy("id").agg(F.sum("term").alias("katz"))
     return katz.select("id", F.round("katz", 6).alias("katz"))

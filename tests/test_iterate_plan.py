@@ -76,6 +76,64 @@ def test_mirror_plan_shapes(eu, spark):
         spark.conf.unset("spark.icebug.vertexBroadcastRows")
 
 
+class _NoInternalCreate:
+    """JVM-session proxy whose internalCreateDataFrame always raises —
+    forces pin() onto its public createDataFrame(JavaRDD) fallback."""
+
+    def __init__(self, real):
+        object.__setattr__(self, "_real", real)
+
+    def internalCreateDataFrame(self, *a, **k):
+        raise RuntimeError("forced: simulate a Spark version without the private API")
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "_real"), name)
+
+
+def test_pin_public_api_fallback(eu, spark):
+    """The docstring admits the primary path leans on a private[sql]
+    Spark API (`internalCreateDataFrame`); this exercises the public
+    createDataFrame(JavaRDD) fallback explicitly — a Spark upgrade that
+    breaks the primary path must silently land here and stay CORRECT:
+    values round-trip, stats reset to leaf defaults, and a pin-per-round
+    solver loop (the CG shape that OOM'd in round 4) still converges."""
+    from icebug_spark.plans.iterate import pin
+
+    real = spark._jsparkSession
+    spark._jsparkSession = _NoInternalCreate(real)
+    try:
+        df = eu.join(
+            eu.withColumnRenamed("dst", "mid").withColumnRenamed("src", "dst"),
+            "dst",
+        ).select("src", "mid")
+        pinned = pin(df)
+        assert sorted(map(tuple, pinned.collect())) == sorted(
+            map(tuple, df.collect())
+        )
+        assert pinned.schema == df.schema
+        # stats reset: repeated pin-join-pin rounds keep sizeInBytes at the
+        # leaf default instead of compounding the join product
+        x = pin(eu)
+        for _ in range(4):
+            x = pin(x.join(x.withColumnRenamed("dst", "d2"), "src").select("src", "dst"))
+        stats = int(
+            str(x._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        default = int(spark.conf.get("spark.sql.defaultSizeInBytes", str(2**63 - 1)))
+        assert stats <= default
+        # a real solver loop through the fallback: CG on a tiny Laplacian.
+        # Path 0-1-2-3: R_eff(0,3)=3, vol=2*(#edges)=8 → commute time 24.
+        from icebug_spark.operators.numerics import commute_time_distances
+
+        out = commute_time_distances(
+            eu.withColumn("weight", F.lit(1.0)), [(0, 3)]
+        )
+        d = out.collect()[0]
+        assert abs(d["commute_time"] - 24.0) < 1e-3
+    finally:
+        spark._jsparkSession = real
+
+
 def test_reliable_checkpoint(eu, spark):
     """`spark.icebug.reliableCheckpoint=true` routes lineage truncation
     through `DataFrame.checkpoint` into the configured checkpoint dir —
