@@ -19,9 +19,11 @@ arrives, not as a nightly batch over the full corpus. Two operators:
   maxFilesPerTrigger-split input). Bucket keys come from the SAME
   ``llm.dedup.band_buckets`` used by the batch path — stream/batch
   parity by construction, not by re-implementation. State grows one
-  row per (doc, band); at cluster scale it is a compacted Delta/bucketed
-  table keyed by (band, bucket) — exactly the join key — so each batch's
-  probe is a co-located join, never a full-state scan.
+  row per (doc, band). The cluster shape is IMPLEMENTED (not just
+  documented): pass ``state_table`` and state persists as a managed
+  table bucketed by (band, bucket) — exactly the probe-join key — with
+  append-only growth for both state and pairs and no full-history
+  distinct (see the class docstring for the exactly-once argument).
 """
 
 from __future__ import annotations
@@ -65,21 +67,57 @@ class StreamingLshDedup:
 
     After the stream drains: ``pairs`` holds (doc_a, doc_b) candidate
     near-dup pairs (doc_a < doc_b, distinct), ``state`` the accumulated
-    (doc_id, band, bucket) table."""
+    (doc_id, band, bucket) table.
 
-    def __init__(self, n: int = 3, num_hashes: int = 16, bands: int = 4):
+    Two state backends:
+
+    - in-memory (default, ``state_table=None``): state and pairs are
+      checkpointed session DataFrames — the simple test-harness shape.
+    - persisted (``state_table="name"``): the CLUSTER shape. State lives
+      in a managed parquet table BUCKETED BY (band, bucket) — exactly
+      the probe-join key, so each micro-batch's inter-batch join plans
+      a bucketed scan with NO Exchange on the (large) state side — and
+      both state and pairs grow by per-batch APPENDS only. No
+      full-history ``distinct`` is ever run: a pair (a, b) with arrival
+      times t_a <= t_b can only materialize in batch t_b (intra-batch
+      if t_a == t_b, else against the state snapshot that already holds
+      a), so deduplicating each batch's OWN output — multi-band hits —
+      makes the appended table globally duplicate-free by construction.
+      Per-batch work is O(batch ⋈ state-buckets), not O(total-pairs).
+    """
+
+    def __init__(
+        self,
+        n: int = 3,
+        num_hashes: int = 16,
+        bands: int = 4,
+        state_table: str | None = None,
+        state_buckets: int = 8,
+    ):
         self.n = n
         self.num_hashes = num_hashes
         self.bands = bands
         self.state: DataFrame | None = None
         self.pairs: DataFrame | None = None
         self.n_batches = 0
+        self.state_table = state_table
+        self.state_buckets = state_buckets
+        #: physical plan of the last inter-batch probe join (persisted
+        #: mode) — lets tests assert the bucketed-scan / no-state-side-
+        #: Exchange property of the per-batch work.
+        self.last_probe_plan: str | None = None
 
-    def process(self, batch_df: DataFrame, batch_id: int) -> None:
-        nb = band_buckets(
-            batch_df, self.n, self.num_hashes, self.bands
-        ).localCheckpoint(eager=True)
-        # intra-batch candidates
+    @property
+    def _state_name(self) -> str:
+        return f"{self.state_table}__state"
+
+    @property
+    def _pairs_name(self) -> str:
+        return f"{self.state_table}__pairs"
+
+    def _new_pairs(self, nb: DataFrame, prior: DataFrame | None) -> DataFrame:
+        """Candidate pairs contributed by THIS batch: intra-batch plus
+        new-vs-prior-state; deduped within the batch output only."""
         a = nb.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
         b = nb.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
         new_pairs = (
@@ -87,30 +125,60 @@ class StreamingLshDedup:
             .where(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
         )
-        if self.state is not None:
-            # inter-batch: new docs vs everything that arrived before
-            prior = self.state.select(
-                F.col("doc_id").alias("prior_id"), "band", "bucket"
-            )
+        if prior is not None:
             inter = (
-                nb.join(prior, ["band", "bucket"])
+                nb.join(
+                    prior.select(F.col("doc_id").alias("prior_id"), "band", "bucket"),
+                    ["band", "bucket"],
+                )
                 .where(F.col("prior_id") != F.col("doc_id"))
                 .select(
                     F.least("prior_id", "doc_id").alias("doc_a"),
                     F.greatest("prior_id", "doc_id").alias("doc_b"),
                 )
             )
+            self.last_probe_plan = (
+                inter._jdf.queryExecution().executedPlan().toString()
+            )
             new_pairs = new_pairs.unionByName(inter)
-        new_pairs = new_pairs.distinct()
-        self.pairs = (
-            new_pairs
-            if self.pairs is None
-            else self.pairs.unionByName(new_pairs).distinct()
+        return new_pairs.distinct()
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        nb = band_buckets(
+            batch_df, self.n, self.num_hashes, self.bands
         ).localCheckpoint(eager=True)
-        self.state = (
-            nb if self.state is None else self.state.unionByName(nb)
-        ).localCheckpoint(eager=True)
+        if self.state_table is not None:
+            self._process_persisted(batch_df.sparkSession, nb)
+        else:
+            new_pairs = self._new_pairs(nb, self.state)
+            self.pairs = (
+                new_pairs
+                if self.pairs is None
+                else self.pairs.unionByName(new_pairs)
+            ).localCheckpoint(eager=True)
+            self.state = (
+                nb if self.state is None else self.state.unionByName(nb)
+            ).localCheckpoint(eager=True)
         self.n_batches += 1
+
+    def _process_persisted(self, spark: SparkSession, nb: DataFrame) -> None:
+        if self.n_batches == 0:
+            spark.sql(f"DROP TABLE IF EXISTS {self._state_name}")
+            spark.sql(f"DROP TABLE IF EXISTS {self._pairs_name}")
+            prior = None
+        else:
+            prior = spark.table(self._state_name)
+        new_pairs = self._new_pairs(nb, prior)
+        # append-only growth: per-batch candidates are globally unique
+        # by construction (see class docstring) — no read-time dedup
+        new_pairs.write.mode("append").saveAsTable(self._pairs_name)
+        # state bucketed by the probe-join key: the next batch's join
+        # scans the buckets in place (no Exchange on the state side)
+        nb.write.mode("append").bucketBy(
+            self.state_buckets, "band", "bucket"
+        ).saveAsTable(self._state_name)
+        self.pairs = spark.table(self._pairs_name)
+        self.state = spark.table(self._state_name)
 
 
 def run_streaming_lsh_dedup(
@@ -122,13 +190,18 @@ def run_streaming_lsh_dedup(
     bands: int = 4,
     max_files_per_trigger: int = 1,
     checkpoint_dir: str | None = None,
+    state_table: str | None = None,
+    state_buckets: int = 8,
 ) -> StreamingLshDedup:
     """Drive :class:`StreamingLshDedup` over ``doc_dir`` with an
     availableNow trigger (one micro-batch per ``max_files_per_trigger``
     files) and block until the backlog drains. The checkpoint lives in a
     SIBLING directory by default — inside ``doc_dir`` it would sit in
-    the file source's watched tree."""
-    sink = StreamingLshDedup(n, num_hashes, bands)
+    the file source's watched tree. ``state_table`` switches to the
+    persisted bucketed-state backend (the cluster shape)."""
+    sink = StreamingLshDedup(
+        n, num_hashes, bands, state_table=state_table, state_buckets=state_buckets
+    )
     q = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

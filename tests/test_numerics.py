@@ -72,7 +72,9 @@ def test_commute_time_matches_pinv(spark):
 def test_spanning_edge_centrality_matches_pinv(spark):
     _, Lp = _pinv_L()
     e = _edges_df(spark)
-    out = numerics.spanning_edge_centrality(e, sample_edges=4, max_iter=80).collect()
+    # 3 sampled edges exercise the same per-edge CG loop as 4 did —
+    # one solve fewer (suite-tail trim); the bridge check below stays.
+    out = numerics.spanning_edge_centrality(e, sample_edges=3, max_iter=80).collect()
     assert out
     for r in out:
         ev = np.zeros(N)
@@ -91,9 +93,12 @@ def test_cg_and_lamg_random_weighted_graphs_match_pinv(spark):
     reproduce the numpy pseudo-inverse solution of L·x = b."""
     from icebug_spark.operators.numerics3 import lamg_solve
 
+    # n=16 keeps the same failure modes as the original n=24 (random
+    # connected weighted topology, CG convergence, LAMG full pipeline)
+    # at ~2/3 of the CG iterations — suite-tail trim, two seeds kept.
     for seed in (3, 11):
         rng = np.random.default_rng(seed)
-        n = 24
+        n = 16
         # random spanning tree (guarantees connectivity) + extra edges
         edges = []
         for v in range(1, n):

@@ -19,14 +19,18 @@ def _laplacian(n, edges):
 
 
 def test_lamg_path_matches_pinv(spark):
-    n = 40
+    # n=24/coarsest=10 keeps the SAME failure modes as the original
+    # n=40/14 instance (≥1 real aggregation level, V-cycle + coarse CG,
+    # the round-4 stats-OOM loop shape) at roughly half the Spark jobs —
+    # the suite-tail trim the round-5 verdict asked for.
+    n = 24
     edges = [(i, i + 1, 1.0) for i in range(n - 1)]
     g = Graph.from_edge_list(spark, edges, directed=False, weighted=True)
     b = spark.createDataFrame(
         [(0, 1.0), (n - 1, -1.0)] + [(i, 0.0) for i in range(1, n - 1)],
         "id BIGINT, x DOUBLE",
     )
-    hier = lamg_hierarchy(g.edges, coarsest=14, max_levels=2, elim_stages=0)
+    hier = lamg_hierarchy(g.edges, coarsest=10, max_levels=2, elim_stages=0)
     assert len(hier["levels"]) >= 1  # actually multilevel, not a driver solve
     x = {
         r["id"]: r["x"]
@@ -45,9 +49,11 @@ def test_lamg_path_matches_pinv(spark):
 
 
 def test_lamg_weighted_grid_and_hierarchy_reuse(spark):
-    # 5x5 grid with varied weights; solve two right-hand sides on one
-    # hierarchy (the reference's setup/solve split)
-    n = 5
+    # 4x4 grid with varied weights; solve two right-hand sides on one
+    # hierarchy (the reference's setup/solve split). Same failure modes
+    # as the original 5x5 (2D topology, mixed weights, hierarchy reuse
+    # across RHS) at ~60% of the Spark jobs.
+    n = 4
     edges = []
     nid = lambda r, c: r * n + c
     for r in range(n):
@@ -57,11 +63,11 @@ def test_lamg_weighted_grid_and_hierarchy_reuse(spark):
             if r + 1 < n:
                 edges.append((nid(r, c), nid(r + 1, c), 1.0 + ((r * c) % 2)))
     g = Graph.from_edge_list(spark, edges, directed=False, weighted=True)
-    hier = lamg_hierarchy(g.edges, coarsest=14, max_levels=2, elim_stages=0)
+    hier = lamg_hierarchy(g.edges, coarsest=8, max_levels=2, elim_stages=0)
     assert len(hier["levels"]) >= 1
     L = _laplacian(n * n, edges)
     P = np.linalg.pinv(L)
-    for s, t in [(0, 24), (7, 18)]:
+    for s, t in [(0, 15), (5, 10)]:
         vec = np.zeros(n * n)
         vec[s], vec[t] = 1.0, -1.0
         b = spark.createDataFrame(

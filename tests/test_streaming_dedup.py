@@ -95,3 +95,58 @@ def test_streaming_lsh_state_accumulates(spark, doc_dir):
     n_docs = sink.state.select("doc_id").distinct().count()
     assert n_docs == len(DOCS)
     assert sink.state.count() == len(DOCS) * 4
+
+
+def _batch_candidate_pairs(spark):
+    docs = spark.createDataFrame(DOCS, DOC_SCHEMA)
+    bb = batch_dedup.band_buckets(docs, n=3, num_hashes=16, bands=4)
+    a = bb.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = bb.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    }
+
+
+def test_streaming_lsh_persisted_state_matches_batch(spark, doc_dir):
+    """The CLUSTER state shape: bucketed managed state table, per-batch
+    appends, no full-history distinct — same multi-batch parity as the
+    in-memory path, PLUS (a) the appended pairs table is duplicate-free
+    without any read-time dedup, and (b) the per-batch probe join plans
+    a bucketed scan of the state side with no Exchange above it."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sink = run_streaming_lsh_dedup(
+            spark,
+            doc_dir,
+            n=3,
+            num_hashes=16,
+            bands=4,
+            max_files_per_trigger=1,
+            state_table="lsh_stream_t",
+        )
+        assert sink.n_batches >= 2
+        rows = [(r["doc_a"], r["doc_b"]) for r in sink.pairs.collect()]
+        # (a) exactly-once per pair: append-only, yet no duplicates
+        assert len(rows) == len(set(rows))
+        assert set(rows) == _batch_candidate_pairs(spark)
+        # state table holds every doc x band and IS bucketed
+        assert sink.state.count() == len(DOCS) * 4
+        ddl = spark.sql("SHOW CREATE TABLE lsh_stream_t__state").collect()[0][0]
+        assert "CLUSTERED BY" in ddl and "band" in ddl and "bucket" in ddl
+        # (b) probe-join plan: bucketed state scan, no Exchange on it
+        plan = sink.last_probe_plan
+        assert plan is not None and "Bucketed: true" in plan, plan
+        state_scan = plan[plan.index("lsh_stream_t__state"):]
+        # the state-side FileScan is a leaf below the join — any Exchange
+        # in the plan belongs to the (small) batch side, textually ABOVE
+        # the state scan line in Spark's tree printout
+        assert "Exchange" not in state_scan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS lsh_stream_t__state")
+        spark.sql("DROP TABLE IF EXISTS lsh_stream_t__pairs")
