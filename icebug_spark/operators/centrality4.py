@@ -518,65 +518,63 @@ def gedwalk_group(
     edges_undirected: DataFrame, k: int = 3, alpha: float = 0.5, depth: int = 3
 ) -> DataFrame:
     """GedWalk greedy group selection (``centrality/GedWalk.hpp:19``):
-    group score = Σ_ℓ α^ℓ · (#walks of length ℓ that TOUCH the group);
-    greedily add the node with max marginal gain, k times. Walk counts to
-    a set come from ``depth`` rounds of neighbor aggregation (one join
-    each) — the same bounded-walk iteration the reference uses, evaluated
-    per candidate set exactly rather than with its bound-based pruning.
-    → (rank, id, gain) in selection order."""
+    group score = Σ_ℓ α^ℓ · (#walks of length ℓ touching the group,
+    exposure proxy = walks ENDING in it); greedily add the node with max
+    marginal gain, k times.
+
+    The exposure proxy is LINEAR in the group indicator — score(S) =
+    Σ_{c∈S} Σ_ℓ α^ℓ (A^ℓ·1)_c — so every candidate's marginal gain is a
+    constant and greedy selection ≡ top-k by the per-node walk score
+    with the candidate-pool tie order (deg DESC, id ASC). That collapses
+    the k·|pool| sequential per-set evaluations this used to run into
+    ``depth`` distributed MxV rounds + ONE ranking — the shape that
+    survives a 1e9-node pool. (The reference's non-linear exact-touch
+    variant is where per-set evaluation would genuinely be needed; its
+    bound-based pruning plays the role of the pool here.)
+    → (rank, id, gain) in selection order, gain = the candidate's score."""
     spark = edges_undirected.sparkSession
     eu = edges_undirected.select("src", "dst")
     eu = eu.union(
         eu.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=True)
-    nodes = eu.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
 
-    def group_score(members: list[int]) -> float:
-        """Σ_ℓ α^ℓ · #walks of length ℓ ending inside the group — the
-        'exposure' proxy: x0 = indicator(group); iterate x ← A·x."""
-        x = nodes.select(
-            "id", F.when(F.col("id").isin(members), 1.0).otherwise(0.0).alias("x")
+    # per-node walk score s(v) = Σ_{ℓ=1..depth} α^ℓ (A^ℓ·1)_v — term
+    # tables accumulated like dyn_katz_update (one shuffle per level,
+    # one final aggregation)
+    y = (
+        eu.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("t", F.lit(1.0))
+        .localCheckpoint(eager=True)
+    )
+    terms = []
+    a = 1.0
+    for _ in range(depth):
+        y = (
+            eu.join(y.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("t").alias("t"))
+            .localCheckpoint(eager=True)
         )
-        total = 0.0
-        a = 1.0
-        for _ in range(depth):
-            x = (
-                eu.join(x.withColumnRenamed("id", "dst"), "dst")
-                .groupBy(F.col("src").alias("id"))
-                .agg(F.sum("x").alias("x"))
-                .localCheckpoint(eager=True)
-            )
-            a *= alpha
-            total += a * (x.agg(F.sum("x")).collect()[0][0] or 0.0)
-        return total
+        a *= alpha
+        terms.append(y.select("id", (F.lit(a) * F.col("t")).alias("term")))
+    allt = terms[0]
+    for t in terms[1:]:
+        allt = allt.unionByName(t)
+    score = allt.groupBy("id").agg(F.sum("term").alias("s"))
 
-    chosen: list[int] = []
-    out = []
-    # candidate pool: top-degree nodes (the reference prunes by degree
-    # bounds too); deterministic
-    cands = [
-        int(r["id"])
-        for r in eu.groupBy(F.col("src").alias("id"))
-        .agg(F.count(F.lit(1)).alias("d"))
-        .orderBy(F.desc("d"), F.asc("id"))
-        .limit(max(3 * k, 12))
+    deg = eu.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    pool = deg.orderBy(F.desc("d"), F.asc("id")).limit(max(3 * k, 12))
+    sel = (
+        pool.join(score, "id", "left")
+        .na.fill({"s": 0.0})
+        .orderBy(F.desc("s"), F.desc("d"), F.asc("id"))
+        .limit(k)
         .collect()
+    )
+    out = [
+        (rank, int(r["id"]), round(float(r["s"]), 6)) for rank, r in enumerate(sel)
     ]
-    base = 0.0
-    for rank in range(k):
-        best, best_gain = None, -1.0
-        for cand in cands:
-            if cand in chosen:
-                continue
-            s = group_score(chosen + [cand])
-            gain = s - base
-            if gain > best_gain + 1e-12:
-                best, best_gain = cand, gain
-        if best is None:
-            break
-        chosen.append(best)
-        base += best_gain
-        out.append((rank, best, round(best_gain, 6)))
     return spark.createDataFrame(out, "rank long, id long, gain double")
 
 

@@ -325,39 +325,34 @@ Q139_SQL = (
 )
 
 
-# q140 — GedWalk (centrality/GedWalk.hpp:19) certificate: the greedy
-# group-selection loop evaluates a LINEAR (hence submodular) walk-
-# exposure score exactly, so marginal gains must be positive and
-# non-increasing, and the k selected nodes distinct graph nodes.
+# q140 — GedWalk (centrality/GedWalk.hpp:19), FULL VALUE: the greedy
+# group selection evaluates a LINEAR walk-exposure score exactly, so
+# with α=0.5 and depth=2 each candidate's marginal gain is the constant
+# 0.5·deg(c) + 0.25·Σ_{n∈N(c)} deg(n) — a dyadic rational, EXACT in
+# doubles on both engines — and greedy-k equals top-k by that score
+# with the candidate-pool tie order (deg DESC, id ASC). The oracle
+# recomputes the selection arithmetically.
 def q140(spark: SparkSession, sf: str) -> DataFrame:
     from icebug_spark.operators.centrality4 import gedwalk_group
 
     eu = _eu(spark, sf)
-    sel = gedwalk_group(eu, k=2, alpha=0.5, depth=2).orderBy("rank").collect()
-    ids = [r["id"] for r in sel]
-    gains = [r["gain"] for r in sel]
-    node_set = {
-        int(r["id"]) for r in eu.select(F.col("src").alias("id")).distinct().collect()
-    }
-    return spark.createDataFrame(
-        [
-            (
-                len(sel) == 2,
-                len(set(ids)) == 2,
-                all(i in node_set for i in ids),
-                all(g > 0 for g in gains),
-                gains[0] >= gains[1] if len(gains) == 2 else False,
-            )
-        ],
-        "k_rows BOOLEAN, distinct_ids BOOLEAN, ids_in_graph BOOLEAN, "
-        "gains_positive BOOLEAN, gains_nonincreasing BOOLEAN",
-    )
+    return gedwalk_group(eu, k=2, alpha=0.5, depth=2).orderBy("rank")
 
 
-Q140_SQL = (
-    "SELECT TRUE AS k_rows, TRUE AS distinct_ids, TRUE AS ids_in_graph, "
-    "TRUE AS gains_positive, TRUE AS gains_nonincreasing"
-)
+Q140_SQL = f"""
+WITH eu AS MATERIALIZED ({EU_SQL}),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM eu GROUP BY src),
+w2 AS (SELECT eu.src AS id, SUM(dd.d) AS t
+       FROM eu JOIN deg dd ON dd.id = eu.dst GROUP BY eu.src),
+cands AS (SELECT deg.id, deg.d, COALESCE(w2.t, 0) AS t
+          FROM deg LEFT JOIN w2 ON w2.id = deg.id
+          ORDER BY deg.d DESC, deg.id LIMIT 12),
+scored AS (SELECT id, d, 0.5 * d + 0.25 * t AS gain FROM cands)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY gain DESC, d DESC, id) - 1 AS BIGINT)
+         AS "rank",
+       id, ROUND(gain, 6) AS gain
+FROM scored ORDER BY gain DESC, d DESC, id LIMIT 2
+"""
 
 
 # q141 — LocalSquareClusteringCoefficient
@@ -415,6 +410,6 @@ DYN = {
     "q137_dyntopharmonic_insert": (q137, Q137_SQL),
     "q138_dynbsuitor_certificate": (q138, Q138_SQL),
     "q139_kpath_certificate": (q139, Q139_SQL),
-    "q140_gedwalk_certificate": (q140, Q140_SQL),
+    "q140_gedwalk_greedy": (q140, Q140_SQL),
     "q141_square_clustering": (q141, Q141_SQL),
 }
