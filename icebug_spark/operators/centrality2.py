@@ -245,7 +245,15 @@ def brandes_deltas(
     recompute ONLY affected sources and splice the rest from cache."""
     spark = edges_undirected.sparkSession
     levels, eu = sigma_levels(edges_undirected, sources, max_hops)
+    return backward_deltas(spark, levels, eu)
 
+
+def backward_deltas(spark, levels, eu) -> DataFrame:
+    """Backward Brandes pass over pre-computed σ-BFS ``levels`` →
+    (source, id, delta). Split out of :func:`brandes_deltas` so callers
+    that also need the distance table (DynBetweenness keeps BOTH the
+    dist cache and the delta cache) run sigma_levels ONCE instead of a
+    separate multi-source BFS — a third of the per-update rounds."""
     # backward accumulation level by level
     all_nodes = levels[0]
     for lv in levels[1:]:

@@ -403,6 +403,42 @@ FROM per GROUP BY v ORDER BY id
 """
 
 
+# q142 — DynBetweenness (centrality/DynBetweenness.hpp:35, sampled-source
+# variant = DynApproxBetweenness analog): Brandes scores maintained under
+# the remove-then-reinsert splice must equal the static recompute on the
+# final graph. The oracle IS q48's unrolled forward-σ/backward-δ SQL over
+# the full EU with the identical source set — a wrong affected-source
+# gap filter (σ changes need gap ≥ 1, not the distance-only gap ≥ 2)
+# flips delta values. Full value, 6dp.
+_Q142_SOURCES = 4  # half of q48's pool: the dyn path runs Brandes TWICE
+_Q142_LEVELS = 12
+
+
+def q142(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.streaming.dynamic3 import DynBetweenness
+
+    eu = _eu(spark, sf)
+    u, v = _first_pair(eu)
+    dyn = DynBetweenness(
+        _without_pair(eu, u, v),
+        list(range(_Q142_SOURCES)),
+        max_hops=_Q142_LEVELS,
+    )
+    dyn.insert_edge(u, v)
+    return dyn.scores()
+
+
+def _q142_sql() -> str:
+    from icebug_spark.queries.centralq import _brandes_unrolled_sql
+
+    return f"""
+WITH eu AS MATERIALIZED ({EU_SQL}),
+{_brandes_unrolled_sql(_Q142_SOURCES, _Q142_LEVELS)}
+SELECT id, ROUND(SUM(delta), 6) AS betweenness
+FROM allc WHERE id <> s GROUP BY id
+"""
+
+
 DYN = {
     "q134_dynkatz_events": (q134, Q134_SQL),
     "q135_dynsssp_mixed": (q135, Q135_SQL),
@@ -412,4 +448,5 @@ DYN = {
     "q139_kpath_certificate": (q139, Q139_SQL),
     "q140_gedwalk_greedy": (q140, Q140_SQL),
     "q141_square_clustering": (q141, Q141_SQL),
+    "q142_dynbetweenness_insert": (q142, _q142_sql()),
 }

@@ -71,12 +71,26 @@ class DynBetweenness:
         self.eu = edges_undirected.select("src", "dst").localCheckpoint(eager=True)
         self.sources = [int(s) for s in sources]
         self.max_hops = max_hops
-        self.dist = multi_source_bfs(self.eu, self.sources, max_hops).localCheckpoint(
-            eager=True
-        )
-        self.deltas = brandes_deltas(self.eu, self.sources, max_hops).localCheckpoint(
-            eager=True
-        )
+        dist, deltas = self._recompute(self.sources)
+        self.dist = dist
+        self.deltas = deltas
+
+    def _recompute(self, sources: list[int]):
+        """ONE σ-BFS feeds both caches: the per-level tables carry dist
+        (the distance cache the gap filter reads) AND σ (the backward
+        pass input) — running sigma_levels once instead of a separate
+        multi_source_bfs cuts a third of the rounds per (re)compute."""
+        from icebug_spark.operators.centrality2 import backward_deltas, sigma_levels
+
+        levels, eu_sym = sigma_levels(self.eu, sources, self.max_hops)
+        # levels and backward contribs are individually checkpointed —
+        # the unions below are flat already, no extra materialization
+        flat = levels[0]
+        for lv in levels[1:]:
+            flat = flat.union(lv)
+        dist = flat.select("source", "id", "dist")
+        deltas = backward_deltas(self.eu.sparkSession, levels, eu_sym)
+        return dist, deltas
 
     def scores(self) -> DataFrame:
         return (
@@ -96,8 +110,7 @@ class DynBetweenness:
         aff_df = self.dist.sparkSession.createDataFrame(
             [(s,) for s in aff_ids], "source BIGINT"
         )
-        new_dist = multi_source_bfs(self.eu, aff_ids, self.max_hops)
-        new_deltas = brandes_deltas(self.eu, aff_ids, self.max_hops)
+        new_dist, new_deltas = self._recompute(aff_ids)
         self.dist = (
             self.dist.join(F.broadcast(aff_df), "source", "left_anti")
             .unionByName(new_dist)
