@@ -10,7 +10,7 @@ Parity targets: reference ``centrality/KatzCentrality.hpp:29``,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from icebug_spark.plans.iterate import iterate, mirror

@@ -23,7 +23,6 @@ Partitions are DataFrames ``(id BIGINT, subset BIGINT)`` (reference
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F

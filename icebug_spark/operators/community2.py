@@ -19,7 +19,6 @@ description length improves) rather than exact label equality.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F

@@ -26,7 +26,7 @@ are pushed below the join either way.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from icebug_spark.plans.skew import salted_join

@@ -26,7 +26,7 @@ Inputs: eu = symmetrized (src, dst); partition = (id, subset).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebug_spark.catalog import EU_SQL, derived_edges, symmetrize, derived_edges_undirected
+from icebug_spark.catalog import EU_SQL, derived_edges, derived_edges_undirected
 from icebug_spark.operators import community3
 
 

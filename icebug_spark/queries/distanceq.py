@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebug_spark.catalog import derived_edges, symmetrize, derived_edges_undirected
+from icebug_spark.catalog import derived_edges, derived_edges_undirected
 from icebug_spark.operators.centrality3 import (
     group_degree_greedy,
     group_harmonic_greedy,
@@ -14,7 +14,6 @@ from icebug_spark.operators.centrality3 import (
 from icebug_spark.operators.distances2 import (
     anf_sketch_iteration,
     hop_plot,
-    landmark_distance,
     landmark_labels,
     spsp,
 )

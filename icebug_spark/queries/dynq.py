@@ -1,8 +1,8 @@
-"""Dynamic-operator coverage queries q134-q141: oracle-backed checks for
+"""Dynamic-operator coverage queries q134-q142: oracle-backed checks for
 the operators that previously had only pytest goldens (VERDICT r5 "golden"
 rows): DynKatz, DynSSSP, DynAPSP, DynTopHarmonicCloseness,
-DynamicBSuitorMatcher, KPathCentrality, GedWalk and
-LocalSquareClusteringCoefficient.
+DynamicBSuitorMatcher, KPathCentrality, GedWalk,
+LocalSquareClusteringCoefficient and DynBetweenness.
 
 Conventions match coverq.py: the dyn-vs-static-recompute template
 (q125/q132) gives FULL-VALUE oracles for the deterministic maintenance
@@ -94,8 +94,8 @@ SELECT id, ROUND(SUM(term), 6) AS katz FROM k GROUP BY id ORDER BY id
 """
 
 
-# q135 — DynDijkstra / DynSSSP (distance/DynDijkstra.hpp:20,
-# DynSSSP.hpp:20): weighted source-1 distances maintained under a MIXED
+# q135 — DynDijkstra / DynSSSP (distance/DynDijkstra.hpp:22,
+# DynSSSP.hpp:24): weighted source-1 distances maintained under a MIXED
 # removal+addition batch must equal static Bellman-Ford on the final
 # graph (removed: (src+dst)%19==0 pairs; re-added: %23==0 pairs — the
 # removal path exercises the affected-cone invalidation). Full value, 2dp.
@@ -143,7 +143,7 @@ SELECT id, ROUND(dist, 2) AS dist FROM d{_Q135_ROUNDS} ORDER BY id
 """
 
 
-# q136 — DynAPSP (distance/DynAPSP.hpp:20): the maintained
+# q136 — DynAPSP (distance/DynAPSP.hpp:21): the maintained
 # (source, id, dist) table over the 5 smallest node ids, after removing
 # and re-inserting the smallest canonical edge, must equal static
 # multi-source BFS on the final graph. Full-value per-source distance
@@ -183,7 +183,7 @@ FROM d GROUP BY source, dist ORDER BY source, dist
 """
 
 
-# q137 — DynTopHarmonicCloseness (centrality/DynTopHarmonicCloseness.hpp):
+# q137 — DynTopHarmonicCloseness (centrality/DynTopHarmonicCloseness.hpp:26):
 # top-10 harmonic closeness over the top-40-degree candidate pool,
 # maintained under the same remove-then-reinsert splice, must equal the
 # static q84-shaped recompute on the final graph. Full value, 6dp.

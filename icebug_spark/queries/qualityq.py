@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebug_spark.catalog import EU_SQL, derived_edges, symmetrize, derived_edges_undirected
+from icebug_spark.catalog import EU_SQL, derived_edges, derived_edges_undirected
 from icebug_spark.operators import quality
 from icebug_spark.operators.epidemic import seir_simulation
 

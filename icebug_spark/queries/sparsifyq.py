@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from icebug_spark.operators import sparsify2
 from icebug_spark.operators.edgescores import edge_triangle_count
-from icebug_spark.queries.edgescoreq import _ADJN_SQL, _CE_SQL, _TRI_SQL, _eu
+from icebug_spark.queries.edgescoreq import _CE_SQL, _TRI_SQL, _eu
 
 _LS_CORE = f"""
 WITH {_TRI_SQL},

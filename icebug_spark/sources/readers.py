@@ -70,8 +70,7 @@ def write_edge_list(
 def read_metis(spark: SparkSession, path: str) -> Graph:
     """METISGraphReader: header 'n m [fmt]'; line i (1-based) lists the
     neighbors of node i (1-based), optionally weighted (fmt=1)."""
-    import itertools
-
+    
     rdd = spark.sparkContext.textFile(path).zipWithIndex()
     rows = rdd.filter(lambda li: li[0].strip() and not li[0].startswith("%"))
     indexed = rows.zipWithIndex().map(lambda x: (x[1], x[0][0]))  # dense line no

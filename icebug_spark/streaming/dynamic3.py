@@ -35,7 +35,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from icebug_spark.operators.centrality2 import brandes_deltas
 from icebug_spark.operators.matching import b_suitor_matching
 from icebug_spark.operators.traversal import multi_source_bfs
 
