@@ -11,6 +11,7 @@ from icebug_spark.queries.distanceq import DISTANCE2
 from icebug_spark.queries.dynq import DYN
 from icebug_spark.queries.edgescoreq import EDGESCORE
 from icebug_spark.queries.graphq import GRAPH
+from icebug_spark.queries.ioq import IO
 from icebug_spark.queries.llmq import LLM
 from icebug_spark.queries.pointq import POINT
 from icebug_spark.queries.qualityq import QUALITY
@@ -20,43 +21,31 @@ from icebug_spark.queries.sparsifyq import SPARSIFY2
 from icebug_spark.queries.structuralq import STRUCTURAL
 
 # Ordering is deliberate: a prefix-taking correctness gate naturally
-# rotates. The r05 gate verified the then-leading COVER+CENTRAL+LLM
-# block; the 54 keys that have NEVER had a driver-side CORRECTNESS row
-# across r01-r05 (union of CORRECTNESS_r0*.json) now lead, highest-value
-# first (q114 LAMG, q110 PLL, the SCD block). The full registry is still
+# rotates (proven in r06: the gate took exactly the then-leading
+# never-checked prefix). The keys that have NEVER had a driver-side
+# CORRECTNESS row across r01-r06 (union of CORRECTNESS_r0*.json) lead:
+# the r06-new q134-q142 block, the r07-new I/O certificates q143-q146,
+# and the sparsification block q106-q109. The full registry is still
 # swept locally every round (tools/check_oracle.py →
 # CORRECTNESS_LOCAL.json).
-_MERGED = {**DYN, **COVER, **CENTRAL, **LLM, **EDGESCORE, **SCD, **ALGEBRAIC, **QUALITY, **DISTANCE2, **POINT, **SPARSIFY2, **STRUCTURAL, **RELATIONAL, **GRAPH, **COMMUNITY, **COMMUNITY3}
+_MERGED = {**DYN, **IO, **COVER, **CENTRAL, **LLM, **EDGESCORE, **SCD, **ALGEBRAIC, **QUALITY, **DISTANCE2, **POINT, **SPARSIFY2, **STRUCTURAL, **RELATIONAL, **GRAPH, **COMMUNITY, **COMMUNITY3}
 
-_NEVER_DRIVER_CHECKED_PRE_R06 = [
-    "q114_commute_time_lamg", "q110_pll_exact_distances",
-    "llm_contamination", "llm_repetition_filter",
-    "q92_gce_expansion", "q93_tce_lte_expansion", "q94_local_t_two_phase",
-    "q95_clique_detect", "q96_scd_ground_truth",
-    "q113_maxent_layout",
-    "q52_scan_similarity", "q53_local_degree_score",
-    "q54_resource_allocation", "q55_total_nd_neighbors",
-    "q56_neighbors_measure", "q57_adjusted_rand_index",
-    "q58_chance_corrected_tri", "q59_multiscale_score",
-    "q60_katz_index", "q61_missing_links",
-    "q62_pagerank_nibble", "q63_node2vec_walks",
-    "q64_clustering_coefficients", "q65_algebraic_triangles",
-    "q66_reachable_nodes", "q67_four_cliques",
-    "q68_edge_switch_degrees", "q69_max_flow_hubs",
-    "q70_maximal_cliques",
-    "q71_hub_dominance", "q72_intrapartition_density",
-    "q73_interpartition_cond", "q74_stable_nodes",
-    "q75_local_partition_coverage", "q76_permanence",
-    "q77_fragmentation", "q78_cover_f1", "q79_seir_census",
-    "q80_spsp_grid", "q81_landmark_labels", "q82_anf_curve",
-    "q83_hop_plot", "q84_top_harmonic", "q85_group_centrality",
-    "q86_st_bfs_distance", "q87_multi_target_bfs", "q88_bidir_dijkstra",
-    "q89_astar", "q90_floyd_warshall", "q91_reverse_bfs",
+_NEVER_DRIVER_CHECKED = [
+    "q134_dynkatz_events", "q135_dynsssp_mixed", "q136_dynapsp_insert",
+    "q137_dyntopharmonic_insert", "q138_dynbsuitor_certificate",
+    "q139_kpath_certificate", "q140_gedwalk_greedy",
+    "q141_square_clustering", "q142_dynbetweenness_insert",
+    "q143_graphml_roundtrip", "q144_gexf_dynamic_replay",
+    "q145_mat_roundtrip", "q146_rb_roundtrip",
     "q106_local_similarity", "q107_local_filter",
     "q108_local_similarity_sparsifier", "q109_random_node_edge",
 ]
 
-ALL = {k: _MERGED[k] for k in _NEVER_DRIVER_CHECKED_PRE_R06 if k in _MERGED}
+_missing = [k for k in _NEVER_DRIVER_CHECKED if k not in _MERGED]
+assert not _missing, (
+    f"priority-prefix keys missing from the registry (renamed?): {_missing}"
+)
+ALL = {k: _MERGED[k] for k in _NEVER_DRIVER_CHECKED}
 ALL.update(_MERGED)
 
 
