@@ -514,33 +514,21 @@ def square_clustering(edges_undirected: DataFrame) -> DataFrame:
     )
 
 
-def gedwalk_group(
+def gedwalk_linear_proxy(
     edges_undirected: DataFrame, k: int = 3, alpha: float = 0.5, depth: int = 3
 ) -> DataFrame:
-    """GedWalk greedy group selection (``centrality/GedWalk.hpp:19``):
-    group score = Σ_ℓ α^ℓ · (#walks of length ℓ touching the group,
-    exposure proxy = walks ENDING in it); greedily add the node with max
-    marginal gain, k times.
-
-    The exposure proxy is LINEAR in the group indicator — score(S) =
-    Σ_{c∈S} Σ_ℓ α^ℓ (A^ℓ·1)_c — so every candidate's marginal gain is a
-    constant and greedy selection ≡ top-k by the per-node walk score
-    with the candidate-pool tie order (deg DESC, id ASC). That collapses
-    the k·|pool| sequential per-set evaluations this used to run into
-    ``depth`` distributed MxV rounds + ONE ranking — the shape that
-    survives a 1e9-node pool. (The reference's non-linear exact-touch
-    variant is where per-set evaluation would genuinely be needed; its
-    bound-based pruning plays the role of the pool here.)
-    → (rank, id, gain) in selection order, gain = the candidate's score."""
+    """LINEAR walk-exposure proxy for GedWalk: score(S) = Σ_{c∈S} Σ_ℓ
+    α^ℓ (A^ℓ·1)_c — walks ENDING in the group. Linear in the group
+    indicator, so greedy ≡ top-k of the per-node score; ``depth``
+    distributed MxV rounds + ONE ranking. This is NOT the reference
+    objective (see :func:`gedwalk_group` for the real one) — kept as a
+    cheap ranking/pruning heuristic. → (rank, id, gain)."""
     spark = edges_undirected.sparkSession
     eu = edges_undirected.select("src", "dst")
     eu = eu.union(
         eu.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=True)
 
-    # per-node walk score s(v) = Σ_{ℓ=1..depth} α^ℓ (A^ℓ·1)_v — term
-    # tables accumulated like dyn_katz_update (one shuffle per level,
-    # one final aggregation)
     y = (
         eu.select(F.col("src").alias("id"))
         .distinct()
@@ -576,6 +564,123 @@ def gedwalk_group(
         (rank, int(r["id"]), round(float(r["s"]), 6)) for rank, r in enumerate(sel)
     ]
     return spark.createDataFrame(out, "rank long, id long, gain double")
+
+
+def gedwalk_group(
+    edges_undirected: DataFrame,
+    k: int = 3,
+    alpha: float = 0.5,
+    depth: int = 3,
+    pool_size: int | None = None,
+) -> DataFrame:
+    """GedWalk greedy group selection with the REFERENCE objective
+    (``centrality/GedWalk.hpp:19``; pathsHit/pathsMiss recurrence
+    ``GedWalk.cpp:300-346``): score(S) = Σ_{ℓ=1..depth} α^ℓ · #{walks of
+    length ℓ that TOUCH S} — non-linear and submodular. Touching walks =
+    total walks minus walks avoiding S, and walks avoiding S are exactly
+    the walks of the vertex-induced subgraph G[V∖S] (the reference's
+    pathsMiss vector, which zeroes group rows every level). So the
+    marginal gain of candidate c given S is
+
+        gain(c | S) = Σ_ℓ α^ℓ (M_ℓ(S) − M_ℓ(S ∪ {c})),   M_ℓ(X) = 1ᵀA_{V∖X}^ℓ 1
+
+    — no total-walk term needed. Per greedy round ALL candidates'
+    avoid-masses are computed in ONE distributed pass with the candidate
+    id as an extra key column: state (c, id, t) starts at 1 for
+    id ∉ S∪{c} and each level is a single edges⋈state shuffle + filtered
+    aggregation (|pool|·|E| rows — the 1e9-edge shape; no per-candidate
+    driver loop, one 1-row collect per round for the argmax). The
+    candidate pool (top ``pool_size`` by degree, default max(3k, 12))
+    plays the role of the reference's bound-based pruning
+    (``GedWalk.cpp:estimateGains``). Greedy ties break (gain DESC,
+    deg DESC, id ASC). → (rank, id, gain), gain = true marginal gain,
+    6dp."""
+    spark = edges_undirected.sparkSession
+    eu = edges_undirected.select("src", "dst")
+    eu = eu.union(
+        eu.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+
+    nodes = eu.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    deg = eu.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    pool_df = (
+        deg.orderBy(F.desc("d"), F.asc("id"))
+        .limit(pool_size or max(3 * k, 12))
+        .localCheckpoint(eager=True)
+    )
+
+    # M_ℓ(S) for the current group, starting with S=∅ (full-graph
+    # walks): accumulate the per-level masses in one union plan so the
+    # whole chain is ONE Spark job (the graph joins are re-derived per
+    # level term — cheap at depth ≤ 3-4; checkpoint per level instead
+    # if you raise depth past that)
+    terms, y, a = [], nodes.withColumn("t", F.lit(1.0)), 1.0
+    for _ in range(depth):
+        y = (
+            eu.join(y.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("t").alias("t"))
+        )
+        a *= alpha
+        terms.append((a, y))
+    allt = terms[0][1].select((F.lit(terms[0][0]) * F.col("t")).alias("m"))
+    for a, y in terms[1:]:
+        allt = allt.unionByName(y.select((F.lit(a) * F.col("t")).alias("m")))
+    prev_miss = float(allt.agg(F.sum("m")).collect()[0][0] or 0.0)
+
+    selected: list[tuple[int, int, float]] = []
+    group: list[int] = []
+    for rank in range(k):
+        cands = pool_df.select(F.col("id").alias("c"), "d")
+        nodes_r = nodes
+        if group:
+            cands = cands.where(~F.col("c").isin(group))
+            nodes_r = nodes.where(~F.col("id").isin(group))
+        # state t(c, u) = #walks of current length ending at u in
+        # G[V ∖ (S ∪ {c})]; one shuffle per level over |pool|·|E|,
+        # evaluated lazily so the round's argmax is ONE job
+        st = (
+            cands.select("c")
+            .crossJoin(nodes_r)
+            .where(F.col("id") != F.col("c"))
+            .withColumn("t", F.lit(1.0))
+        )
+        terms, y, a = [], st, 1.0
+        for _ in range(depth):
+            y = (
+                eu.join(y.withColumnRenamed("id", "dst"), "dst")
+                .groupBy("c", F.col("src").alias("id"))
+                .agg(F.sum("t").alias("t"))
+                .where(F.col("id") != F.col("c"))
+            )
+            if group:
+                y = y.where(~F.col("id").isin(group))
+            a *= alpha
+            terms.append(y.groupBy("c").agg((F.lit(a) * F.sum("t")).alias("m")))
+        allm = terms[0]
+        for m in terms[1:]:
+            allm = allm.unionByName(m)
+        miss = allm.groupBy("c").agg(F.sum("m").alias("miss"))
+        best = (
+            cands.join(miss, "c", "left")
+            .na.fill({"miss": 0.0})
+            .select(
+                "c",
+                "d",
+                (F.lit(prev_miss) - F.col("miss")).alias("gain"),
+                "miss",
+            )
+            .orderBy(F.desc("gain"), F.desc("d"), F.asc("c"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        selected.append((rank, int(b["c"]), round(float(b["gain"]), 6)))
+        group.append(int(b["c"]))
+        prev_miss = float(b["miss"])
+    return spark.createDataFrame(selected, "rank long, id long, gain double")
 
 
 def complex_paths(

@@ -325,33 +325,59 @@ Q139_SQL = (
 )
 
 
-# q140 — GedWalk (centrality/GedWalk.hpp:19), FULL VALUE: the greedy
-# group selection evaluates a LINEAR walk-exposure score exactly, so
-# with α=0.5 and depth=2 each candidate's marginal gain is the constant
-# 0.5·deg(c) + 0.25·Σ_{n∈N(c)} deg(n) — a dyadic rational, EXACT in
-# doubles on both engines — and greedy-k equals top-k by that score
-# with the candidate-pool tie order (deg DESC, id ASC). The oracle
-# recomputes the selection arithmetically.
+# q140 — GedWalk (centrality/GedWalk.hpp:19; pathsHit/pathsMiss
+# recurrence GedWalk.cpp:300-346), FULL VALUE on the REFERENCE touch
+# objective: score(S) = Σ_ℓ α^ℓ·#{ℓ-walks touching S} and the greedy
+# marginal gain of c is Σ_ℓ α^ℓ (M_ℓ(S) − M_ℓ(S∪{c})) with M_ℓ(X) the
+# ℓ-walk count of G[V∖X]. The oracle recomputes both greedy rounds by
+# inclusion-exclusion over per-walk touch sets: with t_ℓ(x) = #ℓ-walks
+# touching x and t_ℓ(x,y) = #ℓ-walks touching both, gain(c|∅) =
+# Σ α^ℓ t_ℓ(c) and gain(c|{c1}) = Σ α^ℓ (t_ℓ(c) − t_ℓ(c1,c)) — exact
+# dyadic arithmetic at α=.5, depth 2 (integer counts × {.5,.25}).
+# Runs on the id%3 subgraph (q141's convention) to keep the oracle's
+# 2-walk expansion ~1M rows. Any divergence in the avoid-set recurrence,
+# the pool rule, or the greedy tie order flips values.
 def q140(spark: SparkSession, sf: str) -> DataFrame:
     from icebug_spark.operators.centrality4 import gedwalk_group
 
-    eu = _eu(spark, sf)
+    eu = _eu(spark, sf).where((F.col("src") % 3 == 0) & (F.col("dst") % 3 == 0))
     return gedwalk_group(eu, k=2, alpha=0.5, depth=2).orderBy("rank")
 
 
 Q140_SQL = f"""
-WITH eu AS MATERIALIZED ({EU_SQL}),
+WITH eu0 AS MATERIALIZED ({EU_SQL}),
+eu AS (SELECT src, dst FROM eu0 WHERE src % 3 = 0 AND dst % 3 = 0),
 deg AS (SELECT src AS id, COUNT(*) AS d FROM eu GROUP BY src),
-w2 AS (SELECT eu.src AS id, SUM(dd.d) AS t
-       FROM eu JOIN deg dd ON dd.id = eu.dst GROUP BY eu.src),
-cands AS (SELECT deg.id, deg.d, COALESCE(w2.t, 0) AS t
-          FROM deg LEFT JOIN w2 ON w2.id = deg.id
-          ORDER BY deg.d DESC, deg.id LIMIT 12),
-scored AS (SELECT id, d, 0.5 * d + 0.25 * t AS gain FROM cands)
-SELECT CAST(ROW_NUMBER() OVER (ORDER BY gain DESC, d DESC, id) - 1 AS BIGINT)
-         AS "rank",
-       id, ROUND(gain, 6) AS gain
-FROM scored ORDER BY gain DESC, d DESC, id LIMIT 2
+pool AS (SELECT id, d FROM deg ORDER BY d DESC, id LIMIT 12),
+w2 AS MATERIALIZED (
+  SELECT a.src AS u, a.dst AS v, b.dst AS w
+  FROM eu a JOIN eu b ON a.dst = b.src),
+t1 AS (SELECT x, COUNT(*) AS c FROM (
+         SELECT UNNEST(list_distinct([src, dst])) AS x FROM eu) GROUP BY x),
+t2 AS (SELECT x, COUNT(*) AS c FROM (
+         SELECT UNNEST(list_distinct([u, v, w])) AS x FROM w2) GROUP BY x),
+g1 AS (SELECT p.id, p.d,
+         0.5 * COALESCE(t1.c, 0) + 0.25 * COALESCE(t2.c, 0) AS gain
+       FROM pool p LEFT JOIN t1 ON t1.x = p.id LEFT JOIN t2 ON t2.x = p.id),
+c1 AS (SELECT id, d, gain FROM g1 ORDER BY gain DESC, d DESC, id LIMIT 1),
+t1b AS (SELECT x, COUNT(*) AS c FROM (
+          SELECT UNNEST(list_distinct([src, dst])) AS x FROM eu, c1
+          WHERE src = c1.id OR dst = c1.id) GROUP BY x),
+t2b AS (SELECT x, COUNT(*) AS c FROM (
+          SELECT UNNEST(list_distinct([u, v, w])) AS x FROM w2, c1
+          WHERE u = c1.id OR v = c1.id OR w = c1.id) GROUP BY x),
+g2 AS (SELECT p.id, p.d,
+         0.5 * (COALESCE(t1.c, 0) - COALESCE(t1b.c, 0))
+         + 0.25 * (COALESCE(t2.c, 0) - COALESCE(t2b.c, 0)) AS gain
+       FROM pool p
+       LEFT JOIN t1 ON t1.x = p.id LEFT JOIN t2 ON t2.x = p.id
+       LEFT JOIN t1b ON t1b.x = p.id LEFT JOIN t2b ON t2b.x = p.id
+       WHERE p.id NOT IN (SELECT id FROM c1)),
+c2 AS (SELECT id, d, gain FROM g2 ORDER BY gain DESC, d DESC, id LIMIT 1)
+SELECT CAST(0 AS BIGINT) AS "rank", id, ROUND(gain, 6) AS gain FROM c1
+UNION ALL
+SELECT CAST(1 AS BIGINT), id, ROUND(gain, 6) FROM c2
+ORDER BY "rank"
 """
 
 

@@ -66,6 +66,33 @@ def test_gedwalk_group_picks_hub_first(spark):
     assert len(sel) == 2 and sel[1]["id"] != 0
 
 
+def test_gedwalk_touch_objective_diverges_from_proxy(spark):
+    """Reference-objective check (GedWalk.hpp:19): adjacent twin hubs
+    0,1 share all six leaves; a separate 8-leaf star at 8. The linear
+    ending-in-group proxy scores 0 and 1 equally highest → picks {0,1};
+    the TOUCH objective's marginal gain for 1 collapses after 0 is
+    chosen (their touched walks overlap) → picks {0,8}. Degree order
+    alone would pick 8 first, so the gains are doing real work. Exact
+    gains verified against the avoid-set arithmetic: M_ℓ(X) drops all
+    walks through X; gain(0)=27, gain(8|{0})=26 at α=.5, depth 2."""
+    from icebug_spark.operators.centrality4 import (
+        gedwalk_group,
+        gedwalk_linear_proxy,
+    )
+
+    pairs = (
+        [(0, 1)]
+        + [(0, i) for i in range(2, 8)]
+        + [(1, i) for i in range(2, 8)]
+        + [(8, i) for i in range(9, 17)]
+    )
+    eu = _sym(spark, pairs)
+    touch = gedwalk_group(eu, k=2, alpha=0.5, depth=2).orderBy("rank").collect()
+    assert [(r["id"], r["gain"]) for r in touch] == [(0, 27.0), (8, 26.0)]
+    proxy = gedwalk_linear_proxy(eu, k=2, alpha=0.5, depth=2).orderBy("rank").collect()
+    assert sorted(r["id"] for r in proxy) == [0, 1]  # proxy misses the star
+
+
 def test_square_clustering_c4_is_one(spark):
     from icebug_spark.operators.centrality4 import square_clustering
 
