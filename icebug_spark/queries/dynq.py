@@ -133,13 +133,21 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
 
 _Q135_ROUNDS = 20  # > q88's 14: removals can lengthen shortest paths
 
+# The final SELECT asserts CONVERGENCE (d_n ≡ d_{n-1}): if a removal ever
+# stretches some shortest path past the unroll depth on a bigger SF, the
+# WHERE empties the oracle output and the query fails LOUDLY on row
+# count instead of silently under-relaxing.
 Q135_SQL = f"""
 WITH ewu AS MATERIALIZED (
   SELECT * FROM ({EWU_SQL})
   WHERE (src + dst) % 19 <> 0 OR (src + dst) % 23 = 0
 ),
 {_bf_unrolled_sql(1, _Q135_ROUNDS)}
-SELECT id, ROUND(dist, 2) AS dist FROM d{_Q135_ROUNDS} ORDER BY id
+SELECT id, ROUND(dist, 2) AS dist FROM d{_Q135_ROUNDS}
+WHERE (SELECT COUNT(*) FROM (
+         SELECT id, dist FROM d{_Q135_ROUNDS}
+         EXCEPT SELECT id, dist FROM d{_Q135_ROUNDS - 1})) = 0
+ORDER BY id
 """
 
 

@@ -57,23 +57,43 @@ class StreamingAnnIndex:
         )
         if self.state_table is not None:
             spark = batch_df.sparkSession
-            if self.n_batches == 0:
+            # reset ONLY on a genuinely fresh stream checkpoint; a sink
+            # reconstructed after a restart arrives with batch_id > 0
+            # and keeps the accrued index. At-least-once replays are
+            # skipped by the batch_id column (idempotent appends).
+            if batch_id == 0:
                 spark.sql(f"DROP TABLE IF EXISTS {self._state_name}")
-            nb.write.mode("append").bucketBy(
-                self.state_buckets, "bucket"
-            ).saveAsTable(self._state_name)
-            self.index = spark.table(self._state_name)
+            done = spark.catalog.tableExists(self._state_name) and (
+                spark.table(self._state_name)
+                .where(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+                > 0
+            )
+            if not done:
+                nb.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).bucketBy(self.state_buckets, "bucket").saveAsTable(
+                    self._state_name
+                )
+            self.index = spark.table(self._state_name).drop("batch_id")
         else:
             self.index = (
                 nb if self.index is None else self.index.unionByName(nb)
             ).localCheckpoint(eager=True)
         self.n_batches += 1
 
-    def topk(self, queries: DataFrame, k: int = 10) -> DataFrame:
+    def topk(
+        self, queries: DataFrame, k: int = 10, exclude_self: bool = True
+    ) -> DataFrame:
         """Exact-cosine top-k within the query's SRP bucket →
         (query_id, vec_id, cosine, rnk). ``queries`` = (query_id,
-        embedding); a query vector that is also indexed matches itself
-        unless the caller filters ``query_id != vec_id`` rows."""
+        embedding). With ``exclude_self`` (default) rows with
+        ``query_id == vec_id`` are dropped — the self-match when queries
+        are drawn from the indexed corpus. Pass ``exclude_self=False``
+        when query ids live in a separate id namespace (a numeric
+        collision with an indexed vec_id would otherwise silently drop a
+        legitimate neighbor)."""
         if self.index is None:
             raise ValueError("index is empty — no batch has been processed")
         qb = srp_buckets(
@@ -83,10 +103,11 @@ class StreamingAnnIndex:
         q = queries.join(qb, "query_id").select(
             "query_id", F.col("embedding").alias("qemb"), "bucket"
         )
+        scored = q.join(self.index, "bucket")
+        if exclude_self:
+            scored = scored.where(F.col("query_id") != F.col("vec_id"))
         scored = (
-            q.join(self.index, "bucket")
-            .where(F.col("query_id") != F.col("vec_id"))
-            .select(
+            scored.select(
                 "query_id",
                 "vec_id",
                 F.round(

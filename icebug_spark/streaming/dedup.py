@@ -84,6 +84,16 @@ class StreamingLshDedup:
       a), so deduplicating each batch's OWN output — multi-band hits —
       makes the appended table globally duplicate-free by construction.
       Per-batch work is O(batch ⋈ state-buckets), not O(total-pairs).
+
+      RESTART/REPLAY SAFETY: both tables carry a ``batch_id`` column.
+      The tables are reset only on ``batch_id == 0`` (a genuinely fresh
+      stream checkpoint) — a sink reconstructed against an existing
+      checkpoint resumes with its accrued state intact. foreachBatch is
+      at-least-once: a re-delivered batch id is detected per table and
+      its append skipped (the two appends are checked independently, so
+      a crash BETWEEN them re-appends exactly the missing one). This is
+      the standard idempotent-foreachBatch recipe; on a cluster the
+      same pattern runs against Delta/Iceberg with replaceWhere.
     """
 
     def __init__(
@@ -148,7 +158,7 @@ class StreamingLshDedup:
             batch_df, self.n, self.num_hashes, self.bands
         ).localCheckpoint(eager=True)
         if self.state_table is not None:
-            self._process_persisted(batch_df.sparkSession, nb)
+            self._process_persisted(batch_df.sparkSession, nb, batch_id)
         else:
             new_pairs = self._new_pairs(nb, self.state)
             self.pairs = (
@@ -161,24 +171,46 @@ class StreamingLshDedup:
             ).localCheckpoint(eager=True)
         self.n_batches += 1
 
-    def _process_persisted(self, spark: SparkSession, nb: DataFrame) -> None:
-        if self.n_batches == 0:
+    def _process_persisted(
+        self, spark: SparkSession, nb: DataFrame, batch_id: int
+    ) -> None:
+        # reset ONLY on a genuinely fresh stream (batch_id 0) — a sink
+        # reconstructed against an existing checkpoint (restart) arrives
+        # with batch_id > 0 and must keep the accrued state
+        if batch_id == 0:
             spark.sql(f"DROP TABLE IF EXISTS {self._state_name}")
             spark.sql(f"DROP TABLE IF EXISTS {self._pairs_name}")
-            prior = None
-        else:
-            prior = spark.table(self._state_name)
-        new_pairs = self._new_pairs(nb, prior)
-        # append-only growth: per-batch candidates are globally unique
-        # by construction (see class docstring) — no read-time dedup
-        new_pairs.write.mode("append").saveAsTable(self._pairs_name)
-        # state bucketed by the probe-join key: the next batch's join
-        # scans the buckets in place (no Exchange on the state side)
-        nb.write.mode("append").bucketBy(
-            self.state_buckets, "band", "bucket"
-        ).saveAsTable(self._state_name)
-        self.pairs = spark.table(self._pairs_name)
-        self.state = spark.table(self._state_name)
+        have_state = spark.catalog.tableExists(self._state_name)
+        prior = spark.table(self._state_name) if have_state else None
+        # at-least-once replay guard, per table (a crash between the two
+        # appends re-delivers the batch; each append skips independently)
+        state_done = have_state and self._has_batch(prior, batch_id)
+        pairs_done = spark.catalog.tableExists(self._pairs_name) and self._has_batch(
+            spark.table(self._pairs_name), batch_id
+        )
+        if not pairs_done:
+            new_pairs = self._new_pairs(
+                nb, prior.where(F.col("batch_id") != batch_id) if have_state else None
+            )
+            # append-only growth: per-batch candidates are globally
+            # unique by construction (see class docstring)
+            new_pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).saveAsTable(self._pairs_name)
+        if not state_done:
+            # state bucketed by the probe-join key: the next batch's join
+            # scans the buckets in place (no Exchange on the state side)
+            nb.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).bucketBy(self.state_buckets, "band", "bucket").saveAsTable(
+                self._state_name
+            )
+        self.pairs = spark.table(self._pairs_name).drop("batch_id")
+        self.state = spark.table(self._state_name).drop("batch_id")
+
+    @staticmethod
+    def _has_batch(df: DataFrame, batch_id: int) -> bool:
+        return df.where(F.col("batch_id") == batch_id).limit(1).count() > 0
 
 
 def run_streaming_lsh_dedup(

@@ -120,3 +120,57 @@ def test_streaming_ann_persisted_state(spark, emb_dir):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS ann_stream_t__index")
+
+def test_streaming_ann_persisted_restart_and_replay(spark, tmp_path):
+    """Restart safety (same contract as the dedup sibling): a fresh
+    sink resuming an existing checkpoint keeps the accrued index; a
+    redelivered batch_id appends nothing."""
+    emb_dir = str(tmp_path / "emb_restart")
+    ckpt = str(tmp_path / "emb_restart_ckpt")
+    df = spark.createDataFrame(ROWS, EMB_SCHEMA)
+    df.where(F.col("vec_id") < 12).repartition(2, "vec_id").write.parquet(emb_dir)
+    try:
+        s1 = run_streaming_ann_index(
+            spark, emb_dir, planes=PLANES,
+            checkpoint_dir=ckpt, state_table="ann_restart_t",
+        )
+        n1 = s1.index.count()
+        df.where(F.col("vec_id") >= 12).repartition(2, "vec_id").write.mode(
+            "append"
+        ).parquet(emb_dir)
+        s2 = run_streaming_ann_index(
+            spark, emb_dir, planes=PLANES,
+            checkpoint_dir=ckpt, state_table="ann_restart_t",
+        )
+        assert n1 > 0 and s2.index.count() == len(ROWS)  # accrued, not reset
+        got = {(r["vec_id"], r["bucket"]) for r in s2.index.collect()}
+        expect = {
+            (r["vec_id"], r["bucket"])
+            for r in srp_buckets(
+                spark.createDataFrame(ROWS, EMB_SCHEMA), PLANES
+            ).collect()
+        }
+        assert got == expect
+        # redelivery no-op
+        extra = spark.createDataFrame([(999, _vec(0), 0)], EMB_SCHEMA)
+        s2.process(extra, 10_000)
+        n_once = s2.index.count()
+        s2.process(extra, 10_000)
+        assert s2.index.count() == n_once
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ann_restart_t__index")
+
+
+def test_streaming_ann_topk_exclude_self_flag(spark, emb_dir):
+    """exclude_self=False keeps the self-match (rank 1, cosine 1.0) —
+    the correct setting when query ids are a separate namespace."""
+    sink = run_streaming_ann_index(spark, emb_dir, planes=PLANES)
+    queries = spark.createDataFrame(ROWS[:3], EMB_SCHEMA).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with_self = sink.topk(queries, k=3, exclude_self=False)
+    top1 = {
+        r["query_id"]: (r["vec_id"], r["cosine"])
+        for r in with_self.where(F.col("rnk") == 1).collect()
+    }
+    assert all(v == q and c == 1.0 for q, (v, c) in top1.items())

@@ -150,3 +150,53 @@ def test_streaming_lsh_persisted_state_matches_batch(spark, doc_dir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS lsh_stream_t__state")
         spark.sql("DROP TABLE IF EXISTS lsh_stream_t__pairs")
+
+
+def test_streaming_lsh_persisted_restart_and_replay(spark, tmp_path):
+    """Restart safety: a sink RECONSTRUCTED against an existing stream
+    checkpoint (fresh object, batch_id > 0) must keep the accrued state
+    and end up matching the batch twin over the whole corpus; and an
+    at-least-once foreachBatch redelivery (same batch_id twice) must be
+    a no-op for both tables."""
+    doc_dir = str(tmp_path / "docs_restart")
+    ckpt = str(tmp_path / "docs_restart_ckpt")
+    df = spark.createDataFrame(DOCS, DOC_SCHEMA)
+    first = df.where(F.col("doc_id") < 5)
+    rest = df.where(F.col("doc_id") >= 5)
+    first.repartition(2, "doc_id").write.parquet(doc_dir)
+    try:
+        s1 = run_streaming_lsh_dedup(
+            spark, doc_dir, max_files_per_trigger=1,
+            checkpoint_dir=ckpt, state_table="lsh_restart_t",
+        )
+        assert s1.n_batches >= 2
+        n_state_1 = s1.state.count()
+        # the stream "crashes"; more files land; a FRESH sink resumes
+        # from the same checkpoint — old code dropped the state here
+        rest.repartition(2, "doc_id").write.mode("append").parquet(doc_dir)
+        s2 = run_streaming_lsh_dedup(
+            spark, doc_dir, max_files_per_trigger=1,
+            checkpoint_dir=ckpt, state_table="lsh_restart_t",
+        )
+        assert s2.state.count() > n_state_1  # accrued + new, not reset
+        rows = [(r["doc_a"], r["doc_b"]) for r in s2.pairs.collect()]
+        assert len(rows) == len(set(rows))
+        assert set(rows) == _batch_candidate_pairs(spark)
+
+        # at-least-once redelivery: replay the LAST batch id manually
+        last_bid = 10_000  # a fresh id first, then the same id again
+        extra = spark.createDataFrame(
+            [(99, "the quick brown fox jumps over the lazy dog", "en", "web", 43)],
+            DOC_SCHEMA,
+        )
+        s2.process(extra, last_bid)
+        pairs_once = sorted(
+            (r["doc_a"], r["doc_b"]) for r in s2.pairs.collect()
+        )
+        state_once = s2.state.count()
+        s2.process(extra, last_bid)  # redelivery -> no-op
+        assert s2.state.count() == state_once
+        assert sorted((r["doc_a"], r["doc_b"]) for r in s2.pairs.collect()) == pairs_once
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_restart_t__state")
+        spark.sql("DROP TABLE IF EXISTS lsh_restart_t__pairs")
