@@ -247,9 +247,36 @@ def pubweb_graph(
     seeded RNG; point positions and the torus-wrapped grid join are fully
     distributed. Grid stride = neigh_rad, so candidates come from ±1
     cells with torus wrap-around — no quadratic scan."""
+    bounds, _areas = _pubweb_layout(n, num_dense_areas, seed)
+
+    u1 = _u01(F.lit(seed), F.col("id"), F.lit(1))
+    u2 = _u01(F.lit(seed), F.col("id"), F.lit(2))
+    x = u1  # background default: uniform
+    y = u2
+    for lo, hi, cx, cy, r in bounds:
+        in_area = (F.col("id") >= lo) & (F.col("id") < hi)
+        angle = 2.0 * math.pi * u1
+        dist = u2 * r
+        x = F.when(in_area, F.pmod(F.lit(cx) + F.cos(angle) * dist, F.lit(1.0))).otherwise(x)
+        y = F.when(in_area, F.pmod(F.lit(cy) + F.sin(angle) * dist, F.lit(1.0))).otherwise(y)
+
+    pts = spark.range(n).select("id", x.alias("x"), y.alias("y")).localCheckpoint(
+        eager=True
+    )
+    return Graph(
+        _pubweb_mutual_knn_edges(pts, neigh_rad, max_neigh),
+        directed=False,
+        weighted=True,
+    )
+
+
+def _pubweb_layout(n: int, num_dense_areas: int, seed: int):
+    """Driver-side area layout (O(num_dense_areas) scalars): radii with
+    the reference's anti-quadratic distribution, sizes ∝ rad^1.5
+    (chooseDenseAreaSizes / chooseClusterSizes). Returns (bounds, areas):
+    ``bounds`` maps initial id ranges to areas, ``areas`` the (cx, cy, r)
+    list for later (dynamic) inserts."""
     rng = random.Random(seed)
-    # anti-quadratic radius distribution + area sizes ∝ rad^1.5 (reference
-    # chooseDenseAreaSizes / chooseClusterSizes)
     radii = []
     for _ in range(num_dense_areas):
         f = rng.random() * _MIN_MAX_DENSE_AREA_FACTOR + 1.0
@@ -271,22 +298,17 @@ def pubweb_graph(
         acc += m
         if acc >= n:
             break
+    areas = [(cx, cy, r) for (cx, cy), r in zip(centers, radii)]
+    return bounds, areas
 
-    u1 = _u01(F.lit(seed), F.col("id"), F.lit(1))
-    u2 = _u01(F.lit(seed), F.col("id"), F.lit(2))
-    x = u1  # background default: uniform
-    y = u2
-    for lo, hi, cx, cy, r in bounds:
-        in_area = (F.col("id") >= lo) & (F.col("id") < hi)
-        angle = 2.0 * math.pi * u1
-        dist = u2 * r
-        x = F.when(in_area, F.pmod(F.lit(cx) + F.cos(angle) * dist, F.lit(1.0))).otherwise(x)
-        y = F.when(in_area, F.pmod(F.lit(cy) + F.sin(angle) * dist, F.lit(1.0))).otherwise(y)
 
-    pts = spark.range(n).select("id", x.alias("x"), y.alias("y")).localCheckpoint(
-        eager=True
-    )
-
+def _pubweb_mutual_knn_edges(
+    pts: DataFrame, neigh_rad: float, max_neigh: int
+) -> DataFrame:
+    """Mutual-kNN-within-radius edge set over (id, x, y) torus points —
+    the eligibility scan shared by the static generator and
+    DynamicPubWebGenerator (stream/batch parity by construction).
+    Torus-wrapped ±1 grid-cell join, weight = BASE_WEIGHT / dist²."""
     g = max(int(1.0 // neigh_rad), 1)  # stride ≥ neigh_rad ⇒ ±1 cells suffice
     cell_x = F.least(F.floor(F.col("x") * g), F.lit(g - 1)).cast("long")
     cell_y = F.least(F.floor(F.col("y") * g), F.lit(g - 1)).cast("long")
@@ -332,10 +354,220 @@ def pubweb_graph(
     pair = ranked.select(
         F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst"), "sq"
     )
-    edges = (
+    return (
         pair.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("c"), F.min("sq").alias("sq"))
         .where(F.col("c") == 2)
         .select("src", "dst", (F.lit(_BASE_WEIGHT) / F.col("sq")).alias("weight"))
     )
-    return Graph(edges, directed=False, weighted=True)
+
+
+# ---------------------------------------------------------------------------
+# DynamicPubWebGenerator
+# ---------------------------------------------------------------------------
+
+EVENT_SCHEMA = "seq LONG, type STRING, u LONG, v LONG, w DOUBLE"
+
+
+class DynamicPubWebGenerator:
+    """Dynamic PubWeb process (``generators/DynamicPubWebGenerator.hpp:22``,
+    generate loop ``DynamicPubWebGenerator.cpp:24-183``) — the repo's
+    first REMOVAL-BEARING generated event stream. Per step, exactly like
+    the reference: 5% of current nodes churn out (each one's incident
+    edges become EDGE_REMOVAL events, then the node a NODE_REMOVAL), 5%
+    churn in at area-drawn torus coordinates (NODE_ADDITION), and the
+    mutual-kNN-within-radius edge set is recomputed over the surviving +
+    new points — edges no longer eligible emit EDGE_REMOVAL, surviving
+    eligible edges re-emit their weight as EDGE_WEIGHT_UPDATE (the
+    reference re-weights every surviving edge, ``.cpp:141-146``), newly
+    eligible pairs emit EDGE_ADDITION; a TIME_STEP closes the step.
+
+    Spark shape: points and edges are DataFrames; the eligibility scan is
+    the SAME ``_pubweb_mutual_knn_edges`` grid join the static generator
+    uses (the reference's quadratic FIXME scan replaced by a bucketed
+    torus-grid join), churn-out selection is a seeded hash order, and the
+    per-step events are assembled as DataFrame unions — the only
+    driver-side values are one node count per step. Event seq is a
+    per-block constant (blocks are key-disjoint within a step, and
+    ``apply_events``'s last-wins resolution is per key), with TIME_STEP
+    markers strictly between blocks for ``replay_by_timestep``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        n: int,
+        num_dense_areas: int = 12,
+        neigh_rad: float = 0.125,
+        max_neigh: int = 16,
+        seed: int = 23,
+        write_initial_graph_to_stream: bool = True,
+    ):
+        self.spark = spark
+        self.neigh_rad = neigh_rad
+        self.max_neigh = max_neigh
+        self.seed = seed
+        self.write_initial = write_initial_graph_to_stream
+        self.bounds, self.areas = _pubweb_layout(n, num_dense_areas, seed)
+
+        u1 = _u01(F.lit(seed), F.col("id"), F.lit(1))
+        u2 = _u01(F.lit(seed), F.col("id"), F.lit(2))
+        x, y = u1, u2
+        for lo, hi, cx, cy, r in self.bounds:
+            in_area = (F.col("id") >= lo) & (F.col("id") < hi)
+            angle = 2.0 * math.pi * u1
+            dist = u2 * r
+            x = F.when(in_area, F.pmod(F.lit(cx) + F.cos(angle) * dist, F.lit(1.0))).otherwise(x)
+            y = F.when(in_area, F.pmod(F.lit(cy) + F.sin(angle) * dist, F.lit(1.0))).otherwise(y)
+        self.points = (
+            spark.range(n)
+            .select("id", x.alias("x"), y.alias("y"))
+            .localCheckpoint(eager=True)
+        )
+        self.edges = _pubweb_mutual_knn_edges(
+            self.points, neigh_rad, max_neigh
+        ).localCheckpoint(eager=True)
+        self.next_id = n
+        self.step = 0
+
+    def graph(self) -> Graph:
+        """Current graph (reference ``getGraph()``)."""
+        return Graph(
+            self.edges,
+            vertices=self.points.select("id"),
+            directed=False,
+            weighted=True,
+        )
+
+    def _insert_coords(self, new_ids: DataFrame) -> DataFrame:
+        """Area-drawn coordinates for churn-in nodes
+        (``DynamicPubWebGenerator.cpp:76-95``): uniform choice over
+        num_dense_areas + 1 (the +1 is background noise), polar draw
+        inside the chosen disc, torus wrap."""
+        k = len(self.areas)
+        u0 = _u01(F.lit(self.seed), F.lit("dynins"), F.col("id"), F.lit(0))
+        u1 = _u01(F.lit(self.seed), F.lit("dynins"), F.col("id"), F.lit(1))
+        u2 = _u01(F.lit(self.seed), F.lit("dynins"), F.col("id"), F.lit(2))
+        choice = F.floor(u0 * (k + 1)).cast("int")
+        x, y = u1, u2  # noise default
+        angle = 2.0 * math.pi * u1
+        for i, (cx, cy, r) in enumerate(self.areas):
+            hit = choice == i
+            dist = u2 * r
+            x = F.when(hit, F.pmod(F.lit(cx) + F.cos(angle) * dist, F.lit(1.0))).otherwise(x)
+            y = F.when(hit, F.pmod(F.lit(cy) + F.sin(angle) * dist, F.lit(1.0))).otherwise(y)
+        return new_ids.select("id", x.alias("x"), y.alias("y"))
+
+    def generate(self, n_steps: int) -> DataFrame:
+        """Event stream for ``n_steps`` timesteps → EVENT_SCHEMA rows."""
+        spark = self.spark
+        out: list[DataFrame] = []
+        seq = 0
+
+        def emit(df: DataFrame) -> None:
+            nonlocal seq
+            out.append(
+                df.select(
+                    F.lit(seq).cast("long").alias("seq"),
+                    F.col("type"),
+                    F.col("u").cast("long"),
+                    F.col("v").cast("long"),
+                    F.col("w").cast("double"),
+                )
+            )
+            seq += 1
+
+        def timestep() -> None:
+            nonlocal seq
+            out.append(
+                spark.createDataFrame([(seq, "TIME_STEP", 0, 0, 0.0)], EVENT_SCHEMA)
+            )
+            seq += 1
+
+        def node_events(ids: DataFrame, typ: str) -> DataFrame:
+            return ids.select(
+                F.lit(typ).alias("type"),
+                F.col("id").alias("u"),
+                F.lit(0).alias("v"),
+                F.lit(0.0).alias("w"),
+            )
+
+        def edge_events(e: DataFrame, typ: str) -> DataFrame:
+            return e.select(
+                F.lit(typ).alias("type"),
+                F.col("src").alias("u"),
+                F.col("dst").alias("v"),
+                F.col("weight").alias("w"),
+            )
+
+        if self.write_initial:
+            emit(node_events(self.points.select("id"), "NODE_ADDITION"))
+            emit(edge_events(self.edges, "EDGE_ADDITION"))
+            timestep()
+            self.write_initial = False
+
+        for _ in range(n_steps):
+            n_cur = self.points.count()
+            n_churn = int(n_cur * 0.05)
+
+            # churn out: seeded-hash node sample; incident edges first
+            doomed = (
+                self.points.select("id")
+                .orderBy(_u01(F.lit(self.seed), F.lit("dyndel"), F.lit(self.step), F.col("id")))
+                .limit(n_churn)
+                .localCheckpoint(eager=True)
+            )
+            incident = self.edges.join(
+                doomed.withColumnRenamed("id", "src"), "src", "left_semi"
+            ).unionByName(
+                self.edges.join(
+                    doomed.withColumnRenamed("id", "dst"), "dst", "left_semi"
+                )
+            ).distinct()
+            emit(edge_events(incident, "EDGE_REMOVAL"))
+            emit(node_events(doomed, "NODE_REMOVAL"))
+
+            # churn in
+            new_ids = spark.range(self.next_id, self.next_id + n_churn).select(
+                F.col("id")
+            )
+            emit(node_events(new_ids, "NODE_ADDITION"))
+            pts2 = (
+                self.points.join(doomed, "id", "left_anti")
+                .unionByName(self._insert_coords(new_ids))
+                .localCheckpoint(eager=True)
+            )
+
+            # recompute eligibility; diff against the surviving old edges
+            old = self.edges.join(
+                doomed.withColumnRenamed("id", "src"), "src", "left_anti"
+            ).join(doomed.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            new = _pubweb_mutual_knn_edges(
+                pts2, self.neigh_rad, self.max_neigh
+            ).localCheckpoint(eager=True)
+            o = old.select("src", "dst", F.col("weight").alias("wo"))
+            nw = new.select("src", "dst", F.col("weight").alias("wn"))
+            d = o.join(nw, ["src", "dst"], "full")
+            kept = d.where(
+                F.col("wo").isNotNull() & F.col("wn").isNotNull()
+            ).select("src", "dst", F.col("wn").alias("weight"))
+            gone = d.where(F.col("wn").isNull()).select(
+                "src", "dst", F.col("wo").alias("weight")
+            )
+            born = d.where(F.col("wo").isNull()).select(
+                "src", "dst", F.col("wn").alias("weight")
+            )
+            # reference order: weight updates, structural removals, additions
+            emit(edge_events(kept, "EDGE_WEIGHT_UPDATE"))
+            emit(edge_events(gone, "EDGE_REMOVAL"))
+            emit(edge_events(born, "EDGE_ADDITION"))
+            timestep()
+
+            self.points = pts2
+            self.edges = new
+            self.next_id += n_churn
+            self.step += 1
+
+        events = out[0]
+        for df in out[1:]:
+            events = events.unionByName(df)
+        return events.orderBy("seq", "u", "v")

@@ -146,3 +146,82 @@ def test_pubweb_matches_bruteforce(spark):
     for r in g.edges.limit(10).collect():
         sq = _torus_d2(P[r["src"]], P[r["dst"]])
         assert abs(r["weight"] - g3._BASE_WEIGHT / sq) < 1e-6
+
+
+def _edge_set(df, round_w=6):
+    return {
+        (r["src"], r["dst"], round(r["weight"], round_w))
+        for r in df.select("src", "dst", "weight").collect()
+    }
+
+
+def test_dynamic_pubweb_emits_removals_and_replays(spark):
+    """DynamicPubWebGenerator (DynamicPubWebGenerator.hpp:22): the event
+    stream must carry REAL removals (node churn-out + structural edge
+    drops), and replaying it through apply_events from empty must land
+    exactly on the generator's own final graph — weights included."""
+    from icebug_spark.streaming.dynamic import apply_events
+
+    gen = g3.DynamicPubWebGenerator(
+        spark, n=80, num_dense_areas=3, neigh_rad=0.25, max_neigh=6, seed=7
+    )
+    ev = gen.generate(3).localCheckpoint(eager=True)
+    types = {r["type"] for r in ev.select("type").distinct().collect()}
+    assert "EDGE_REMOVAL" in types and "NODE_REMOVAL" in types
+    assert "EDGE_ADDITION" in types and "NODE_ADDITION" in types
+    n_steps = ev.where(F.col("type") == "TIME_STEP").count()
+    assert n_steps == 4  # initial-graph marker + 3 generated steps
+
+    empty = spark.createDataFrame([], "src LONG, dst LONG, weight DOUBLE")
+    replayed = apply_events(empty, ev)
+    assert _edge_set(replayed) == _edge_set(gen.edges)
+    # churned-out nodes really left the point set
+    removed = {
+        r["u"] for r in ev.where(F.col("type") == "NODE_REMOVAL").collect()
+    }
+    assert removed
+    alive = {r["id"] for r in gen.points.select("id").collect()}
+    assert removed.isdisjoint(alive)
+
+
+def test_dynamic_pubweb_dyncc_consumer_tracks_static(spark):
+    """End-to-end Dyn* consumer over the generated removal-bearing
+    stream: replay per timestep, maintain DynCC incrementally across the
+    batches, and per step compare against a static min-label recompute
+    on that step's edge table — the reference's
+    DynAlgorithm.updateBatch contract under real removals."""
+    from icebug_spark.catalog import symmetrize
+    from icebug_spark.operators.components import connected_components
+    from icebug_spark.streaming.dynamic import replay_by_timestep
+    from icebug_spark.streaming.dynamic2 import dyn_cc_update
+
+    gen = g3.DynamicPubWebGenerator(
+        spark, n=60, num_dense_areas=2, neigh_rad=0.3, max_neigh=5, seed=11,
+        write_initial_graph_to_stream=False,
+    )
+    e0 = gen.edges.localCheckpoint(eager=True)
+    ev = gen.generate(2).localCheckpoint(eager=True)
+    states = replay_by_timestep(e0, ev)
+
+    marks = [
+        r["seq"]
+        for r in ev.where(F.col("type") == "TIME_STEP").orderBy("seq").collect()
+    ]
+    bounds = [-1] + marks + [float("inf")]
+    # connected_components consumes the SYMMETRIZED view (q28 convention)
+    comp = connected_components(symmetrize(e0)).localCheckpoint(eager=True)
+    for (lo, hi), edges_after in zip(zip(bounds[:-1], bounds[1:]), states):
+        batch = ev.where(
+            (F.col("seq") > lo) & (F.col("seq") < hi)
+        ).select("type", "u", "v", "w")
+        if batch.where(
+            F.col("type").isin("EDGE_ADDITION", "EDGE_REMOVAL")
+        ).limit(1).count() == 0:
+            continue
+        comp = dyn_cc_update(
+            comp, edges_after.select("src", "dst"), batch
+        ).localCheckpoint(eager=True)
+        static = connected_components(symmetrize(edges_after))
+        got = {(r["id"], r["component"]) for r in comp.collect()}
+        want = {(r["id"], r["component"]) for r in static.collect()}
+        assert got == want
