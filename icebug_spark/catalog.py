@@ -137,7 +137,12 @@ def derived_edges_undirected(
         cached = _EU_CACHE.get(key)
         if cached is not None:
             return cached
-    eu = symmetrize(derived_edges(spark, sf_dir, materialize=False))
+    # materialize E on the way: the first EU consumer pays one extra
+    # (cheap) checkpoint job, and every later E consumer — C/kernel
+    # (q24/q25/edge scores), assortativity, the weighted-edge twins —
+    # reuses the artifact instead of re-running orders⋈lineitem
+    # (~3 s/query at sf0.1, measured in the r7 bench)
+    eu = symmetrize(derived_edges(spark, sf_dir, materialize=materialize))
     if materialize:
         eu = eu.localCheckpoint(eager=True)
         _EU_CACHE[key] = eu
@@ -169,6 +174,33 @@ def derived_canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = c.localCheckpoint(eager=True)
     _DERIVED_CACHE[key] = c
     return c
+
+
+#: triangle kernels keyed like the other derived artifacts; holds the
+#: (oriented, adj, small) tuple, not a DataFrame
+_KERNEL_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def derived_triangle_kernel(spark: SparkSession, sf_dir: str):
+    """(oriented, adj, small) of the canonical derived graph
+    (``triangles.build_triangle_kernel``), checkpointed ONCE PER SESSION
+    next to C. q24, q25 and the triangle edge scores all start from the
+    same degree-ordered orientation + sorted out-lists; without the memo
+    each of them re-paid the orientation + adjacency build (~2.3 s of
+    q24's 4.5 s cold kernel at sf0.1, measured r6). At 100 TB this is
+    the persisted oriented-adjacency artifact stored beside the
+    canonical edge table — every triangle-ish analysis scans it."""
+    from icebug_spark.operators.triangles import build_triangle_kernel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _KERNEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    kernel = build_triangle_kernel(
+        derived_canonical_edges(spark, sf_dir), materialize=True
+    )
+    _KERNEL_CACHE[key] = kernel
+    return kernel
 
 
 # Shared SQL fragments for the DuckDB oracle twins (the oracle has views

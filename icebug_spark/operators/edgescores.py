@@ -48,11 +48,24 @@ def _degrees(c: DataFrame) -> DataFrame:
     )
 
 
-def edge_triangle_count(edges_undirected: DataFrame) -> DataFrame:
+def edge_triangle_count(
+    edges_undirected: DataFrame,
+    canon: DataFrame | None = None,
+    kernel: tuple | None = None,
+) -> DataFrame:
     """TriangleEdgeScore: (u, v, n_tri) triangles containing each canonical
-    edge; edges in no triangle report 0."""
-    c = canonical_edges(edges_undirected).localCheckpoint(eager=True)
-    t = triangles(c.select(F.col("u").alias("src"), F.col("v").alias("dst")))
+    edge; edges in no triangle report 0. ``canon``/``kernel``: shared
+    canonical-edge / oriented-adjacency artifacts (catalog memo)."""
+    c = (
+        canonical_edges(edges_undirected).localCheckpoint(eager=True)
+        if canon is None
+        else canon
+    )
+    t = triangles(
+        c.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+        canon=c,
+        kernel=kernel,
+    )
     per_edge = (
         t.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .union(t.select(F.col("a").alias("u"), F.col("c").alias("v")))

@@ -32,32 +32,35 @@ def canonical_edges(edges_undirected: DataFrame) -> DataFrame:
     )
 
 
-def triangles(
-    edges_undirected: DataFrame, canon: DataFrame | None = None
-) -> DataFrame:
-    """All triangles as (a, b, c), each exactly once, a < b < c by id.
+def build_triangle_kernel(
+    c: DataFrame, materialize: bool = False
+) -> tuple[DataFrame, DataFrame, bool]:
+    """(oriented, adj, small) — the shared artifacts of the triangle
+    family, from a checkpointed canonical edge set.
 
     Degree-ordered orientation (the standard distributed algorithm): every
     canonical edge is directed from its lower-(degree, id) endpoint to the
     higher one, so each node's out-degree is O(sqrt(m)) and the wedge join
     is bounded by sum(outdeg^2) ≈ m^1.5 — id-ordered orientation instead
-    explodes on hub nodes (a degree-d hub in the middle contributes
-    O(d_lo·d_hi) wedges).
+    explodes on hub nodes. ``adj`` is each node's sorted oriented
+    out-list.
 
-    ``canon``: pre-materialized ``canonical_edges`` output, shared across
-    the coefficient functions so the edge set is canonicalized once."""
-    c = (
-        canonical_edges(edges_undirected).localCheckpoint(eager=True)
-        if canon is None
-        else canon
-    )
-    # Size-adaptive plan: below the cap the degree table AND the oriented
-    # adjacency arrays are broadcast (total payload ≈ m longs), so the
-    # whole kernel is two shuffles (the canonical distinct + the adj
-    # groupBy) and the edge stream never moves again. Past the cap —
-    # 1e9-edge graphs where an adjacency broadcast would OOM executors —
-    # every join falls back to the shuffled shape. c is checkpointed, so
-    # the count is a cheap scan, not a recompute.
+    Size-adaptive: below ``spark.icebug.triangleBroadcastEdges`` (small)
+    the degree table and the adjacency arrays are broadcast (payload ≈ m
+    longs) so the kernel is two shuffles and the edge stream never moves
+    again; past the cap — 1e9-edge graphs where an adjacency broadcast
+    would OOM executors — every join is the shuffled shape and both
+    artifacts are checkpointed regardless of ``materialize``.
+
+    ``materialize=True`` eagerly checkpoints ``adj`` — the session-memo
+    path (``catalog.derived_triangle_kernel``) uses it so q24/q25/
+    edge-score queries pay the adjacency build ONCE. ``oriented`` is NOT
+    checkpointed on the small path even then: it is a pure broadcast
+    join over the checkpointed C (no shuffle), so recomputing it per
+    consumer is cheaper than a blocking checkpoint job (measured at
+    sf0.1: ckpt 1.2 s vs recompute ~0.3 s inside the consumer stage).
+    One-off small calls leave both lazy and rely on ReuseExchange
+    canonicalizing the two broadcast builds into one."""
     m = c.count()
     cap = int(
         c.sparkSession.conf.get("spark.icebug.triangleBroadcastEdges", "5000000")
@@ -82,25 +85,42 @@ def triangles(
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
     )
     if not small:
-        # two shuffle consumers downstream — materialize once
         oriented = oriented.localCheckpoint(eager=True)
-    # Adjacency-array intersection instead of the explicit wedge
-    # self-join: materialize each node's (degree-bounded) oriented
-    # out-list once, then every oriented edge (x, y) closes a triangle
-    # per element of out(x) ∩ out(y) — array_intersect runs inside
-    # whole-stage codegen, and the shuffle is m edge rows instead of
-    # sum(outdeg²) wedge rows (measured 3x on the sf0.1 bench; same
-    # m^1.5 work bound, far less data movement).
     adj = oriented.groupBy("x").agg(
         F.sort_array(F.collect_list("y")).alias("nbrs")
     )
-    if not small:
-        # two shuffle-join consumers — materialize once. On the broadcast
-        # path the two broadcast exchanges canonicalize to the same child
-        # plan and ReuseExchange builds adj once; skipping the eager
-        # checkpoint there saves a blocking job (measured 3.9→2.2 s cold
-        # at sf0.1).
+    if materialize or not small:
         adj = adj.localCheckpoint(eager=True)
+    return oriented, adj, small
+
+
+def triangles(
+    edges_undirected: DataFrame,
+    canon: DataFrame | None = None,
+    kernel: tuple[DataFrame, DataFrame, bool] | None = None,
+) -> DataFrame:
+    """All triangles as (a, b, c), each exactly once, a < b < c by id.
+
+    ``canon``: pre-materialized ``canonical_edges`` output; ``kernel``: a
+    pre-built ``build_triangle_kernel`` result — pass the session-memoized
+    one (``catalog.derived_triangle_kernel``) so consecutive triangle-ish
+    queries share the orientation + adjacency build.
+
+    Adjacency-array intersection instead of the explicit wedge self-join:
+    every oriented edge (x, y) closes a triangle per element of
+    out(x) ∩ out(y) — array_intersect runs inside whole-stage codegen,
+    and the shuffle is m edge rows instead of sum(outdeg²) wedge rows
+    (measured 3x on the sf0.1 bench; same m^1.5 work bound, far less
+    data movement)."""
+    if kernel is None:
+        c = (
+            canonical_edges(edges_undirected).localCheckpoint(eager=True)
+            if canon is None
+            else canon
+        )
+        kernel = build_triangle_kernel(c)
+    oriented, adj, small = kernel
+    hint = F.broadcast if small else (lambda df: df)
     tri = (
         oriented.join(
             hint(adj.select(F.col("x").alias("xx"), F.col("nbrs").alias("na"))),
@@ -119,11 +139,33 @@ def triangles(
 
 
 def triangle_count(
-    edges_undirected: DataFrame, canon: DataFrame | None = None
+    edges_undirected: DataFrame,
+    canon: DataFrame | None = None,
+    kernel: tuple | None = None,
 ) -> DataFrame:
-    """Single row (n_triangles BIGINT)."""
-    return triangles(edges_undirected, canon=canon).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    """Single row (n_triangles BIGINT). Counts |out(x) ∩ out(y)| sizes
+    directly (no per-triangle explode — the count never materializes
+    triangle rows)."""
+    if kernel is None:
+        c = (
+            canonical_edges(edges_undirected).localCheckpoint(eager=True)
+            if canon is None
+            else canon
+        )
+        kernel = build_triangle_kernel(c)
+    oriented, adj, small = kernel
+    hint = F.broadcast if small else (lambda df: df)
+    return (
+        oriented.join(
+            hint(adj.select(F.col("x").alias("xx"), F.col("nbrs").alias("na"))),
+            F.col("x") == F.col("xx"),
+        )
+        .join(
+            hint(adj.select(F.col("x").alias("yy"), F.col("nbrs").alias("nb"))),
+            F.col("y") == F.col("yy"),
+        )
+        .select(F.size(F.array_intersect("na", "nb")).alias("k"))
+        .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("n_triangles"))
     )
 
 
@@ -131,10 +173,15 @@ def node_triangle_counts(
     edges_undirected: DataFrame,
     canon: DataFrame | None = None,
     tri: DataFrame | None = None,
+    kernel: tuple | None = None,
 ) -> DataFrame:
     """(id, n_tri): triangles incident to each node. ``tri``: a
     pre-computed ``triangles`` output to reuse."""
-    t = triangles(edges_undirected, canon=canon) if tri is None else tri
+    t = (
+        triangles(edges_undirected, canon=canon, kernel=kernel)
+        if tri is None
+        else tri
+    )
     nodes = (
         t.select(F.col("a").alias("id"))
         .union(t.select(F.col("b").alias("id")))
@@ -187,6 +234,7 @@ def local_clustering_coefficient(
     edges_undirected: DataFrame,
     canon: DataFrame | None = None,
     tri: DataFrame | None = None,
+    kernel: tuple | None = None,
 ) -> DataFrame:
     """(id, lcc) for nodes with degree >= 2, lcc = 2*tri / (deg*(deg-1)).
 
@@ -200,7 +248,7 @@ def local_clustering_coefficient(
         else canon
     )
     deg = _canon_degrees(c)
-    ntri = node_triangle_counts(edges_undirected, canon=c, tri=tri)
+    ntri = node_triangle_counts(edges_undirected, canon=c, tri=tri, kernel=kernel)
     return (
         deg.where(F.col("deg") >= 2)
         .join(ntri, "id", "left")

@@ -31,7 +31,9 @@ def _adj_from_E(e: DataFrame) -> DataFrame:
 
 # Q18 — out/in/total degree per node (DegreeCentrality parity).
 def q18(spark: SparkSession, sf: str) -> DataFrame:
-    e = derived_edges(spark, sf)
+    # first E consumer in the headline set: materialize the artifact so
+    # q21/q24/q27/... scan it instead of re-running orders⋈lineitem
+    e = derived_edges(spark, sf, materialize=True)
     out = centrality.degree_centrality(e, "out").withColumnRenamed("degree", "out_degree")
     inn = centrality.degree_centrality(e, "in").withColumnRenamed("degree", "in_degree")
     return (
@@ -113,7 +115,7 @@ GROUP BY a.src, b.src
 
 # Q21 — Jaccard index (JaccardIndex / JaccardDistance parity).
 def q21(spark: SparkSession, sf: str) -> DataFrame:
-    adj = _adj_from_E(derived_edges(spark, sf))
+    adj = _adj_from_E(derived_edges(spark, sf, materialize=True))
     return linkpred.jaccard_index(adj, _pair_filter)
 
 
@@ -170,12 +172,17 @@ FROM deg a JOIN deg b ON a.node < b.node
 def q24(spark: SparkSession, sf: str) -> DataFrame:
     # canonical_edges(E) ≡ canonical_edges(EU): least/greatest collapses
     # both orientations, so the symmetrize union+distinct is skipped.
-    # The canonical set itself is the session-memoized C artifact —
-    # q24/q25 (and a cluster's whole triangle family) share one build.
-    from icebug_spark.catalog import derived_canonical_edges
+    # The canonical set AND the oriented-adjacency kernel are the
+    # session-memoized C / kernel artifacts — q24/q25 (and a cluster's
+    # whole triangle family) share one build of each.
+    from icebug_spark.catalog import derived_canonical_edges, derived_triangle_kernel
 
     e = derived_edges(spark, sf, materialize=True)
-    return triangles.triangle_count(e, canon=derived_canonical_edges(spark, sf))
+    return triangles.triangle_count(
+        e,
+        canon=derived_canonical_edges(spark, sf),
+        kernel=derived_triangle_kernel(spark, sf),
+    )
 
 
 Q24_SQL = f"""
@@ -189,11 +196,13 @@ FROM c e1 JOIN c e2 ON e1.v = e2.u JOIN c e3 ON e3.u = e1.u AND e3.v = e2.v
 
 # Q25 — local clustering coefficient (LocalClusteringCoefficient parity).
 def q25(spark: SparkSession, sf: str) -> DataFrame:
-    from icebug_spark.catalog import derived_canonical_edges
+    from icebug_spark.catalog import derived_canonical_edges, derived_triangle_kernel
 
     e = derived_edges(spark, sf, materialize=True)
     return triangles.local_clustering_coefficient(
-        e, canon=derived_canonical_edges(spark, sf)
+        e,
+        canon=derived_canonical_edges(spark, sf),
+        kernel=derived_triangle_kernel(spark, sf),
     )
 
 

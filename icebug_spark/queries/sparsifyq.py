@@ -51,9 +51,13 @@ Q106_SQL = _LS_CORE
 
 # q107 — LocalFilterScore (logarithmic) over per-edge triangle counts.
 def q107(spark: SparkSession, sf: str) -> DataFrame:
-    te = edge_triangle_count(_eu(spark, sf)).withColumn(
-        "score", F.col("n_tri").cast("double")
-    )
+    from icebug_spark.catalog import derived_canonical_edges, derived_triangle_kernel
+
+    te = edge_triangle_count(
+        _eu(spark, sf),
+        canon=derived_canonical_edges(spark, sf),
+        kernel=derived_triangle_kernel(spark, sf),
+    ).withColumn("score", F.col("n_tri").cast("double"))
     return sparsify2.local_filter_score(te, score_col="score", logarithmic=True)
 
 
