@@ -363,12 +363,26 @@ def dyn_sssp_update(
             dist.where(F.col("dist") == 0)
         ).distinct()
 
-    cur = dist.localCheckpoint(eager=True)
+    # frontier-based relaxation: only nodes whose label improved last
+    # round relax outward (everyone starts in the frontier — the resumed
+    # labels must push into the invalidated cone), and the changed flag
+    # is computed IN the merge so each round is one checkpoint + one
+    # cheap scan (the old shape paid an extra join + count per round —
+    # ~2x the per-round jobs on a settled graph)
+    inf = F.lit(float("inf"))
+    cur = (
+        dist.select("id", "dist")
+        .withColumn("changed", F.lit(True))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_rounds):
+        frontier = cur.where(F.col("changed")).select("id", "dist")
         relaxed = (
             ew.join(
                 F.broadcast(
-                    cur.withColumnRenamed("id", "src").withColumnRenamed("dist", "ds")
+                    frontier.withColumnRenamed("id", "src").withColumnRenamed(
+                        "dist", "ds"
+                    )
                 ),
                 "src",
             )
@@ -376,26 +390,24 @@ def dyn_sssp_update(
             .groupBy("id")
             .agg(F.min("nd").alias("nd"))
         )
-        merged = (
-            cur.join(relaxed, "id", "full_outer")
+        cur = (
+            cur.select("id", "dist")
+            .join(relaxed, "id", "full_outer")
             .select(
                 "id",
                 F.least(
-                    F.coalesce("dist", F.lit(float("inf"))),
-                    F.coalesce("nd", F.lit(float("inf"))),
+                    F.coalesce("dist", inf), F.coalesce("nd", inf)
                 ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.coalesce("nd", inf) < F.col("dist") - F.lit(1e-12))
+                ).alias("changed"),
             )
-        ).localCheckpoint(eager=True)
-        changed = (
-            merged.join(cur.withColumnRenamed("dist", "od"), "id", "left")
-            .where(F.col("od").isNull() | (F.col("dist") < F.col("od") - 1e-12))
-            .limit(1)
-            .count()
+            .localCheckpoint(eager=True)
         )
-        cur = merged
-        if changed == 0:
+        if cur.where(F.col("changed")).limit(1).count() == 0:
             break
-    return cur
+    return cur.select("id", "dist")
 
 
 class DynAPSP:
