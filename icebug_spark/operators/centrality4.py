@@ -569,7 +569,7 @@ def gedwalk_linear_proxy(
 def gedwalk_group(
     edges_undirected: DataFrame,
     k: int = 3,
-    alpha: float = 0.5,
+    alpha: float | None = 0.5,
     depth: int = 3,
     pool_size: int | None = None,
 ) -> DataFrame:
@@ -608,6 +608,12 @@ def gedwalk_group(
         .limit(pool_size or max(3 * k, 12))
         .localCheckpoint(eager=True)
     )
+    if alpha is None:
+        # reference default (GedWalk.cpp:122, GEOMETRIC bound strategy):
+        # alpha = 1 / (1 + max in-degree) keeps the geometric walk
+        # series summable; pool_df already holds the max degree
+        max_d = pool_df.agg(F.max("d")).collect()[0][0] or 1
+        alpha = 1.0 / (1.0 + float(max_d))
 
     # M_ℓ(S) for the current group, starting with S=∅ (full-graph
     # walks): accumulate the per-level masses in one union plan so the

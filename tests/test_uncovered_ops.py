@@ -272,3 +272,18 @@ def test_graph_to_undirected_and_in_degrees(spark):
     g = Graph.from_edge_list(spark, [(0, 2), (1, 2), (2, 0)], directed=True)
     ind = {r["id"]: r["degree"] for r in g.in_degrees().collect()}
     assert ind == {2: 2, 0: 1}
+
+
+def test_gedwalk_auto_alpha_matches_reference_default(spark):
+    """alpha=None ⇒ 1/(1 + max degree) (GedWalk.cpp:122, GEOMETRIC bound
+    strategy): identical selection and gains to passing the value
+    explicitly."""
+    from icebug_spark.operators.centrality4 import gedwalk_group
+
+    pairs = [(0, i) for i in range(1, 8)] + [(1, 2)]
+    eu = _sym(spark, pairs)
+    auto = gedwalk_group(eu, k=2, alpha=None, depth=2).orderBy("rank").collect()
+    explicit = (
+        gedwalk_group(eu, k=2, alpha=1.0 / 8.0, depth=2).orderBy("rank").collect()
+    )
+    assert [tuple(r) for r in auto] == [tuple(r) for r in explicit]
