@@ -1,0 +1,204 @@
+"""Statistics + spectral utilities from the reference's Python surface
+(the small modules outside the C++ tree):
+
+- :func:`gini` — Gini coefficient of a value column
+  (``networkit/stats.pyx:16``: sorted prefix-area formula).
+- :func:`approx_avg_local_clustering` / :func:`clustering` — Schank-
+  Wagner wedge-sampling estimate of the average local clustering
+  coefficient (``networkit/globals.pyx:109`` wrapper;
+  ``global/ClusteringCoefficient.cpp`` ``approxAvgLocal``: uniform
+  deg≥2 node, two distinct random neighbors, closed-wedge fraction).
+- :func:`spectral_coloring` — recursive eigenvector-sign splitting
+  (``networkit/coloring.py:6`` SpectralColoring: all nodes start in one
+  class; an invalid class splits by the sign of the next adjacency
+  eigenvector until every class is independent).
+
+Scale notes: gini needs a global rank — expressed as one window sort +
+one aggregation (at 100 TB swap the exact rank for an approx-quantile
+bucketing). The wedge sampler is trial-parallel: ``spark.range(trials)``
+hashed onto a dense-indexed deg≥2 node table, neighbor picks by
+index arithmetic, closure by one join against the canonical edge set —
+no driver loop, no rejection resampling. Spectral coloring mirrors the
+reference's own driver-side dense eigendecomposition (it calls scipy
+``eigh`` on the full adjacency) behind the same guarded-collect pattern
+as the other small-n exact solvers; the guard names the distributed
+alternative (greedy_coloring) for big graphs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DENOM = 1_000_000_007
+
+
+def _u01(*cols) -> F.Column:
+    return F.pmod(F.xxhash64(*cols), F.lit(_DENOM)).cast("double") / _DENOM
+
+
+def gini(values: DataFrame, col: str) -> DataFrame:
+    """Gini coefficient (``stats.pyx:16``). The reference's prefix-area
+    loop over the ascending sort equals the closed rank form
+    G = 2·Σ rᵢxᵢ / (n·Σx) − (n+1)/n, which is ONE window rank + ONE
+    aggregation here. → single row (gini DOUBLE)."""
+    ranked = values.select(F.col(col).cast("double").alias("x")).withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("x").asc())).cast("double")
+    )
+    return ranked.agg(
+        (
+            2.0 * F.sum(F.col("r") * F.col("x")) / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))
+        ).alias("gini")
+    )
+
+
+def approx_avg_local_clustering(
+    edges_undirected: DataFrame, trials: int, seed: int = 29
+) -> DataFrame:
+    """Schank-Wagner wedge sampling
+    (``global/ClusteringCoefficient.cpp`` ``approxAvgLocal``): per
+    trial, a uniform deg≥2 node v and two DISTINCT uniform neighbors
+    (u, w); the estimate is the fraction of closed (u, w). The
+    reference resamples until deg≥2 — here trials draw directly from
+    the dense-indexed deg≥2 node table (same distribution, no
+    rejection). Distinct pair: i ~ U[0, d), j ~ U[0, d−1) with
+    j ← j+1 when j ≥ i — uniform over ordered distinct pairs.
+    → single row (avg_cc DOUBLE)."""
+    from icebug_spark.plans.zipindex import dense_index
+
+    eu = edges_undirected.select("src", "dst").where(F.col("src") != F.col("dst"))
+    eu = eu.union(
+        eu.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    spark = eu.sparkSession
+
+    adj = eu.groupBy(F.col("src").alias("id")).agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    eligible = adj.where(F.size("nbrs") >= 2)
+    idx_map = dense_index(eligible, ["id"], out="index", assume_distinct=True)
+    indexed = eligible.join(idx_map, "id").localCheckpoint(eager=True)
+    n_eligible = indexed.count()
+    if n_eligible == 0:
+        return spark.createDataFrame([(0.0,)], "avg_cc DOUBLE")
+
+    t = spark.range(trials).select(F.col("id").alias("trial"))
+    picks = t.select(
+        "trial",
+        F.floor(_u01(F.lit(seed), "trial", F.lit(0)) * n_eligible)
+        .cast("long")
+        .alias("idx"),
+    )
+    j0 = F.floor(_u01(F.lit(seed), "trial", F.lit(2)) * (F.size("nbrs") - 1)).cast(
+        "int"
+    )
+    i0 = F.floor(_u01(F.lit(seed), "trial", F.lit(1)) * F.size("nbrs")).cast("int")
+    wedges = (
+        picks.join(indexed.select(F.col("index").alias("idx"), "nbrs"), "idx")
+        .withColumn("i", i0)
+        .withColumn("j", F.when(j0 >= i0, j0 + 1).otherwise(j0))
+        .select(
+            "trial",
+            F.element_at("nbrs", F.col("i") + 1).alias("u"),
+            F.element_at("nbrs", F.col("j") + 1).alias("w"),
+        )
+    )
+    closed = wedges.join(
+        eu.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "left_semi",
+    )
+    return closed.agg(
+        (F.count(F.lit(1)) / float(trials)).alias("avg_cc")
+    )
+
+
+def clustering(edges_undirected: DataFrame, error: float = 0.01) -> DataFrame:
+    """``networkit.globals.clustering`` (``globals.pyx:109``): exact
+    average local clustering below 100 nodes, else Schank-Wagner with
+    ceil(ln(10)/error²) samples (fixed 90% confidence, the reference's
+    constant). → single row (avg_cc DOUBLE), 6dp on the exact path."""
+    from icebug_spark.operators.triangles import local_clustering_coefficient
+
+    eu = edges_undirected
+    n = (
+        eu.select(F.col("src").alias("id"))
+        .union(eu.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    if n < 100:
+        lcc = local_clustering_coefficient(eu)
+        return lcc.agg(F.round(F.avg("lcc"), 6).alias("avg_cc"))
+    trials = math.ceil(math.log(10) / (error**2))
+    return approx_avg_local_clustering(eu, trials)
+
+
+def spectral_coloring(
+    edges_undirected: DataFrame, max_nodes: int = 4096
+) -> DataFrame:
+    """SpectralColoring (``networkit/coloring.py:6``): every node starts
+    in color 0; while some class has an internal edge, split it by the
+    SIGN of the next adjacency eigenvector (ascending ``depth`` per the
+    reference's recursion), nonnegative entries keep the class id,
+    negative ones open a new class. Returns (id, color) — a valid
+    (independent-set) coloring.
+
+    The reference computes the full dense spectrum driver-side
+    (``adjacencyEigenvectors`` → scipy eigh); this mirrors that behind a
+    guarded collect — for graphs past ``max_nodes`` use the distributed
+    ``numerics2.greedy_coloring`` instead (the guard says so)."""
+    eu = edges_undirected.select("src", "dst")
+    spark = eu.sparkSession
+    nodes = sorted(
+        r["id"]
+        for r in eu.select(F.col("src").alias("id"))
+        .union(eu.select(F.col("dst").alias("id")))
+        .distinct()
+        .collect()
+    ) if eu.limit(1).count() else []
+    if len(nodes) > max_nodes:
+        raise ValueError(
+            f"spectral_coloring collects the dense adjacency ({len(nodes)} nodes "
+            f"> max_nodes={max_nodes}); use numerics2.greedy_coloring for the "
+            "distributed path"
+        )
+    if not nodes:
+        return spark.createDataFrame([], "id BIGINT, color LONG")
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    a = np.zeros((n, n))
+    for r in eu.collect():
+        i, j = idx[r["src"]], idx[r["dst"]]
+        a[i, j] = a[j, i] = 1.0
+    vals, vecs = np.linalg.eigh(a)
+    # reference order (algebraic.py:287): descending eigenvalue MAGNITUDE
+    vecs = vecs[:, np.argsort(-np.abs(vals))]
+    colors: dict[int, set[int]] = {0: set(range(n))}
+    next_color = [1]
+
+    def valid(c: int) -> bool:
+        s = colors[c]
+        return not any(a[i, j] for i in s for j in s if j > i)
+
+    def split(c: int, depth: int = 0) -> None:
+        other = next_color[0]
+        next_color[0] += 1
+        vs = colors[c]
+        colors[c] = {v for v in vs if vecs[v, depth] >= 0}
+        colors[other] = {v for v in vs if vecs[v, depth] < 0}
+        if not valid(c):
+            split(c, depth + 1)
+        if not valid(other):
+            split(other, depth + 1)
+
+    if not valid(0):
+        split(0)
+    rows = [
+        (int(nodes[v]), int(c)) for c, vs in colors.items() for v in vs
+    ]
+    return spark.createDataFrame(rows, "id BIGINT, color LONG")

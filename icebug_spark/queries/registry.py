@@ -37,6 +37,8 @@ _NEVER_DRIVER_CHECKED = [
     "q141_square_clustering", "q142_dynbetweenness_insert",
     "q143_graphml_roundtrip", "q144_gexf_dynamic_replay",
     "q145_mat_roundtrip", "q146_rb_roundtrip",
+    "q147_gini_degrees", "q148_spectral_coloring",
+    "q149_approx_clustering",
     "q106_local_similarity", "q107_local_filter",
     "q108_local_similarity_sparsifier", "q109_random_node_edge",
 ]

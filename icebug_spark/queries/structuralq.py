@@ -274,6 +274,103 @@ SELECT (SELECT COUNT(DISTINCT src) FROM eu) AS n_placed,
 """
 
 
+# q147 — Gini coefficient of the degree distribution (stats.pyx:16),
+# FULL VALUE: the rank form G = 2·Σ rᵢxᵢ/(n·Σx) − (n+1)/n is exactly
+# the reference's sorted prefix-area loop; ties contribute identically
+# under any tie order (consecutive ranks, equal values), so Spark's and
+# DuckDB's window sorts agree to the last bit. 6dp.
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.operators.stats import gini
+
+    deg = (
+        derived_edges_undirected(spark, sf)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return gini(deg, "d").select(F.round("gini", 6).alias("gini"))
+
+
+Q147_SQL = f"""
+WITH eu AS MATERIALIZED ({EU_SQL}),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM eu GROUP BY src),
+r AS (SELECT CAST(d AS DOUBLE) AS x,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS DOUBLE) AS r FROM deg)
+SELECT ROUND(2.0 * SUM(r * x) / (COUNT(*) * SUM(x))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM r
+"""
+
+
+# q148 — SpectralColoring (networkit/coloring.py:6) certificate on the
+# id%5 subgraph: the eigenvector-sign recursion must emit a VALID
+# coloring (no monochromatic edge) covering every node; eigensign
+# conventions make the labels themselves non-portable, so the oracle is
+# the invariant.
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.operators.stats import spectral_coloring
+
+    # src != dst: EU carries self-loops (customer id == supplier id);
+    # a loop is uncolorable and the operator drops them too
+    eu = derived_edges_undirected(spark, sf).where(
+        (F.col("src") % 5 == 0) & (F.col("dst") % 5 == 0)
+        & (F.col("src") != F.col("dst"))
+    ).localCheckpoint(eager=True)
+    col = spectral_coloring(eu).localCheckpoint(eager=True)
+    cu = col.select(F.col("id").alias("src"), F.col("color").alias("cu"))
+    cv = col.select(F.col("id").alias("dst"), F.col("color").alias("cv"))
+    mono = (
+        eu.join(cu, "src").join(cv, "dst")
+        .where(F.col("cu") == F.col("cv"))
+        .count()
+    )
+    n_nodes = eu.select("src").distinct().count()
+    covered = col.count() == n_nodes
+    n_colors = col.select("color").distinct().count()
+    return spark.createDataFrame(
+        [(mono == 0, bool(covered), n_colors >= 2)],
+        "valid BOOLEAN, covers_all BOOLEAN, multiple_colors BOOLEAN",
+    )
+
+
+Q148_SQL = (
+    "SELECT TRUE AS valid, TRUE AS covers_all, TRUE AS multiple_colors"
+)
+
+
+# q149 — approximate average local clustering (globals.pyx:109,
+# Schank-Wagner sampling) certificate: the hash-seeded sampler is
+# deterministic but not SQL-reproducible; the invariant is agreement
+# with the exact average within 3x the stated error plus range bounds.
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.catalog import derived_canonical_edges, derived_triangle_kernel
+    from icebug_spark.operators.stats import approx_avg_local_clustering
+    from icebug_spark.operators.triangles import local_clustering_coefficient
+
+    eu = derived_edges_undirected(spark, sf)
+    exact = (
+        local_clustering_coefficient(
+            eu,
+            canon=derived_canonical_edges(spark, sf),
+            kernel=derived_triangle_kernel(spark, sf),
+        )
+        .agg(F.avg("lcc"))
+        .collect()[0][0]
+    )
+    approx = approx_avg_local_clustering(eu, trials=4000).collect()[0]["avg_cc"]
+    return spark.createDataFrame(
+        [
+            (
+                0.0 <= approx <= 1.0,
+                abs(approx - float(exact)) <= 0.05,
+            )
+        ],
+        "in_range BOOLEAN, near_exact BOOLEAN",
+    )
+
+
+Q149_SQL = "SELECT TRUE AS in_range, TRUE AS near_exact"
+
+
 STRUCTURAL = {
     "q38_scc": (q38, Q38_SQL),
     "q39_msf_summary": (q39, Q39_SQL),
@@ -281,4 +378,7 @@ STRUCTURAL = {
     "q41_matching_summary": (q41, Q41_SQL),
     "q111_planarity_check": (q111, Q111_SQL),
     "q113_maxent_layout": (q113, Q113_SQL),
+    "q147_gini_degrees": (q147, Q147_SQL),
+    "q148_spectral_coloring": (q148, Q148_SQL),
+    "q149_approx_clustering": (q149, Q149_SQL),
 }
