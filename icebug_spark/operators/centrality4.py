@@ -602,17 +602,16 @@ def gedwalk_group(
     ).distinct().localCheckpoint(eager=True)
 
     nodes = eu.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
-    deg = eu.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
-    pool_df = (
-        deg.orderBy(F.desc("d"), F.asc("id"))
-        .limit(pool_size or max(3 * k, 12))
+    deg = (
+        eu.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
         .localCheckpoint(eager=True)
     )
     if alpha is None:
         # reference default (GedWalk.cpp:122, GEOMETRIC bound strategy):
         # alpha = 1 / (1 + max in-degree) keeps the geometric walk
-        # series summable; pool_df already holds the max degree
-        max_d = pool_df.agg(F.max("d")).collect()[0][0] or 1
+        # series summable
+        max_d = deg.agg(F.max("d")).collect()[0][0] or 1
         alpha = 1.0 / (1.0 + float(max_d))
 
     # M_ℓ(S) for the current group, starting with S=∅ (full-graph
@@ -629,10 +628,34 @@ def gedwalk_group(
         )
         a *= alpha
         terms.append((a, y))
-    allt = terms[0][1].select((F.lit(terms[0][0]) * F.col("t")).alias("m"))
+    allt = terms[0][1].select(
+        "id", (F.lit(terms[0][0]) * F.col("t")).alias("m")
+    )
     for a, y in terms[1:]:
-        allt = allt.unionByName(y.select((F.lit(a) * F.col("t")).alias("m")))
-    prev_miss = float(allt.agg(F.sum("m")).collect()[0][0] or 0.0)
+        allt = allt.unionByName(
+            y.select("id", (F.lit(a) * F.col("t")).alias("m"))
+        )
+    # per-node linear walk mass s(v) = Σ α^ℓ (A^ℓ1)_v: feeds BOTH the
+    # Σ-total M_*(∅) and the proxy half of the candidate pool below
+    walk_score = allt.groupBy("id").agg(F.sum("m").alias("s")).localCheckpoint(
+        eager=True
+    )
+    prev_miss = float(walk_score.agg(F.sum("s")).collect()[0][0] or 0.0)
+
+    # candidate pool = top-P by degree ∪ top-P by the linear proxy score
+    # (the proxy plays the role of the reference's bound-based pruning,
+    # GedWalk.cpp estimateGains; the degree half guards graphs where walk
+    # mass concentrates away from high-degree nodes)
+    p_sz = pool_size or max(3 * k, 12)
+    pool_deg = deg.orderBy(F.desc("d"), F.asc("id")).limit(p_sz)
+    pool_proxy = (
+        deg.join(walk_score, "id", "left")
+        .na.fill({"s": 0.0})
+        .orderBy(F.desc("s"), F.desc("d"), F.asc("id"))
+        .limit(p_sz)
+        .select("id", "d")
+    )
+    pool_df = pool_deg.union(pool_proxy).distinct().localCheckpoint(eager=True)
 
     selected: list[tuple[int, int, float]] = []
     group: list[int] = []

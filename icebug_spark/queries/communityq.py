@@ -168,7 +168,10 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
     Oracle expects (TRUE, TRUE, TRUE)."""
     eu = _eu(spark, sf).localCheckpoint(eager=True)
     nodes = _nodes(eu)
-    part = community.louvain(eu, levels=1, move_rounds=8).localCheckpoint(eager=True)
+    # move_rounds=4: measured identical modularity to 8 rounds at sf0.01
+    # (the block-colored sweep converges by round 4 on this graph) —
+    # the extra rounds were pure checkpoint+eval job overhead
+    part = community.louvain(eu, levels=1, move_rounds=4).localCheckpoint(eager=True)
     n_nodes = nodes.count()
     n_assigned = part.select("id").distinct().count()
     valid = part.count() == n_assigned == n_nodes

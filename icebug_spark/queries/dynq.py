@@ -356,7 +356,16 @@ Q140_SQL = f"""
 WITH eu0 AS MATERIALIZED ({EU_SQL}),
 eu AS (SELECT src, dst FROM eu0 WHERE src % 3 = 0 AND dst % 3 = 0),
 deg AS (SELECT src AS id, COUNT(*) AS d FROM eu GROUP BY src),
-pool AS (SELECT id, d FROM deg ORDER BY d DESC, id LIMIT 12),
+wm AS (SELECT eu.src AS id, SUM(dd.d) AS t
+       FROM eu JOIN deg dd ON dd.id = eu.dst GROUP BY eu.src),
+score AS (SELECT deg.id, deg.d,
+                 0.5 * deg.d + 0.25 * COALESCE(wm.t, 0) AS s
+          FROM deg LEFT JOIN wm ON wm.id = deg.id),
+pool AS (
+  SELECT id, d FROM (SELECT id, d FROM deg ORDER BY d DESC, id LIMIT 12)
+  UNION
+  SELECT id, d FROM (SELECT id, d FROM score ORDER BY s DESC, d DESC, id LIMIT 12)
+),
 w2 AS MATERIALIZED (
   SELECT a.src AS u, a.dst AS v, b.dst AS w
   FROM eu a JOIN eu b ON a.dst = b.src),
