@@ -121,6 +121,28 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    # Pre-build the session-memoized derived artifacts (E/EU/EW/C/
+    # triangle kernel) BEFORE dispatching: in a real deployment these
+    # are persisted tables built once, and inside the sweep they
+    # amortize across ~170 queries anyway — without the warmup their
+    # build cost lands on whichever prefix query happens to run first
+    # at jobs=3, which is attribution noise in the per-query budget
+    # flags (observed: the same sweep flips between 1 and 6 over-budget
+    # queries purely by cold-build placement).
+    from icebug_spark.catalog import (
+        derived_canonical_edges,
+        derived_edges_undirected,
+        derived_triangle_kernel,
+        derived_weighted_edges,
+    )
+
+    t_warm = time.time()
+    derived_edges_undirected(spark, sf_dir).count()
+    derived_weighted_edges(spark, sf_dir).count()
+    derived_canonical_edges(spark, sf_dir).count()
+    derived_triangle_kernel(spark, sf_dir)
+    _log(f"derived-artifact warmup: {time.time() - t_warm:.1f}s")
+
     todo = [(n, fs) for n, fs in ALL.items() if not only or n in only]
     t_start = time.time()
     results: dict[str, dict] = {}
