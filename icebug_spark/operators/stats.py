@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import math
 
-import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -148,36 +147,37 @@ def spectral_coloring(
     negative ones open a new class. Returns (id, color) — a valid
     (independent-set) coloring.
 
-    The reference computes the full dense spectrum driver-side
-    (``adjacencyEigenvectors`` → scipy eigh); this mirrors that behind a
-    guarded collect — for graphs past ``max_nodes`` use the distributed
-    ``numerics2.greedy_coloring`` instead (the guard says so)."""
+    The reference computes the dense spectrum driver-side
+    (``adjacencyEigenvectors`` → ``symmetricEigenvectors``,
+    ``algebraic.py:140``: eigenpairs sorted ASCENDING by algebraic
+    eigenvalue); this mirrors that via :mod:`spectrum` behind a guarded
+    collect — for graphs past ``max_nodes`` use the distributed
+    ``numerics2.greedy_coloring`` instead (the guard says so).
+
+    Documented divergence: the reference's ``cutoff=-1`` asks ARPACK
+    for only n−2 pairs, silently dropping the two algebraically-
+    SMALLEST eigenvectors — exactly the ones whose sign pattern splits
+    near-bipartite classes (on C4 the reference's depth-0 vector is a
+    null-space vector and the recursion can degenerate). We keep the
+    full ascending spectrum, so depth 0 is the most-negative
+    eigenvalue's vector — same recursion, strictly better-conditioned
+    split order."""
+    from icebug_spark.operators.spectrum import dense_adjacency, symmetric_eigenpairs
+
     eu = edges_undirected.select("src", "dst")
     spark = eu.sparkSession
-    nodes = sorted(
-        r["id"]
-        for r in eu.select(F.col("src").alias("id"))
-        .union(eu.select(F.col("dst").alias("id")))
-        .distinct()
-        .collect()
-    ) if eu.limit(1).count() else []
-    if len(nodes) > max_nodes:
+    try:
+        nodes, a = dense_adjacency(eu, max_nodes=max_nodes)
+    except ValueError as e:
         raise ValueError(
-            f"spectral_coloring collects the dense adjacency ({len(nodes)} nodes "
-            f"> max_nodes={max_nodes}); use numerics2.greedy_coloring for the "
+            f"spectral_coloring: {e}; use numerics2.greedy_coloring for the "
             "distributed path"
-        )
+        ) from None
     if not nodes:
         return spark.createDataFrame([], "id BIGINT, color LONG")
-    idx = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
-    a = np.zeros((n, n))
-    for r in eu.collect():
-        i, j = idx[r["src"]], idx[r["dst"]]
-        a[i, j] = a[j, i] = 1.0
-    vals, vecs = np.linalg.eigh(a)
-    # reference order (algebraic.py:287): descending eigenvalue MAGNITUDE
-    vecs = vecs[:, np.argsort(-np.abs(vals))]
+    # ascending algebraic order (the reference's real ordering)
+    vals, vecs = symmetric_eigenpairs(a, cutoff=-1, reverse=False)
     colors: dict[int, set[int]] = {0: set(range(n))}
     next_color = [1]
 
