@@ -127,6 +127,11 @@ def _guess_line_format(path: str) -> str:
             snap = False
         if comment and line.startswith(comment):
             continue
+        # the reference skips a trailing blank line once all n node lines
+        # are counted (graphio.pyx:1252) — without this a METIS file
+        # ending in "\n" counts n+2 noncomment lines and fails detection
+        if line == "\n" and n is not None and noncomment == n + 1:
+            continue
         mm = re.search(r"^(\d+)\s(\d+)", line)
         if mm:
             min_id = min(min_id, int(mm.group(1)), int(mm.group(2)))

@@ -20,9 +20,14 @@ these formats live outside the C++ ``io/`` module, which is why SURVEY
   semantics follow ``graphio.pyx`` ``parseDynamics`` (:1840-1905).
   Documented divergence: the reference's ``mapDynamicNodes``
   (``graphio.pyx:1998``) rewrites any event whose ``u`` matches a
-  remapped node — including edge events, whose ``v``/``w`` it zeroes;
-  we map node ids cleanly in a second pass instead (identical output
-  whenever GEXF ids are already 0..n-1, the shape Gephi emits).
+  remapped node — including edge events, whose ``v``/``w`` it ZEROES.
+  When node ids parse as ints covering 0..n-1 (the shape Gephi emits)
+  we use them directly — identical to the reference exactly when its
+  remap is the identity (initial nodes in id order AND dynamic nodes
+  first-added in increasing id order; the pinning test
+  ``test_gexf_out_of_order_ids_divergence`` documents the reference's
+  zeroed output on the out-of-order case). Other id universes get a
+  clean dense remap (doc order, then first-addition order).
 
 Like readers3, these are convert-once ingest formats: the XML walk is
 driver-side, the edge array lands in Spark via Arrow, and a 100 TB
@@ -70,6 +75,17 @@ _GML_TYPES = {
     "string": ("string", str),
 }
 
+# declared GraphML type → pandas NULLABLE dtype, so elements missing a
+# declared attribute keep the declared type (a plain list with Nones
+# would silently become float64/object, and an all-None column fails
+# Spark schema inference)
+_PD_DTYPES = {
+    "long": "Int64",
+    "double": "Float64",
+    "boolean": "boolean",
+    "string": "string",
+}
+
 
 def read_graphml(spark: SparkSession, path: str) -> Graph:
     """GraphMLReader (``graphio.pyx:2295``; SAX semantics ``:2179``):
@@ -99,6 +115,9 @@ def read_graphml(spark: SparkSession, path: str) -> Graph:
     mapping: dict[str, int] = {}
     node_attrs: dict[str, list] = {name: [] for kid, (kf, name, _, _) in keys.items() if kf == "node"}
     edge_attrs: dict[str, list] = {name: [] for kid, (kf, name, _, _) in keys.items() if kf == "edge"}
+    attr_sqltype = {
+        (kf, name): sqlt for kid, (kf, name, sqlt, _) in keys.items()
+    }
     src, dst, wts = [], [], []
     for el in graph.iter():
         t = _tag(el)
@@ -125,7 +144,7 @@ def read_graphml(spark: SparkSession, path: str) -> Graph:
     if weighted:
         edata["weight"] = np.asarray(wts, dtype=np.float64)
     for name, vals in edge_attrs.items():
-        edata[name] = vals
+        edata[name] = pd.array(vals, dtype=_PD_DTYPES[attr_sqltype[("edge", name)]])
     eschema = "src BIGINT, dst BIGINT" + (", weight DOUBLE" if weighted else "")
     edges = (
         spark.createDataFrame([], eschema)
@@ -136,7 +155,7 @@ def read_graphml(spark: SparkSession, path: str) -> Graph:
     if mapping:
         vdata = {"id": np.arange(len(mapping), dtype=np.int64)}
         for name, vals in node_attrs.items():
-            vdata[name] = vals
+            vdata[name] = pd.array(vals, dtype=_PD_DTYPES[attr_sqltype[("node", name)]])
         vertices = spark.createDataFrame(pd.DataFrame(vdata))
     return Graph(edges, vertices=vertices, directed=directed, weighted=weighted)
 
@@ -352,23 +371,62 @@ def read_gexf(spark: SparkSession, path: str) -> tuple[Graph, DataFrame]:
         else:
             init_edges.append((u, v, w))
 
-    # node id mapping: initial nodes in document order, then dynamic
-    # nodes by first-addition time (clean version of mapDynamicNodes,
-    # graphio.pyx:1998 — see module docstring for the divergence note)
-    mapping: dict[str, int] = {u: i for i, u in enumerate(init_nodes)}
+    # node id mapping (reference: 2-way map + mapDynamicNodes rewrite,
+    # graphio.pyx:1781,1998). Two modes:
+    # 1. every declared node id parses under the reference restriction
+    #    (int or 'n'-prefixed int, graphio.pyx:1768) and the parsed ids
+    #    are exactly 0..n_total-1 → use the ids DIRECTLY. This equals
+    #    the reference's output whenever its remap is the identity
+    #    (initial nodes in id order, dynamic nodes first-added in
+    #    increasing id order); when additions are out of id order the
+    #    reference instead rewrites node events to addition-order ids
+    #    and ZEROES v/w of edge events whose u matches a remapped node
+    #    (graphio.pyx:1995) — a lossy quirk we do not reproduce
+    #    (pinned: test_readers45.test_gexf_out_of_order_ids_divergence).
+    # 2. otherwise → clean dense remap: initial nodes in document
+    #    order, dynamic nodes by first-addition time, never-declared
+    #    edge endpoints by first appearance (the reference KeyErrors on
+    #    those).
     raw.sort(key=lambda r: r[0])
-    for r in raw:
-        if r[1] == "an" and r[2] not in mapping:
-            mapping[r[2]] = len(mapping)
 
-    def mid(s: str) -> int:
-        if s in mapping:
-            return mapping[s]
-        # reference restriction: int or 'n'-prefixed int
+    def _try_int(s):
         try:
             return int(s)
-        except ValueError:
-            return int(s[1:])
+        except (ValueError, TypeError):
+            try:
+                return int(s[1:])
+            except (ValueError, TypeError, IndexError):
+                return None
+
+    declared: dict[str, None] = dict.fromkeys(init_nodes)
+    for r in raw:
+        if r[1][1] == "n":
+            declared.setdefault(r[2])
+    ints = [_try_int(s) for s in declared]
+    id_mapped = bool(declared) and all(i is not None for i in ints) and sorted(
+        ints
+    ) == list(range(len(declared)))
+    if id_mapped:
+        mapping: dict[str, int] = dict(zip(declared, ints))
+    else:
+        mapping = {u: i for i, u in enumerate(init_nodes)}
+        for r in raw:
+            if r[1] == "an" and r[2] not in mapping:
+                mapping[r[2]] = len(mapping)
+
+    def mid(s: str) -> int:
+        if s not in mapping:
+            # endpoint never declared as a <node> (the reference
+            # KeyErrors): id-mapped files keep the reference int
+            # restriction, dense-remapped files get a fresh dense id —
+            # never a mix of the two schemes
+            i = _try_int(s) if id_mapped else None
+            mapping[s] = (
+                i
+                if i is not None and i not in set(mapping.values())
+                else max(mapping.values(), default=-1) + 1
+            )
+        return mapping[s]
 
     _CODES = {
         "an": "NODE_ADDITION",

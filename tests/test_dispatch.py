@@ -72,3 +72,11 @@ def test_unknown_format_raises(spark, tmp_path):
         dispatch.guess_file_format(str(p))
     with pytest.raises(ValueError):
         dispatch.read_graph(spark, str(p), fmt="NoSuch")
+
+
+def test_guess_metis_trailing_blank_line(spark, tmp_path):
+    """graphio.pyx:1252: one trailing blank line after the n node lines
+    is skipped, so detection still sees n+1 noncomment lines."""
+    p = tmp_path / "t.metis"
+    p.write_text("3 2\n2 3\n1\n1\n\n")
+    assert dispatch.guess_file_format(str(p)) == "METIS"

@@ -288,3 +288,113 @@ def test_rb_reader_external_fixture(spark, tmp_path):
     g = readers5.read_rb(spark, str(p))
     assert not g.directed and not g.weighted
     assert _pairs(g) == [(0, 1), (0, 2), (1, 2)]
+
+
+# -- round-8 pinning tests (ADVICE r07) ---------------------------------------
+
+
+def test_graphml_missing_typed_attrs_keep_declared_types(spark, tmp_path):
+    """Elements missing a declared int/boolean attribute must keep the
+    DECLARED Spark type via pandas nullable dtypes (a plain None in a
+    list would become float64/object); an all-absent column still
+    infers (graphio.pyx:2295 reader, typed-attribute extension)."""
+    xml = textwrap.dedent("""\
+        <?xml version="1.0" encoding="UTF-8"?>
+        <graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+          <key id="d2" for="node" attr.name="rank" attr.type="int"/>
+          <key id="d3" for="edge" attr.name="flag" attr.type="boolean"/>
+          <key id="d4" for="node" attr.name="label" attr.type="string"/>
+          <graph edgedefault="undirected">
+            <node id="a"><data key="d2">7</data></node>
+            <node id="b"/>
+            <node id="c"><data key="d2">9</data></node>
+            <edge source="a" target="b"><data key="d3">true</data></edge>
+            <edge source="b" target="c"/>
+          </graph>
+        </graphml>
+    """)
+    p = tmp_path / "m.graphml"
+    p.write_text(xml)
+    g = readers4.read_graphml(spark, str(p))
+    vtypes = dict(g.vertices.dtypes)
+    assert vtypes["rank"] == "bigint"
+    assert vtypes["label"] == "string"  # all-absent column still typed
+    assert dict(g.edges.dtypes)["flag"] == "boolean"
+    ranks = {r["id"]: r["rank"] for r in g.vertices.collect()}
+    assert ranks == {0: 7, 1: None, 2: 9}
+    flags = sorted(
+        (r["src"], r["dst"], r["flag"]) for r in g.edges.collect()
+    )
+    assert flags == [(0, 1, True), (1, 2, None)]
+
+
+def test_gexf_noncontiguous_ids_clean_remap(spark, tmp_path):
+    """Non-0..n-1 GEXF ids → the clean dense remap: initial nodes in
+    document order, dynamic nodes by first-addition time. The reference
+    can't represent this file faithfully at all (its int(u) 2-way map +
+    mapDynamicNodes rewrite assume 0..n-1)."""
+    xml = textwrap.dedent("""\
+        <?xml version="1.0" encoding="UTF-8"?>
+        <gexf version="1.2">
+          <graph defaultedgetype="undirected" mode="dynamic" timeformat="double">
+            <nodes>
+              <node id="20"/>
+              <node id="10"/>
+              <node id="30"><spells><spell start="1.0"/></spells></node>
+            </nodes>
+            <edges>
+              <edge id="0" source="20" target="10"/>
+              <edge id="1" source="10" target="30"><spells><spell start="1.0"/></spells></edge>
+            </edges>
+          </graph>
+        </gexf>
+    """)
+    p = tmp_path / "nc.gexf"
+    p.write_text(xml)
+    g, ev = readers4.read_gexf(spark, str(p))
+    # doc order: 20->0, 10->1; dynamic 30->2
+    assert sorted(r["id"] for r in g.vertices.collect()) == [0, 1]
+    assert _pairs(g) == [(0, 1)]
+    rows = [tuple(r)[1:] for r in ev.orderBy("seq").collect()]
+    assert rows == [
+        ("NODE_ADDITION", 2, 0, 0.0),
+        ("EDGE_ADDITION", 1, 2, 1.0),
+    ]
+
+
+def test_gexf_out_of_order_ids_divergence(spark, tmp_path):
+    """DOCUMENTED DIVERGENCE PIN (graphio.pyx:1995): ids are 0..3 so we
+    map them directly, but node 3 is added BEFORE node 2. The
+    reference's mapDynamicNodes would relabel by addition order
+    (3->2, 2->3) and rewrite every later event with a matching u to
+    GraphEvent(type, newid, 0, 0) — ZEROING v/w of the (3,1) edge
+    addition into (2, 0, 0.0). We keep the declared ids and the intact
+    edge event instead."""
+    xml = textwrap.dedent("""\
+        <?xml version="1.0" encoding="UTF-8"?>
+        <gexf version="1.2">
+          <graph defaultedgetype="undirected" mode="dynamic" timeformat="double">
+            <nodes>
+              <node id="0"/>
+              <node id="1"/>
+              <node id="2"><spells><spell start="2.0"/></spells></node>
+              <node id="3"><spells><spell start="1.0"/></spells></node>
+            </nodes>
+            <edges>
+              <edge id="0" source="0" target="1"/>
+              <edge id="1" source="3" target="1"><spells><spell start="2.0"/></spells></edge>
+            </edges>
+          </graph>
+        </gexf>
+    """)
+    p = tmp_path / "oo.gexf"
+    p.write_text(xml)
+    g, ev = readers4.read_gexf(spark, str(p))
+    assert _pairs(g) == [(0, 1)]
+    rows = [tuple(r)[1:] for r in ev.orderBy("seq").collect()]
+    assert rows == [
+        ("NODE_ADDITION", 3, 0, 0.0),          # reference: u rewritten to 2
+        ("TIME_STEP", 0, 0, 0.0),
+        ("NODE_ADDITION", 2, 0, 0.0),          # reference: u rewritten to 3
+        ("EDGE_ADDITION", 3, 1, 1.0),          # reference: (2, 0, 0.0) — zeroed
+    ]
