@@ -57,6 +57,28 @@ def main() -> None:
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
+    # Build the session-memoized shared derived artifacts (E/EU/EW/C +
+    # oriented triangle kernel) ONCE, as an explicit line item — in a
+    # real deployment these are persisted tables every analysis reads;
+    # charging their one-time build to whichever graph query happens to
+    # run first (q18/q24) is attribution noise, not query cost. Same
+    # pre-build as tools/check_oracle.py. The build time stays part of
+    # the reported total.
+    from icebug_spark.catalog import (  # noqa: E402
+        derived_canonical_edges,
+        derived_edges_undirected,
+        derived_triangle_kernel,
+        derived_weighted_edges,
+    )
+
+    t0 = time.time()
+    derived_edges_undirected(spark, sf_dir).count()
+    derived_weighted_edges(spark, sf_dir).count()
+    derived_canonical_edges(spark, sf_dir).count()
+    derived_triangle_kernel(spark, sf_dir)
+    artifact_build = round(time.time() - t0, 3)
+    print(f"# artifact_build: {artifact_build}s", file=sys.stderr)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = BENCH_OVERRIDES.get(name) or ALL[name][0]
@@ -66,13 +88,14 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
-    total = round(sum(times.values()), 3)
+    total = round(sum(times.values()) + artifact_build, 3)
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_time_total",
                 "value": total,
                 "unit": "sec",
+                "artifact_build": artifact_build,
                 "queries": times,
                 "sf": sf,
             }
