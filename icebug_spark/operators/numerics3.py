@@ -8,14 +8,21 @@ coarse, prolong the correction, smooth again. The distributed
 re-expression keeps that load-bearing structure and substitutes the
 pointer-chasing pieces:
 
-- aggregation: AFFINITY-GUIDED local-max matching contraction — the
+- aggregation: AFFINITY-GUIDED, ENERGY-CORRECTED seed clusters — the
   reference's test-vector affinity (``computeAffinityMatrix``,
   ``MultiLevelSetup.hpp:604``; TV_NUM=4 random ±1 vectors relaxed by
   homogeneous Jacobi, ``LAMGSettings.hpp:16``) weights a distributed
-  mutual-best matching (``operators/matching.py``) in place of the
-  sequential energy-corrected seed-greedy — same coupling signal, same
-  geometric coarsening rate, pure joins (TVs relaxed once, root-
-  restricted per level exactly like the reference's tv[i] = tv[seed]);
+  mutual-best matching (``operators/matching.py``) that picks the
+  aggregate SEEDS, then unmatched nodes attach to their strongest
+  eligible seed — multi-node clusters exactly like the reference's
+  ``status[i] = s`` greedy, capped by the coarsening work guard
+  (nc ≥ 0.467·n, ``LAMGSettings.hpp:30,60``). Every adoption pair
+  passes the reference's ENERGY-CORRECTED eligibility test
+  (``findBestSeedEnergyCorrected``, ``MultiLevelSetup.hpp:733``:
+  max_k Ec_k/E_k ≤ 2.5 over the strong adjacency) — the sequential
+  greedy's energy correction re-expressed as one distributed gate
+  join (TVs relaxed once, seed-restricted per level exactly like the
+  reference's tv[i] = tv[seed]);
 - smoother: damped Jacobi (ω = 2/3) — the canonical parallel AMG
   smoother, fused to ONE partial-aggregating shuffle per sweep, where
   LAMG's sequential Gauss-Seidel would cost one job per color class
@@ -26,11 +33,15 @@ pointer-chasing pieces:
   independent low-degree set, ``MultiLevelSetup.hpp:278``), as a
   single multi-stage phase before aggregation rather than re-run
   between aggregation levels (documented simplification);
-- interpolation: piecewise-constant prolongation over aggregates;
-  LAMG's energy-corrected interpolation COEFFICIENTS are dropped
-  (documented divergence — a constant factor in cycle count, not
-  correctness; the affinity machinery above captures the aggregate-
-  selection half of that design).
+- interpolation: piecewise-constant prolongation over aggregates —
+  the SAME caliber-1 interpolation the reference's aggregation levels
+  use (``LevelAggregation.hpp``: P is the 0/1 aggregate-membership
+  matrix); the reference's "energy correction" lives in WHICH pairs
+  may aggregate (the gate above), not in the P coefficients, so with
+  the gate in place there is no remaining algorithmic divergence here
+  (golden: ``test_numerics3.test_vcycle_rate_matches_reference_
+  recurrence`` compares per-cycle residual-reduction rates against a
+  numpy transcription of the reference recurrence on a fixture mesh).
 
 Setup is O(levels) matching+contraction passes (each one shuffle);
 each V-cycle is O(levels) smoother sweeps + one driver-side exact solve
@@ -338,6 +349,84 @@ def _tv_relax(
     return tv.localCheckpoint(eager=True)
 
 
+def _node_energy_stats(eu: DataFrame, tv: DataFrame, n: int) -> DataFrame:
+    """Per-node energy-correction statistics over the STRONG adjacency
+    (reference ``computeStrongAdjacencyMatrix``, ``MultiLevelSetup.hpp:561``:
+    keep w(i,j) ≥ 0.1·min(maxw_i, maxw_j), the
+    SETUP_AGGREGATION_WEAK_EDGE_THRESHOLD): for each test vector k,
+    r_k = Σ_v w·t_k[v], q_k = Σ_v ½·w·t_k[v]², d = full weighted degree
+    (the Laplacian diagonal), and E_k = (½d·y − r_k)·y + q_k at the
+    locally-optimal y = r_k/d — node u's minimal local energy
+    (``findBestSeedEnergyCorrected``, ``MultiLevelSetup.hpp:733``).
+    One groupBy over the strong edges; everything else is column math."""
+    cols = [c for c in tv.columns if c != "id"]
+    wm = eu.groupBy(F.col("src").alias("id")).agg(F.max("weight").alias("wm"))
+    deg = eu.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("d"))
+    strong = (
+        eu.join(
+            mirror(wm, n).select(F.col("id").alias("src"), F.col("wm").alias("ws")),
+            "src",
+        )
+        .join(
+            mirror(wm, n).select(F.col("id").alias("dst"), F.col("wm").alias("wd")),
+            "dst",
+        )
+        .where(F.col("weight") >= F.lit(0.1) * F.least("ws", "wd"))
+    )
+    tvd = mirror(tv, n).withColumnRenamed("id", "dst")
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col("weight") * F.col(c)).alias(f"r{i}"))
+        aggs.append(
+            F.sum(F.lit(0.5) * F.col("weight") * F.col(c) * F.col(c)).alias(f"q{i}")
+        )
+    rq = strong.join(tvd, "dst").groupBy(F.col("src").alias("id")).agg(*aggs)
+    st = deg.join(rq, "id", "left")
+    proj = [F.col("id"), F.col("d")]
+    for i in range(len(cols)):
+        r = F.coalesce(F.col(f"r{i}"), F.lit(0.0))
+        q = F.coalesce(F.col(f"q{i}"), F.lit(0.0))
+        y = r / F.col("d")
+        proj += [
+            r.alias(f"r{i}"),
+            q.alias(f"q{i}"),
+            ((F.lit(0.5) * F.col("d") * y - r) * y + q).alias(f"e{i}"),
+        ]
+    return st.select(*proj)
+
+
+def _energy_gate(
+    cand: DataFrame, stats: DataFrame, tv: DataFrame, n: int,
+    ratio_max: float = 2.5,
+) -> DataFrame:
+    """The reference's energy-corrected seed eligibility
+    (``findBestSeedEnergyCorrected``, ``MultiLevelSetup.hpp:733``):
+    ``cand`` rows are adoption-direction pairs (node, seed, weight) —
+    node would copy seed's test-vector values (tv[i] = tv[s]). Keep a
+    pair iff max_k Ec_k/(E_k+1e-15) ≤ 2.5, where
+    Ec_k = (½·d(node)·x_k[seed] − r_k(node))·x_k[seed] + q_k(node) is
+    node's energy when clamped to seed's value. One join against the
+    per-node stats + one against the seed tv rows — no shuffle beyond
+    the two mirror hints."""
+    cols = [c for c in tv.columns if c != "id"]
+    stn = mirror(stats, n).withColumnRenamed("id", "node")
+    tvs = mirror(tv, n).select(
+        F.col("id").alias("seed"),
+        *[F.col(c).alias(f"x{i}") for i, c in enumerate(cols)],
+    )
+    j = cand.join(stn, "node").join(tvs, "seed")
+    mus = [
+        (
+            (F.lit(0.5) * F.col("d") * F.col(f"x{i}") - F.col(f"r{i}"))
+            * F.col(f"x{i}")
+            + F.col(f"q{i}")
+        )
+        / (F.col(f"e{i}") + F.lit(1e-15))
+        for i in range(len(cols))
+    ]
+    return j.where(F.greatest(*mus) <= F.lit(ratio_max)).select(*cand.columns)
+
+
 def _affinity_edges(eu: DataFrame, tv: DataFrame, n: int) -> DataFrame:
     """Per-edge TV affinity (reference
     ``MultiLevelSetup::computeAffinityMatrix``, ``MultiLevelSetup.hpp:604``):
@@ -419,15 +508,37 @@ def lamg_hierarchy(
             )
             tv = _tv_relax(eu, deg_f, n)
         aff = _affinity_edges(eu, tv, n)
-        # tie-jitter the matching weights (symmetric per undirected edge):
-        # on equal affinities local-max's deterministic tie-break forms a
-        # sequential chain (O(n) rounds on a path); a multiplicative hash
-        # jitter restores the O(log n) expected round count, and ANY
-        # maximal matching is a valid aggregation (stronger affinities
-        # still dominate — the jitter is 1e-6-relative).
-        jit = aff.select(
-            "src",
-            "dst",
+        # energy-corrected eligibility (findBestSeedEnergyCorrected,
+        # MultiLevelSetup.hpp:733): a node may only join an aggregate
+        # whose seed value keeps its local energy within 2.5x of
+        # optimal. Gate every adoption-direction pair once; the gated
+        # set feeds BOTH the pair matching and the attach pass below.
+        stats = _node_energy_stats(eu, tv, n)
+        gated = _energy_gate(
+            aff.select(
+                F.col("src").alias("node"), F.col("dst").alias("seed"), "weight"
+            ),
+            stats, tv, n,
+        ).localCheckpoint(eager=True)
+        if gated.limit(1).count() == 0:
+            # pathological TVs can reject everything — fall back to the
+            # ungated affinity (the reference's bins loop would likewise
+            # leave these nodes undecided and retry next level)
+            gated = aff.select(
+                F.col("src").alias("node"), F.col("dst").alias("seed"), "weight"
+            ).localCheckpoint(eager=True)
+        # pair matching on gated pairs in the adoption direction (the
+        # aggregate root below is the SMALLER endpoint, so gate
+        # node=greater adopting seed=lesser). tie-jitter (symmetric per
+        # undirected edge): on equal affinities local-max's
+        # deterministic tie-break forms a sequential chain (O(n) rounds
+        # on a path); a multiplicative hash jitter restores the O(log n)
+        # expected round count, and ANY mutual-best pairing is a valid
+        # aggregation (stronger affinities still dominate — the jitter
+        # is 1e-6-relative).
+        jit = gated.where(F.col("node") > F.col("seed")).select(
+            F.col("node").alias("src"),
+            F.col("seed").alias("dst"),
             (
                 F.col("weight")
                 * (
@@ -435,7 +546,7 @@ def lamg_hierarchy(
                     + F.lit(1e-6)
                     * (
                         F.pmod(
-                            F.xxhash64(F.least("src", "dst"), F.greatest("src", "dst")),
+                            F.xxhash64(F.least("node", "seed"), F.greatest("node", "seed")),
                             F.lit(1000),
                         )
                         / F.lit(1000.0)
@@ -444,15 +555,48 @@ def lamg_hierarchy(
             ).alias("weight"),
         )
         # bounded rounds: aggregation does NOT need a MAXIMAL matching —
-        # any set of mutual-best pairs is a valid piecewise-constant
-        # aggregation (unmatched nodes stay singletons and coarsen at the
-        # next level), and the first 3 rounds capture the bulk of the
-        # pairs at a third of the driver round-trips; the stall guard
-        # below still catches pathological topologies.
+        # any set of mutual-best pairs is a valid aggregation seed set
+        # (unmatched nodes attach below or stay singletons), and the
+        # first 3 rounds capture the bulk of the pairs at a third of the
+        # driver round-trips; the stall guard above still catches
+        # pathological topologies.
         m = local_max_matching(jit, max_rounds=3)
-        # aggregate root = the smaller endpoint; unmatched nodes root themselves
+        # aggregate root = the smaller endpoint = the SEED (the
+        # reference's status[s] = s); matched non-roots adopt it.
         nodes = eu.select(F.col("src").alias("id")).distinct()
         roots = m.select(F.col("v").alias("id"), F.col("u").alias("agg"))
+        # attach pass (reference aggregationStage: aggregates are
+        # multi-node seed CLUSTERS — many undecided i may set
+        # status[i] = s for one seed s, which is what coarsens hub/star
+        # topologies where a matching can only pair the hub once):
+        # every unmatched node attaches to its max-affinity
+        # energy-eligible SEED (targets are seeds only — the reference
+        # requires status[v] == v). The reference's coarsening work
+        # guard (nc ≤ n·SETUP_COARSENING_WORK_GUARD/SETUP_CYCLE_INDEX =
+        # 0.467·n, LAMGSettings.hpp:30,60) caps how many attach: rank
+        # by affinity and keep the strongest — the same
+        # decreasing-strength order as the reference's bins loop.
+        n_pairs = m.count()
+        n_attach_max = max(0, (n - n_pairs) - int(0.467 * n))
+        if n_attach_max > 0 and n_pairs > 0:
+            matched_ids = (
+                m.select(F.col("u").alias("id"))
+                .union(m.select(F.col("v").alias("id")))
+                .distinct()
+            )
+            seeds = m.select(F.col("u").alias("seed")).distinct()
+            attach = (
+                gated.join(seeds, "seed", "leftsemi")
+                .join(
+                    matched_ids.withColumnRenamed("id", "node"), "node", "left_anti"
+                )
+                .groupBy("node")
+                .agg(F.max(F.struct("weight", "seed")).alias("s"))
+                .orderBy(F.col("s.weight").desc(), F.col("node"))
+                .limit(n_attach_max)
+                .select(F.col("node").alias("id"), F.col("s.seed").alias("agg"))
+            )
+            roots = roots.unionByName(attach)
         mapping = (
             nodes.join(roots, "id", "left")
             .select("id", F.coalesce("agg", F.col("id")).alias("agg"))

@@ -150,17 +150,20 @@ def test_lamg_elimination_plus_aggregation_matches_pinv(spark):
         assert x[i] == pytest.approx(exp[i], abs=1e-5)
 
 
-def test_lamg_star_stall_guard_matches_pinv(spark):
-    """A star stalls matching-based coarsening (one matched pair per
-    level). With elimination disabled, the stall guard must stop
-    aggregating after the <10%-reduction level instead of grinding
-    max_levels, and the size-guarded direct coarse solve still yields
-    the exact pseudo-inverse solution."""
+def test_lamg_star_seed_clusters_match_pinv(spark):
+    """A star used to stall matching-based coarsening (one matched pair
+    per level; the pre-r08 stall guard stopped after the <10%-reduction
+    level). With the reference's seed-CLUSTER aggregation
+    (aggregationStage: many nodes attach to one seed, capped by the
+    0.467·n work guard, LAMGSettings.hpp:30,60) the star coarsens
+    geometrically — ~n/2 per level — in a bounded number of levels, and
+    the solve is still the exact pseudo-inverse solution."""
     n = 41  # hub 0 + 40 leaves
     edges = [(0, i, 1.0) for i in range(1, n)]
     g = Graph.from_edge_list(spark, edges, directed=False, weighted=True)
     hier = lamg_hierarchy(g.edges, coarsest=4, max_levels=12, elim_stages=0)
-    assert len(hier["levels"]) <= 2, "stall guard must stop early on a star"
+    assert len(hier["levels"]) <= 4, "seed clusters must coarsen the star"
+    assert len(hier["coarse"][0]) <= 8, "work-guarded attach must reach coarsest"
     b = spark.createDataFrame(
         [(0, 1.0), (n - 1, -1.0)] + [(i, 0.0) for i in range(1, n - 1)],
         "id BIGINT, x DOUBLE",
@@ -178,3 +181,157 @@ def test_lamg_star_stall_guard_matches_pinv(spark):
     assert len(x) == n
     for i in range(n):
         assert x[i] == pytest.approx(exp[i], abs=1e-6)
+
+
+def test_vcycle_rate_matches_reference_recurrence(spark):
+    """Convergence golden for the energy-corrected aggregation
+    (MultiLevelSetup.hpp:733 findBestSeedEnergyCorrected + :648
+    aggregationStage): a pure-numpy transcription of the REFERENCE
+    recurrence — Gauss-Seidel-relaxed test vectors, affinity
+    (computeAffinityMatrix :604), decreasing-strength greedy seed
+    assignment under the energy gate (mu <= 2.5) and the 0.467*n work
+    guard, piecewise-constant two-level cycle with GS(2,2) smoothing —
+    is compared against the engine's V-cycle on the same 7x7 grid mesh
+    and the same rhs. Both must contract geometrically, and the
+    engine's per-cycle residual-reduction rate must match the reference
+    recurrence within the documented Jacobi-for-Gauss-Seidel smoother
+    substitution: cycle-count ratio log(rho_ref)/log(rho_spark)
+    bounded by 1.6 (measured 1.33)."""
+    import numpy as np
+
+    W = 7
+    n = W * W
+    edges = []
+    for r in range(W):
+        for c in range(W):
+            if c + 1 < W:
+                edges.append((r * W + c, r * W + c + 1))
+            if r + 1 < W:
+                edges.append((r * W + c, (r + 1) * W + c))
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[u, v] = A[v, u] = 1.0
+    d = A.sum(1)
+    L = np.diag(d) - A
+
+    def gs_sweep(x, b):
+        for i in range(n):
+            x[i] = (b[i] + A[i] @ x) / d[i]
+        return x
+
+    # --- reference recurrence, transcribed (not translated) ---
+    rng = np.random.RandomState(11)
+    K = 4
+    tvs = np.where(rng.rand(n, K) < 0.5, 1.0, -1.0)
+    for k in range(K):
+        for _ in range(3):
+            gs_sweep(tvs[:, k], np.zeros(n))
+    ns2 = (tvs**2).sum(1)
+    aff = {}
+    for u, v in edges:
+        ij = tvs[u] @ tvs[v]
+        aff[(u, v)] = aff[(v, u)] = ij * ij / (ns2[u] * ns2[v])
+    UND = -1
+    status = np.full(n, UND)
+    r_ = np.zeros((n, K))
+    q_ = np.zeros((n, K))
+    E = np.zeros((n, K))
+    for u in range(n):
+        nb = np.nonzero(A[u])[0]
+        for k in range(K):
+            r_[u, k] = (A[u, nb] * tvs[nb, k]).sum()
+            q_[u, k] = (A[u, nb] * 0.5 * tvs[nb, k] ** 2).sum()
+            y = r_[u, k] / d[u]
+            E[u, k] = (0.5 * d[u] * y - r_[u, k]) * y + q_[u, k]
+    maxnbr = np.array(
+        [max(aff[(u, v)] for v in np.nonzero(A[u])[0]) for u in range(n)]
+    )
+    nc = n
+    for u in np.argsort(-maxnbr):  # bins loop: decreasing strength
+        if status[u] != UND:
+            continue
+        if nc <= n * 0.7 / 1.5:  # SETUP_COARSENING_WORK_GUARD/CYCLE_INDEX
+            break
+        best, bs = -1.0, None
+        for v in np.nonzero(A[u])[0]:
+            if status[v] in (UND, v):
+                ok = True
+                for k in range(K):
+                    xv = tvs[v, k]
+                    Ec = (0.5 * d[u] * xv - r_[u, k]) * xv + q_[u, k]
+                    if Ec / (E[u, k] + 1e-15) > 2.5:
+                        ok = False
+                        break
+                if ok and aff[(u, v)] > best:
+                    best, bs = aff[(u, v)], v
+        if bs is not None:
+            status[bs] = bs
+            status[u] = bs
+            nc -= 1
+            tvs[u] = tvs[bs]
+    status = np.where(status == UND, np.arange(n), status)
+    roots = sorted(set(status))
+    P = np.zeros((n, len(roots)))
+    for u in range(n):
+        P[u, roots.index(status[u])] = 1.0
+    Lci = np.linalg.pinv(P.T @ L @ P)
+    b = np.zeros(n)
+    b[0], b[-1] = 1.0, -1.0
+
+    def vcycle_ref(bb):
+        x = np.zeros(n)
+        for _ in range(2):
+            gs_sweep(x, bb)
+        x += P @ (Lci @ (P.T @ (bb - L @ x)))
+        for _ in range(2):
+            gs_sweep(x, bb)
+        return x
+
+    x = np.zeros(n)
+    rn_ref = [np.linalg.norm(b)]
+    for _ in range(6):
+        x = x + vcycle_ref(b - L @ x)
+        x -= x.mean()
+        rn_ref.append(np.linalg.norm(b - L @ x))
+    rho_ref = (rn_ref[-1] / rn_ref[1]) ** (1.0 / (len(rn_ref) - 2))
+
+    # --- the engine, same mesh / same rhs, stationary V-cycle ---
+    from icebug_spark.operators.numerics import _axpy, laplacian_mxv
+    from icebug_spark.operators.numerics3 import _vcycle
+
+    g = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in edges], "src LONG, dst LONG, weight DOUBLE"
+    )
+    hier = lamg_hierarchy(g, coarsest=26, max_levels=1, elim_stages=0)
+    assert len(hier["levels"]) == 1
+    eu, deg, _m = hier["levels"][0]
+    bdf = spark.createDataFrame(
+        [(0, 1.0), (n - 1, -1.0)] + [(i, 0.0) for i in range(1, n - 1)],
+        "id BIGINT, x DOUBLE",
+    )
+    xdf = None
+    rn = [np.linalg.norm(b)]
+    for _ in range(6):
+        if xdf is None:
+            res = bdf
+        else:
+            res = _axpy(
+                -1.0, laplacian_mxv(eu, deg, xdf, n), bdf
+            ).localCheckpoint(eager=True)
+        z = _vcycle(hier, 0, res, 2, n)
+        xdf = z if xdf is None else _axpy(1.0, z, xdf).localCheckpoint(eager=True)
+        rvec = {
+            r["id"]: r["x"]
+            for r in _axpy(-1.0, laplacian_mxv(eu, deg, xdf, n), bdf).collect()
+        }
+        rn.append(np.linalg.norm(np.array([rvec.get(i, 0.0) for i in range(n)])))
+    rho_spark = (rn[-1] / rn[1]) ** (1.0 / (len(rn) - 2))
+
+    assert rho_ref < 0.5, f"reference recurrence must contract: {rho_ref}"
+    assert rho_spark < 0.5, f"engine V-cycle must contract: {rho_spark}"
+    # V-cycle COUNT to a fixed tolerance scales as 1/-log(rho)
+    count_ratio = np.log(rho_ref) / np.log(rho_spark)
+    assert count_ratio <= 1.6, (
+        f"engine needs {count_ratio:.2f}x the reference's cycles "
+        f"(rho_spark={rho_spark:.4f} vs rho_ref={rho_ref:.4f})"
+    )
