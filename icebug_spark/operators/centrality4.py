@@ -584,17 +584,36 @@ def gedwalk_group(
 
         gain(c | S) = Σ_ℓ α^ℓ (M_ℓ(S) − M_ℓ(S ∪ {c})),   M_ℓ(X) = 1ᵀA_{V∖X}^ℓ 1
 
-    — no total-walk term needed. Per greedy round ALL candidates'
-    avoid-masses are computed in ONE distributed pass with the candidate
-    id as an extra key column: state (c, id, t) starts at 1 for
-    id ∉ S∪{c} and each level is a single edges⋈state shuffle + filtered
-    aggregation (|pool|·|E| rows — the 1e9-edge shape; no per-candidate
-    driver loop, one 1-row collect per round for the argmax). The
-    candidate pool (top ``pool_size`` by degree, default max(3k, 12))
-    plays the role of the reference's bound-based pruning
-    (``GedWalk.cpp:estimateGains``). Greedy ties break (gain DESC,
-    deg DESC, id ASC). → (rank, id, gain), gain = true marginal gain,
-    6dp."""
+    — no total-walk term needed. Per greedy round a batch of
+    candidates' avoid-masses is computed in ONE distributed pass with
+    the candidate id as an extra key column: state (c, id, t) starts at
+    1 for id ∉ S∪{c} and each level is a single edges⋈state shuffle +
+    filtered aggregation (|batch|·|E| rows — the 1e9-edge shape; no
+    per-candidate driver loop, one 1-row collect per round for the
+    argmax).
+
+    Pruning is CONSERVATIVE via the reference's bound queue
+    (``GedWalk.cpp:estimateGains`` — there the product-sum walk
+    estimate Σ_m paths[ℓ−m][u]·paths[m][u] plus a geometric tail; the
+    objective here is already truncated at ``depth`` so the tail term
+    is zero and the bound is the product sum itself):
+
+        bound(u) = Σ_{ℓ=1..depth} α^ℓ Σ_{m=0..ℓ} p_{ℓ−m}(u)·p_m(u),
+        p_m(u) = (Aᵐ·1)_u
+
+    counts every (prefix, suffix) split of a length-ℓ walk at u — i.e.
+    each walk once per VISIT of u — so bound(u) ≥ gain(u | ∅), and the
+    touch objective is monotone submodular (weighted walk coverage), so
+    gain(u | S) ≤ gain(u | ∅) ≤ bound(u) for every S. The lazy greedy
+    evaluates the top-``pool_size`` batch by bound exactly and accepts
+    the batch argmax only when its TRUE gain strictly exceeds the next
+    unevaluated bound — otherwise the batch grows 4× and re-evaluates
+    (termination: a batch covering all nodes has no next bound). A
+    pruned node therefore provably cannot beat the selected one.
+    ``pool_size`` only sets the initial batch (default max(3k, 12)) —
+    it no longer caps what the greedy can see. Greedy ties break
+    (gain DESC, deg DESC, id ASC). → (rank, id, gain), gain = true
+    marginal gain, 6dp."""
     spark = edges_undirected.sparkSession
     eu = edges_undirected.select("src", "dst")
     eu = eu.union(
@@ -614,60 +633,51 @@ def gedwalk_group(
         max_d = deg.agg(F.max("d")).collect()[0][0] or 1
         alpha = 1.0 / (1.0 + float(max_d))
 
-    # M_ℓ(S) for the current group, starting with S=∅ (full-graph
-    # walks): accumulate the per-level masses in one union plan so the
-    # whole chain is ONE Spark job (the graph joins are re-derived per
-    # level term — cheap at depth ≤ 3-4; checkpoint per level instead
-    # if you raise depth past that)
-    terms, y, a = [], nodes.withColumn("t", F.lit(1.0)), 1.0
-    for _ in range(depth):
+    # per-level walk vectors p_m = Aᵐ·1, all levels as COLUMNS of one
+    # frame — they feed the Σ-total M_*(∅) AND the per-node bound below
+    pv = nodes.withColumn("p0", F.lit(1.0))
+    y = nodes.withColumn("t", F.lit(1.0))
+    for m in range(1, depth + 1):
         y = (
             eu.join(y.withColumnRenamed("id", "dst"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("t").alias("t"))
+            .localCheckpoint(eager=True)
         )
+        pv = pv.join(y.withColumnRenamed("t", f"p{m}"), "id", "left").na.fill(
+            {f"p{m}": 0.0}
+        )
+    # bound(u) = Σ_ℓ α^ℓ Σ_m p_{ℓ-m}·p_m ≥ gain(u|S) for every S (see
+    # docstring; the reference's estimateGains product-sum, zero tail)
+    bound_expr = None
+    a = 1.0
+    for lvl in range(1, depth + 1):
         a *= alpha
-        terms.append((a, y))
-    allt = terms[0][1].select(
-        "id", (F.lit(terms[0][0]) * F.col("t")).alias("m")
-    )
-    for a, y in terms[1:]:
-        allt = allt.unionByName(
-            y.select("id", (F.lit(a) * F.col("t")).alias("m"))
+        conv = sum(
+            F.col(f"p{lvl - m}") * F.col(f"p{m}") for m in range(lvl + 1)
         )
-    # per-node linear walk mass s(v) = Σ α^ℓ (A^ℓ1)_v: feeds BOTH the
-    # Σ-total M_*(∅) and the proxy half of the candidate pool below
-    walk_score = allt.groupBy("id").agg(F.sum("m").alias("s")).localCheckpoint(
-        eager=True
+        bound_expr = (a * conv) if bound_expr is None else bound_expr + a * conv
+    bounds = (
+        pv.join(deg, "id")
+        .select(
+            "id", "d", bound_expr.alias("bound"),
+            sum(
+                F.lit(alpha**m) * F.col(f"p{m}") for m in range(1, depth + 1)
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
     )
-    prev_miss = float(walk_score.agg(F.sum("s")).collect()[0][0] or 0.0)
+    prev_miss = float(bounds.agg(F.sum("s")).collect()[0][0] or 0.0)
+    n_all = bounds.count()
 
-    # candidate pool = top-P by degree ∪ top-P by the linear proxy score
-    # (the proxy plays the role of the reference's bound-based pruning,
-    # GedWalk.cpp estimateGains; the degree half guards graphs where walk
-    # mass concentrates away from high-degree nodes)
-    p_sz = pool_size or max(3 * k, 12)
-    pool_deg = deg.orderBy(F.desc("d"), F.asc("id")).limit(p_sz)
-    pool_proxy = (
-        deg.join(walk_score, "id", "left")
-        .na.fill({"s": 0.0})
-        .orderBy(F.desc("s"), F.desc("d"), F.asc("id"))
-        .limit(p_sz)
-        .select("id", "d")
-    )
-    pool_df = pool_deg.union(pool_proxy).distinct().localCheckpoint(eager=True)
-
-    selected: list[tuple[int, int, float]] = []
-    group: list[int] = []
-    for rank in range(k):
-        cands = pool_df.select(F.col("id").alias("c"), "d")
+    def exact_gains(pool_ids: list[int], group: list[int]) -> list:
+        """TRUE marginal gains for a candidate batch, one keyed pass."""
+        cands = bounds.select(F.col("id").alias("c"), "d").where(
+            F.col("c").isin(pool_ids)
+        )
         nodes_r = nodes
         if group:
-            cands = cands.where(~F.col("c").isin(group))
             nodes_r = nodes.where(~F.col("id").isin(group))
-        # state t(c, u) = #walks of current length ending at u in
-        # G[V ∖ (S ∪ {c})]; one shuffle per level over |pool|·|E|,
-        # evaluated lazily so the round's argmax is ONE job
         st = (
             cands.select("c")
             .crossJoin(nodes_r)
@@ -690,12 +700,11 @@ def gedwalk_group(
         for m in terms[1:]:
             allm = allm.unionByName(m)
         miss = allm.groupBy("c").agg(F.sum("m").alias("miss"))
-        best = (
+        return (
             cands.join(miss, "c", "left")
             .na.fill({"miss": 0.0})
             .select(
-                "c",
-                "d",
+                "c", "d",
                 (F.lit(prev_miss) - F.col("miss")).alias("gain"),
                 "miss",
             )
@@ -703,12 +712,43 @@ def gedwalk_group(
             .limit(1)
             .collect()
         )
-        if not best:
+
+    selected: list[tuple[int, int, float]] = []
+    group: list[int] = []
+    for rank in range(k):
+        batch = pool_size or max(3 * k, 12)
+        best = None
+        while True:
+            avail = bounds
+            if group:
+                avail = avail.where(~F.col("id").isin(group))
+            # batch+1: the extra row's bound is the acceptance threshold
+            rows = (
+                avail.orderBy(F.desc("bound"), F.asc("id"))
+                .limit(batch + 1)
+                .collect()
+            )
+            pool_ids = [int(r["id"]) for r in rows[:batch]]
+            if not pool_ids:
+                break
+            next_bound = (
+                float(rows[batch]["bound"]) if len(rows) > batch else float("-inf")
+            )
+            cand = exact_gains(pool_ids, group)
+            best = cand[0] if cand else None
+            if best is None:
+                break
+            # conservative acceptance: a pruned node's bound ≥ its gain,
+            # so only a STRICTLY larger true gain may stop the search
+            # (equality could lose a tie-break to an unevaluated node)
+            if float(best["gain"]) > next_bound or batch >= n_all:
+                break
+            batch *= 4
+        if best is None:
             break
-        b = best[0]
-        selected.append((rank, int(b["c"]), round(float(b["gain"]), 6)))
-        group.append(int(b["c"]))
-        prev_miss = float(b["miss"])
+        selected.append((rank, int(best["c"]), round(float(best["gain"]), 6)))
+        group.append(int(best["c"]))
+        prev_miss = float(best["miss"])
     return spark.createDataFrame(selected, "rank long, id long, gain double")
 
 

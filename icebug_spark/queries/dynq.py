@@ -343,8 +343,11 @@ Q139_SQL = (
 # Σ α^ℓ t_ℓ(c) and gain(c|{c1}) = Σ α^ℓ (t_ℓ(c) − t_ℓ(c1,c)) — exact
 # dyadic arithmetic at α=.5, depth 2 (integer counts × {.5,.25}).
 # Runs on the id%3 subgraph (q141's convention) to keep the oracle's
-# 2-walk expansion ~1M rows. Any divergence in the avoid-set recurrence,
-# the pool rule, or the greedy tie order flips values.
+# 2-walk expansion ~1M rows. The oracle greedy ranks over ALL nodes (no
+# candidate pool, r08): the engine's bound-based pruning
+# (GedWalk.cpp estimateGains product-sum bounds + lazy batch expansion)
+# must therefore be CONSERVATIVE — a wrongly pruned argmax, a wrong
+# avoid-set recurrence, or a wrong greedy tie order flips values.
 def q140(spark: SparkSession, sf: str) -> DataFrame:
     from icebug_spark.operators.centrality4 import gedwalk_group
 
@@ -356,16 +359,6 @@ Q140_SQL = f"""
 WITH eu0 AS MATERIALIZED ({EU_SQL}),
 eu AS (SELECT src, dst FROM eu0 WHERE src % 3 = 0 AND dst % 3 = 0),
 deg AS (SELECT src AS id, COUNT(*) AS d FROM eu GROUP BY src),
-wm AS (SELECT eu.src AS id, SUM(dd.d) AS t
-       FROM eu JOIN deg dd ON dd.id = eu.dst GROUP BY eu.src),
-score AS (SELECT deg.id, deg.d,
-                 0.5 * deg.d + 0.25 * COALESCE(wm.t, 0) AS s
-          FROM deg LEFT JOIN wm ON wm.id = deg.id),
-pool AS (
-  SELECT id, d FROM (SELECT id, d FROM deg ORDER BY d DESC, id LIMIT 12)
-  UNION
-  SELECT id, d FROM (SELECT id, d FROM score ORDER BY s DESC, d DESC, id LIMIT 12)
-),
 w2 AS MATERIALIZED (
   SELECT a.src AS u, a.dst AS v, b.dst AS w
   FROM eu a JOIN eu b ON a.dst = b.src),
@@ -375,7 +368,7 @@ t2 AS (SELECT x, COUNT(*) AS c FROM (
          SELECT UNNEST(list_distinct([u, v, w])) AS x FROM w2) GROUP BY x),
 g1 AS (SELECT p.id, p.d,
          0.5 * COALESCE(t1.c, 0) + 0.25 * COALESCE(t2.c, 0) AS gain
-       FROM pool p LEFT JOIN t1 ON t1.x = p.id LEFT JOIN t2 ON t2.x = p.id),
+       FROM deg p LEFT JOIN t1 ON t1.x = p.id LEFT JOIN t2 ON t2.x = p.id),
 c1 AS (SELECT id, d, gain FROM g1 ORDER BY gain DESC, d DESC, id LIMIT 1),
 t1b AS (SELECT x, COUNT(*) AS c FROM (
           SELECT UNNEST(list_distinct([src, dst])) AS x FROM eu, c1
@@ -386,7 +379,7 @@ t2b AS (SELECT x, COUNT(*) AS c FROM (
 g2 AS (SELECT p.id, p.d,
          0.5 * (COALESCE(t1.c, 0) - COALESCE(t1b.c, 0))
          + 0.25 * (COALESCE(t2.c, 0) - COALESCE(t2b.c, 0)) AS gain
-       FROM pool p
+       FROM deg p
        LEFT JOIN t1 ON t1.x = p.id LEFT JOIN t2 ON t2.x = p.id
        LEFT JOIN t1b ON t1b.x = p.id LEFT JOIN t2b ON t2b.x = p.id
        WHERE p.id NOT IN (SELECT id FROM c1)),

@@ -287,3 +287,30 @@ def test_gedwalk_auto_alpha_matches_reference_default(spark):
         gedwalk_group(eu, k=2, alpha=1.0 / 8.0, depth=2).orderBy("rank").collect()
     )
     assert [tuple(r) for r in auto] == [tuple(r) for r in explicit]
+
+
+def test_gedwalk_bound_pruning_finds_argmax_outside_old_pool(spark):
+    """ADVERSARIAL golden for the conservative bound pruning (r08,
+    GedWalk.cpp estimateGains): two disjoint 13-cliques, B = ids 0..12
+    and A = ids 100..112 — every node has degree 12 and identical
+    linear walk mass, so the pre-r08 heuristic pool (top-12 by degree
+    UNION top-12 by proxy, ties id ASC) was exactly {0..11}: ALL of A
+    was pruned. True greedy at k=2: round 1 ties everywhere -> id 0;
+    round 2's argmax is ANY A node (an intact 13-clique strictly beats
+    B's 12-clique remnant), i.e. id 100 — a node the old pool could
+    never see by degree OR proxy. The lazy bound expansion must find
+    it; gains are dyadic-exact at alpha=.5, depth 2."""
+    from icebug_spark.operators.centrality4 import gedwalk_group
+
+    pairs = [(u, v) for u in range(13) for v in range(u + 1, 13)] + [
+        (100 + u, 100 + v) for u in range(13) for v in range(u + 1, 13)
+    ]
+    eu = _sym(spark, pairs)
+    sel = gedwalk_group(eu, k=2, alpha=0.5, depth=2).orderBy("rank").collect()
+    assert sel[0]["id"] == 0
+    assert sel[1]["id"] == 100, (
+        f"round-2 argmax must escape the old degree/proxy pool: {sel}"
+    )
+    # the intact-clique pick strictly beats what any B remnant node
+    # could have offered: its gain equals round 1's (isomorphic cliques)
+    assert sel[1]["gain"] == sel[0]["gain"]
