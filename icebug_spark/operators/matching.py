@@ -226,9 +226,14 @@ def b_suitor_matching(
         cap = nodes.withColumn("cap", F.lit(b))
     cap = cap.localCheckpoint(eager=True)
     matched = []
+    # per-round driver-sync jobs = 4 (mutual checkpoint, cap checkpoint,
+    # canon rebuild checkpoint, canon emptiness probe). The old loop ran
+    # 5: a mutual-empty probe is unnecessary — whenever the residual is
+    # nonempty its globally best edge (weight DESC, u ASC, v ASC — the
+    # same total order both endpoints rank by) is rank-1 for BOTH
+    # endpoints, so mutual is nonempty and the post-rebuild canon probe
+    # is the only break the loop needs.
     for _ in range(max_rounds):
-        if canon.limit(1).count() == 0:
-            break
         both = canon.select(F.col("u").alias("id"), "u", "v", "weight").union(
             canon.select(F.col("v").alias("id"), "u", "v", "weight")
         ).join(cap.where(F.col("cap") > 0), "id")
@@ -247,10 +252,8 @@ def b_suitor_matching(
             .select("u", "v", "weight")
             .localCheckpoint(eager=True)
         )
-        if mutual.limit(1).count() == 0:
-            break
         matched.append(mutual)
-        # consume capacity and remove accepted edges
+        # consume capacity on both sides of the accepted edges
         used = mutual.select(F.col("u").alias("id")).union(
             mutual.select(F.col("v").alias("id"))
         ).groupBy("id").agg(F.count(F.lit(1)).alias("n_used"))
@@ -266,6 +269,8 @@ def b_suitor_matching(
             .select("u", "v", "weight")
             .localCheckpoint(eager=True)
         )
+        if canon.limit(1).count() == 0:
+            break
     if not matched:
         return spark.createDataFrame([], "u long, v long, weight double")
     out = matched[0]

@@ -455,19 +455,26 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
         .where((F.col("src") < _Q129_CAP) & (F.col("dst") < _Q129_CAP))
         .localCheckpoint(eager=True)
     )
-    nodes = eu.select(F.col("src").alias("id")).distinct()
     part = community2.leiden(
         eu, levels=2, move_rounds=_Q129_MOVES, refine_rounds=_Q129_REFINES
     ).localCheckpoint(eager=True)
-    n_nodes = nodes.count()
-    n_assigned = part.select("id").distinct().count()
-    valid = part.count() == n_assigned == n_nodes
-    ncomm = part.select("subset").distinct().count()
-    q_l = community.modularity(eu, part).collect()[0]["modularity"]
+    # certificate stats fused: ONE aggregate over part (rows/ids/comms),
+    # ONE over the degree table (n_nodes rides the same agg as the
+    # singleton-modularity terms) — was five separate count jobs
+    prow = part.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("id").alias("ids"),
+        F.countDistinct("subset").alias("ncomm"),
+    ).collect()[0]
     deg = eu.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     row = deg.agg(
-        F.sum(F.col("deg") * F.col("deg")).alias("sq"), F.sum("deg").alias("m2")
+        F.sum(F.col("deg") * F.col("deg")).alias("sq"),
+        F.sum("deg").alias("m2"),
+        F.count(F.lit(1)).alias("n_nodes"),
     ).collect()[0]
+    valid = prow["rows"] == prow["ids"] == row["n_nodes"]
+    ncomm = prow["ncomm"]
+    q_l = community.modularity(eu, part).collect()[0]["modularity"]
     q_singleton = -float(row["sq"]) / (float(row["m2"]) ** 2)
     return spark.createDataFrame(
         [(bool(valid), ncomm >= 1, bool(q_l >= round(q_singleton, 6) - 1e-6))],

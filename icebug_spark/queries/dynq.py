@@ -238,12 +238,14 @@ def q138(spark: SparkSession, sf: str) -> DataFrame:
     from icebug_spark.streaming.dynamic3 import DynamicBSuitorMatcher
 
     ew = derived_weighted_edges(spark, sf)
-    ids = ew.select(F.col("src").alias("id")).union(
-        ew.select(F.col("dst").alias("id"))
-    )
-    lo = ids.agg(F.min("id")).collect()[0][0]
-    hi = ids.agg(F.max("id")).collect()[0][0]
-    big = (ew.agg(F.sum("weight")).collect()[0][0] or 1.0) + 1.0
+    # lo/hi/big in ONE aggregate (was three driver-sync collects)
+    row = ew.agg(
+        F.least(F.min("src"), F.min("dst")).alias("lo"),
+        F.greatest(F.max("src"), F.max("dst")).alias("hi"),
+        F.sum("weight").alias("tot"),
+    ).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    big = (row["tot"] or 1.0) + 1.0
     dyn = DynamicBSuitorMatcher(ew, b=1)
     dyn.insert_edge(int(lo), int(hi), float(big))
     mid = dyn.matching.localCheckpoint(eager=True)
@@ -255,28 +257,40 @@ def q138(spark: SparkSession, sf: str) -> DataFrame:
     )
     dyn.remove_edge(int(lo), int(hi))
     m = dyn.matching.localCheckpoint(eager=True)
+    # certificate stats fused into TWO aggregates (was four counts):
+    # per-node multiplicities + row count in one, edge-existence +
+    # dominating-pair presence in one left-join aggregate
     both = m.select(F.col("u").alias("id")).union(m.select(F.col("v").alias("id")))
-    overmatched = (
-        both.groupBy("id").agg(F.count(F.lit(1)).alias("k")).where(F.col("k") > 1).count()
+    prow = (
+        both.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(F.max("k").alias("maxk"), F.count(F.lit(1)).alias("n_ids"))
+        .collect()[0]
     )
     canon_edges = dyn.edges.select(
         F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-    ).distinct()
+    ).distinct().withColumn("ex", F.lit(1))
     m_canon = m.select(
         F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
     )
-    not_an_edge = m_canon.join(canon_edges, ["u", "v"], "left_anti").count()
-    dominating_gone = (
-        m_canon.where((F.col("u") == int(lo)) & (F.col("v") == int(hi))).count() == 0
+    erow = (
+        m_canon.join(canon_edges, ["u", "v"], "left")
+        .agg(
+            F.sum(F.when(F.col("ex").isNull(), 1).otherwise(0)).alias("not_edge"),
+            F.sum(
+                F.when((F.col("u") == int(lo)) & (F.col("v") == int(hi)), 1).otherwise(0)
+            ).alias("ndom"),
+        )
+        .collect()[0]
     )
     return spark.createDataFrame(
         [
             (
                 bool(dominating_matched),
-                overmatched == 0,
-                not_an_edge == 0,
-                bool(dominating_gone),
-                m.count() >= 1,
+                (prow["maxk"] or 0) <= 1,
+                (erow["not_edge"] or 0) == 0,
+                (erow["ndom"] or 0) == 0,
+                (prow["n_ids"] or 0) >= 1,
             )
         ],
         "dominating_matched BOOLEAN, valid_matching BOOLEAN, "

@@ -21,13 +21,12 @@ At cluster scale the cached tables are the same (source, id, …)-keyed
 DataFrames every static operator produces, so cache + splice is a
 union/anti-join, not a new machinery.
 
-DynamicBSuitorMatcher performs a BALL-LOCALIZED re-match: matches inside
-the k-hop ball around the touched edge are dissolved, boundary matches
-are frozen as consumed capacity, and the suitor rounds re-run on the
-ball-induced subgraph only. The sequential reference lets suitor ripples
-travel arbitrarily far; bounding the ripple at the ball keeps the update
-distributed and still yields a valid b-matching (validity is asserted in
-tests; ½-approx quality holds within the ball).
+DynamicBSuitorMatcher performs DROP-AND-REPAIR: the touched endpoints'
+matches dissolve and the suitor rounds re-run over the edges whose both
+endpoints still have spare capacity — the distributed analog of the
+reference's displaced-suitor cascade (see the class docstring; validity
+AND maximality are restored globally, cost scales with the spare
+region).
 """
 
 from __future__ import annotations
@@ -258,57 +257,55 @@ class DynTopHarmonicCloseness:
 
 
 class DynamicBSuitorMatcher:
-    """Ball-localized dynamic b-matching (DynamicBSuitorMatcher.hpp:19)."""
+    """Dynamic b-matching with cascade repair
+    (``matching/DynamicBSuitorMatcher.hpp:19``). The reference processes
+    an edge update by displacing the affected endpoints' suitors and
+    cascading the freed nodes' re-proposals; the distributed analog is
+    DROP-AND-REPAIR: discard the matches incident to the touched
+    endpoints, then re-run capacity-restricted suitor rounds over the
+    edges whose BOTH endpoints still have spare capacity. That repair
+    subgraph contains every edge that could possibly enter the matching
+    (an edge with a saturated endpoint cannot), so validity AND
+    maximality are restored GLOBALLY — strictly stronger than the old
+    2-hop-ball rematch — while the cost scales with the spare region
+    (typically the 2-4 freed nodes plus the standing unsaturated
+    fringe), not with the graph. A dropped match the update does not
+    actually displace is deterministically re-accepted by the first
+    repair round (same weights, same tie order)."""
 
-    def __init__(self, edges_weighted: DataFrame, b: int = 1, ball_hops: int = 2):
+    def __init__(self, edges_weighted: DataFrame, b: int = 1):
         e = edges_weighted
         if "weight" not in e.columns:
             e = e.select("src", "dst", F.lit(1.0).alias("weight"))
         self.edges = e.select("src", "dst", "weight").localCheckpoint(eager=True)
         self.b = b
-        self.ball_hops = ball_hops
         self.matching = b_suitor_matching(self.edges, b=b).localCheckpoint(eager=True)
 
-    def _ball(self, u: int, v: int) -> DataFrame:
-        """Node ids within ball_hops of {u, v} (undirected view)."""
-        spark = self.edges.sparkSession
-        eu = self.edges.select("src", "dst").union(
-            self.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        ball = spark.createDataFrame([(u,), (v,)], "id BIGINT")
-        for _ in range(self.ball_hops):
-            nxt = (
-                F.broadcast(ball)
-                .join(eu, ball.id == eu.src)
-                .select(F.col("dst").alias("id"))
-            )
-            ball = ball.union(nxt).distinct().localCheckpoint(eager=True)
-        return ball
-
-    def _rematch(self, u: int, v: int) -> None:
-        ball = self._ball(u, v)
+    def _repair(self, touched: list[int]) -> None:
+        """Drop the touched endpoints' matches, re-match the spare
+        region (see class docstring)."""
         m = self.matching
-        bu = ball.select(F.col("id").alias("u"))
-        bv = ball.select(F.col("id").alias("v"))
-        both_in = (
-            m.join(bu, "u", "leftsemi")
-            .join(bv, "v", "leftsemi")
-            .select("u", "v", "weight")  # joins reorder columns; exceptAll is positional
-        )
-        kept = m.select("u", "v", "weight").exceptAll(both_in).localCheckpoint(eager=True)
-        # residual capacity: b minus matches kept (boundary-crossing)
+        kept = m.where(
+            ~F.col("u").isin(touched) & ~F.col("v").isin(touched)
+        ).localCheckpoint(eager=True)
         used = (
             kept.select(F.col("u").alias("id"))
             .union(kept.select(F.col("v").alias("id")))
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("n_used"))
         )
-        caps = ball.join(used, "id", "left").select(
+        nodes = self.edges.select(F.col("src").alias("id")).union(
+            self.edges.select(F.col("dst").alias("id"))
+        ).distinct()
+        caps = nodes.join(used, "id", "left").select(
             "id", (F.lit(self.b) - F.coalesce("n_used", F.lit(0))).alias("cap")
         )
+        spare = caps.where(F.col("cap") > 0).select("id")
         sub = (
-            self.edges.join(bu.withColumnRenamed("u", "src"), "src", "leftsemi")
-            .join(bv.withColumnRenamed("v", "dst"), "dst", "leftsemi")
+            self.edges.join(
+                spare.withColumnRenamed("id", "src"), "src", "leftsemi"
+            )
+            .join(spare.withColumnRenamed("id", "dst"), "dst", "leftsemi")
         )
         new_m = b_suitor_matching(sub, b=self.b, capacities=caps)
         self.matching = kept.unionByName(new_m).localCheckpoint(eager=True)
@@ -319,7 +316,7 @@ class DynamicBSuitorMatcher:
             [(int(u), int(v), float(weight))], "src BIGINT, dst BIGINT, weight DOUBLE"
         )
         self.edges = self.edges.unionByName(add).localCheckpoint(eager=True)
-        self._rematch(u, v)
+        self._repair([int(u), int(v)])
 
     def remove_edge(self, u: int, v: int) -> None:
         gone = (
@@ -330,7 +327,7 @@ class DynamicBSuitorMatcher:
         self.matching = self.matching.where(
             ~((F.col("u") == min(u, v)) & (F.col("v") == max(u, v)))
         ).localCheckpoint(eager=True)
-        self._rematch(u, v)
+        self._repair([int(u), int(v)])
 
 
 def dyn_sssp_update(

@@ -162,6 +162,30 @@ def main() -> int:
     n_fail = sum(1 for v in results.values() if v["status"] == "fail")
     n_rows_only = sum(1 for v in results.values() if v["status"] == "rows_only")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+
+    # Over-budget triage: per-query walls under SWEEP_JOBS>1 include
+    # contention from the other in-flight queries (deliberately — it
+    # halves total sweep time), so a budget breach there is ambiguous.
+    # Re-measure each flagged PASSING query ISOLATED (nothing else
+    # running) and let the isolated wall decide the flag; both numbers
+    # go in the artifact (secs = under-concurrency, isolated_secs = the
+    # measured floor). A query that breaches the budget even isolated
+    # stays flagged — that is a real regression, not scheduling noise.
+    if SWEEP_JOBS > 1:
+        flagged = [
+            name for name, v in results.items()
+            if v["over_budget"] and v["status"] != "fail"
+        ]
+        for name in flagged:
+            fn, sql = ALL[name]
+            iso = run_one(spark, con, sf_dir, name, fn, sql)
+            results[name]["isolated_secs"] = iso["secs"]
+            results[name]["over_budget"] = iso["secs"] > BUDGET_SECS
+            _log(
+                f"ISOLATED RE-MEASURE {name}: {iso['secs']}s "
+                f"({'still over' if iso['secs'] > BUDGET_SECS else 'under'} "
+                f"budget {BUDGET_SECS}s)"
+            )
     # SPARK_GRAFT_ARTIFACT names an artifact to write even for a
     # filtered run — used for the slow FULLSCALE evidence sweep
     forced = os.environ.get("SPARK_GRAFT_ARTIFACT")
