@@ -371,6 +371,62 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
 Q149_SQL = "SELECT TRUE AS in_range, TRUE AS near_exact"
 
 
+# q150 — k-eigenpair utility (networkit/algebraic.py:140
+# symmetricEigenvectors, :242 laplacianEigenvectors; operators/
+# spectrum.py) certificate on the id%5 subgraph: eigensign conventions
+# make raw vectors non-portable, so the oracle pins hard invariants,
+# each checked by an INDEPENDENT computation: (1) eigenvalues ascending
+# with lambda_1 ~ 0; (2) the number of ~zero Laplacian eigenvalues
+# equals the number of connected components from the DISTRIBUTED CC
+# operator (two unrelated implementations agreeing on the kernel
+# dimension); (3) every returned vector is unit-norm with a small
+# Laplacian residual against a numpy rebuild of L from the same edges.
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    from icebug_spark.operators.spectrum import laplacian_eigenvectors
+
+    eu = derived_edges_undirected(spark, sf).where(
+        (F.col("src") % 5 == 0) & (F.col("dst") % 5 == 0)
+        & (F.col("src") != F.col("dst"))
+    ).localCheckpoint(eager=True)
+    vals, vec_df = laplacian_eigenvectors(eu)
+    n_cc = (
+        connected_components(eu)
+        .select("component").distinct().count()
+    )
+    ascending = all(vals[i] <= vals[i + 1] + 1e-9 for i in range(len(vals) - 1))
+    n_zero = sum(1 for v in vals if abs(v) < 1e-8)
+    rows = vec_df.collect()
+    ids = [r["id"] for r in rows]
+    idx = {v: i for i, v in enumerate(ids)}
+    mat = np.array([r["vec"] for r in rows])
+    lap = np.zeros((len(ids), len(ids)))
+    for r in eu.collect():
+        i, j = idx[r["src"]], idx[r["dst"]]
+        lap[i, j] -= 1.0
+        lap[i, i] += 1.0
+    resid_ok = True
+    for k, lam in enumerate(vals):
+        v = mat[:, k]
+        nrm = float(np.linalg.norm(v))
+        if abs(nrm - 1.0) > 1e-8:
+            resid_ok = False
+        if float(np.linalg.norm(lap @ v - lam * v)) > 1e-7 * max(1.0, abs(lam)) * len(ids):
+            resid_ok = False
+    return spark.createDataFrame(
+        [(bool(ascending), abs(vals[0]) < 1e-9, n_zero == n_cc, bool(resid_ok))],
+        "ascending BOOLEAN, first_zero BOOLEAN, kernel_matches_cc BOOLEAN, "
+        "residuals_small BOOLEAN",
+    )
+
+
+Q150_SQL = (
+    "SELECT TRUE AS ascending, TRUE AS first_zero, "
+    "TRUE AS kernel_matches_cc, TRUE AS residuals_small"
+)
+
+
 STRUCTURAL = {
     "q38_scc": (q38, Q38_SQL),
     "q39_msf_summary": (q39, Q39_SQL),
@@ -381,4 +437,5 @@ STRUCTURAL = {
     "q147_gini_degrees": (q147, Q147_SQL),
     "q148_spectral_coloring": (q148, Q148_SQL),
     "q149_approx_clustering": (q149, Q149_SQL),
+    "q150_laplacian_eigs": (q150, Q150_SQL),
 }
