@@ -8,6 +8,10 @@
   coefficient (``networkit/globals.pyx:109`` wrapper;
   ``global/ClusteringCoefficient.cpp`` ``approxAvgLocal``: uniform
   deg≥2 node, two distinct random neighbors, closed-wedge fraction).
+- :func:`ranked` — average rank with ties (``helpers.pyx:21``).
+- :func:`measure_correlations` — the profiling correlation battery
+  (``profiling/stat.py:418``: covariance, rank covariance, Pearson,
+  Spearman over average ranks, Fechner).
 - :func:`spectral_coloring` — recursive eigenvector-sign splitting
   (``networkit/coloring.py:6`` SpectralColoring: all nodes start in one
   class; an invalid class splits by the sign of the next adjacency
@@ -52,6 +56,73 @@ def gini(values: DataFrame, col: str) -> DataFrame:
             2.0 * F.sum(F.col("r") * F.col("x")) / (F.count(F.lit(1)) * F.sum("x"))
             - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))
         ).alias("gini")
+    )
+
+
+def ranked(values: DataFrame, col: str, out: str = "rank") -> DataFrame:
+    """Average rank with ties (``helpers.pyx:21`` ``ranked``):
+    ``out[i]`` is the 1-based rank of row i under ascending ``col``,
+    tie groups sharing the MEAN of their positions — exactly the
+    reference's two-pass sum/length loop, as one rank window + one
+    tie-size window (a tie group starting at position a with c members
+    averages a + (c−1)/2). Global sort: at 100 TB swap the bare window
+    for a range-partitioned rank (zipindex.dense_index pattern)."""
+    w_rank = Window.orderBy(F.col(col).asc())
+    w_val = Window.partitionBy(col)
+    return (
+        values.withColumn("_r", F.rank().over(w_rank))
+        .withColumn("_c", F.count(F.lit(1)).over(w_val))
+        .withColumn(out, F.col("_r") + (F.col("_c") - 1) / 2.0)
+        .drop("_r", "_c")
+    )
+
+
+def measure_correlations(values: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """The reference profiling's per-measure-pair correlation battery
+    (``profiling/stat.py:418`` ``Correlation.run``): population
+    covariance, rank covariance (over :func:`ranked` average ranks),
+    Pearson (covariance over UNCORRECTED std devs), Spearman (the same
+    over ranks), and Fechner (mean sign of the deviation product,
+    ``copysign`` semantics: a zero product counts +1). Two rank windows
+    + two chained aggregates, one action. → single row
+    (covariance, covariance_rank, pearson, spearman, fechner), 6dp."""
+    v = values.select(
+        F.col(col_a).cast("double").alias("a"),
+        F.col(col_b).cast("double").alias("b"),
+    )
+    v = ranked(v, "a", "ra")
+    v = ranked(v, "b", "rb")
+    base = v.agg(
+        F.avg("a").alias("ma"),
+        F.avg("b").alias("mb"),
+        F.stddev_pop("a").alias("sa"),
+        F.stddev_pop("b").alias("sb"),
+        F.stddev_pop("ra").alias("sra"),
+        F.stddev_pop("rb").alias("srb"),
+        F.covar_pop("a", "b").alias("cov"),
+        F.covar_pop("ra", "rb").alias("cov_rank"),
+    )
+    fechner = (
+        v.crossJoin(F.broadcast(base.select("ma", "mb")))
+        .agg(
+            F.avg(
+                F.when((F.col("a") - F.col("ma")) * (F.col("b") - F.col("mb")) >= 0, 1.0)
+                .otherwise(-1.0)
+            ).alias("fechner")
+        )
+    )
+
+    def _ratio(num, d1, d2):
+        return F.when(
+            (F.col(d1) * F.col(d2)) != 0.0, F.col(num) / (F.col(d1) * F.col(d2))
+        )
+
+    return base.crossJoin(F.broadcast(fechner)).select(
+        F.round("cov", 6).alias("covariance"),
+        F.round("cov_rank", 6).alias("covariance_rank"),
+        F.round(_ratio("cov", "sa", "sb"), 6).alias("pearson"),
+        F.round(_ratio("cov_rank", "sra", "srb"), 6).alias("spearman"),
+        F.round("fechner", 6).alias("fechner"),
     )
 
 

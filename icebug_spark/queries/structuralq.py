@@ -20,6 +20,7 @@ from icebug_spark.catalog import (
     derived_edges_undirected,
     E_SQL,
     EU_SQL,
+    EW_SQL,
     derived_edges,
     derived_weighted_edges,
     symmetrize,
@@ -427,6 +428,54 @@ Q150_SQL = (
 )
 
 
+
+# q151 — profiling correlation battery (profiling/stat.py:418
+# Correlation.run + helpers.pyx:21 ranked), FULL VALUE: Pearson,
+# Spearman (Pearson over average ranks — the reference's tie-mean
+# ranking), and Fechner between per-node degree and weighted degree on
+# the derived weighted graph. The oracle repeats the exact arithmetic in
+# SQL (RANK + tie-count windows for average ranks, COVAR_POP /
+# STDDEV_POP, copysign-semantics CASE for Fechner); any divergence in
+# the rank convention or the population-vs-sample denominators flips
+# values. Scale-invariant outputs only (the raw covariances stay in the
+# operator), 6dp.
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.operators.stats import measure_correlations
+
+    ew = derived_weighted_edges(spark, sf)
+    per = ew.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("double").alias("deg"),
+        F.sum("weight").alias("wdeg"),
+    )
+    return measure_correlations(per, "deg", "wdeg").select(
+        "pearson", "spearman", "fechner"
+    )
+
+
+Q151_SQL = f"""
+WITH ew AS MATERIALIZED ({EW_SQL}),
+per AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS a, SUM(weight) AS b
+        FROM ew GROUP BY src),
+r AS (SELECT a, b,
+        RANK() OVER (ORDER BY a) + (COUNT(*) OVER (PARTITION BY a) - 1) / 2.0 AS ra,
+        RANK() OVER (ORDER BY b) + (COUNT(*) OVER (PARTITION BY b) - 1) / 2.0 AS rb
+      FROM per),
+s AS (SELECT AVG(a) AS ma, AVG(b) AS mb,
+             STDDEV_POP(a) AS sa, STDDEV_POP(b) AS sb,
+             STDDEV_POP(ra) AS sra, STDDEV_POP(rb) AS srb,
+             COVAR_POP(a, b) AS cov, COVAR_POP(ra, rb) AS cov_rank
+      FROM r),
+f AS (SELECT AVG(CASE WHEN (r.a - s.ma) * (r.b - s.mb) >= 0
+                      THEN 1.0 ELSE -1.0 END) AS fech
+      FROM r, s)
+SELECT ROUND(CASE WHEN sa * sb <> 0 THEN cov / (sa * sb) END, 6) AS pearson,
+       ROUND(CASE WHEN sra * srb <> 0 THEN cov_rank / (sra * srb) END, 6)
+         AS spearman,
+       ROUND(fech, 6) AS fechner
+FROM s, f
+"""
+
+
 STRUCTURAL = {
     "q38_scc": (q38, Q38_SQL),
     "q39_msf_summary": (q39, Q39_SQL),
@@ -438,4 +487,5 @@ STRUCTURAL = {
     "q148_spectral_coloring": (q148, Q148_SQL),
     "q149_approx_clustering": (q149, Q149_SQL),
     "q150_laplacian_eigs": (q150, Q150_SQL),
+    "q151_measure_correlations": (q151, Q151_SQL),
 }

@@ -77,3 +77,61 @@ def test_spectral_coloring_guard(spark):
     eu = _sym(spark, [(i, i + 1) for i in range(20)])
     with pytest.raises(ValueError, match="greedy_coloring"):
         stats.spectral_coloring(eu, max_nodes=5)
+
+
+def _ref_ranked(sample):
+    """The reference's literal average-rank loop (helpers.pyx:21)."""
+    helper = sorted((v, i) for i, v in enumerate(sample))
+    result = [0.0] * len(sample)
+    value, summ, length = helper[0][0], 0.0, 0
+    for i in range(len(sample)):
+        if value == helper[i][0]:
+            summ += i + 1
+            length += 1
+        else:
+            summ /= length
+            for j in range(length):
+                result[helper[i - j - 1][1]] = summ
+            value, summ, length = helper[i][0], i + 1.0, 1
+    summ /= length
+    for j in range(length):
+        result[helper[len(sample) - j - 1][1]] = summ
+    return result
+
+
+def test_ranked_matches_reference_loop(spark):
+    vals = [3.0, 1.0, 2.0, 3.0, 1.0, 1.0, 7.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i LONG, x DOUBLE"
+    )
+    got = {
+        r["i"]: r["rank"]
+        for r in stats.ranked(df, "x").collect()
+    }
+    exp = _ref_ranked(vals)
+    for i, e in enumerate(exp):
+        assert got[i] == pytest.approx(e, abs=1e-12)
+
+
+def test_measure_correlations_goldens(spark):
+    """Perfectly monotone but non-linear pair: Spearman exactly 1,
+    Pearson < 1, Fechner 1 (profiling/stat.py:418 semantics; Fechner
+    counts zero deviation products as +1 per copysign)."""
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = [x**3 for x in a]
+    df = spark.createDataFrame(list(zip(a, b)), "a DOUBLE, b DOUBLE")
+    row = stats.measure_correlations(df, "a", "b").collect()[0]
+    assert row["spearman"] == pytest.approx(1.0, abs=1e-9)
+    assert row["fechner"] == pytest.approx(1.0, abs=1e-12)
+    assert 0.9 < row["pearson"] < 1.0
+    # numpy cross-check of the population formulas
+    import numpy as np
+
+    aa, bb = np.array(a), np.array(b)
+    pearson = ((aa - aa.mean()) * (bb - bb.mean())).mean() / (
+        aa.std() * bb.std()
+    )
+    assert row["pearson"] == pytest.approx(pearson, abs=1e-6)
+    assert row["covariance"] == pytest.approx(
+        ((aa - aa.mean()) * (bb - bb.mean())).mean(), abs=1e-6
+    )
