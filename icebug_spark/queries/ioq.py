@@ -164,9 +164,43 @@ FROM nation ORDER BY src
 """
 
 
+# q152 — NetworkitBinary round-trip (NetworkitBinaryWriter.cpp:40 /
+# NetworkitBinaryReader.cpp:37, spec io/NetworkitBinaryGraph.md):
+# directed weighted nation graph through the nkbg003 container with
+# edge indices; weights src+0.1 force the DOUBLE weight format, ids
+# follow canonical (src, dst) order (= src here since src is unique).
+# A wrong varint, chunk offset, feature bit, or id stream flips values.
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.sources.readers6 import (
+        read_networkit_binary, write_networkit_binary,
+    )
+
+    e = _nation_edges(spark, sf, 100).withColumn(
+        "weight", (F.col("src") + F.lit(0.1)).cast("double")
+    )
+    g = Graph(e, directed=True, weighted=True)
+    d = tempfile.mkdtemp(prefix="icebug_q152_")
+    try:
+        write_networkit_binary(g, f"{d}/g.nkb", chunks=4, edge_ids=True)
+        g2 = read_networkit_binary(spark, f"{d}/g.nkb")
+        return g2.edges.select("src", "dst", "weight", "edge_id").orderBy("src")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+Q152_SQL = """
+SELECT CAST(n_nationkey AS BIGINT) AS src,
+       CAST(100 + n_regionkey AS BIGINT) AS dst,
+       CAST(n_nationkey AS DOUBLE) + 0.1 AS weight,
+       CAST(n_nationkey AS BIGINT) AS edge_id
+FROM nation ORDER BY src
+"""
+
+
 IO = {
     "q143_graphml_roundtrip": (q143, Q143_SQL),
     "q144_gexf_dynamic_replay": (q144, Q144_SQL),
     "q145_mat_roundtrip": (q145, Q145_SQL),
     "q146_rb_roundtrip": (q146, Q146_SQL),
+    "q152_nkbg_roundtrip": (q152, Q152_SQL),
 }

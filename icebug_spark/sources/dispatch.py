@@ -25,7 +25,9 @@ import re
 from pyspark.sql import SparkSession
 
 from icebug_spark.graph.core import Graph
-from icebug_spark.sources import readers, readers2, readers3, readers4, readers5
+from icebug_spark.sources import (
+    readers, readers2, readers3, readers4, readers5, readers6,
+)
 
 #: supported format names (Format enum parity, graphio.pyx:1045)
 FORMATS = [
@@ -33,7 +35,7 @@ FORMATS = [
     "EdgeListTabOne", "EdgeListCommaOne", "EdgeList", "LFR", "METIS",
     "GraphML", "GEXF", "GML", "GraphViz", "DOT", "KONECT",
     "GraphToolBinary", "MAT", "ThrillBinary", "MatrixMarket", "RB",
-    "Parquet",
+    "NetworkitBinary", "Parquet",
 ]
 
 _GT_MAGIC = bytes([0xE2, 0x9B, 0xBE, 0x20, 0x67, 0x74])
@@ -65,6 +67,8 @@ def guess_file_format(path: str) -> str:
         head = f.read(128)
     if head[:6] == _GT_MAGIC:
         return "GraphToolBinary"
+    if head[:7] in (b"nkbg002", b"nkbg003"):  # graphio.pyx:1167-1171
+        return "NetworkitBinary"
     if head[:6] == b"MATLAB" and len(head) >= 128 and head[126:128] in (b"IM", b"MI"):
         return "MAT"
 
@@ -196,6 +200,7 @@ def read_graph(spark: SparkSession, path: str, fmt: str | None = None, **kwargs)
         "MAT": lambda: readers5.read_mat(spark, path, **kwargs),
         "RB": lambda: readers5.read_rb(spark, path),
         "GraphToolBinary": lambda: readers3.read_graphtool_binary(spark, path),
+        "NetworkitBinary": lambda: readers6.read_networkit_binary(spark, path),
         "ThrillBinary": lambda: readers3.read_thrill_binary(spark, path),
         "Parquet": lambda: readers3.read_graph_parquet(spark, path),
         "EdgeList": lambda: readers.read_edge_list(spark, path, **kwargs),
@@ -219,6 +224,8 @@ _EXT_TO_FMT = {
     ".mat": "MAT",
     ".rb": "RB",
     ".gt": "GraphToolBinary",
+    ".nkb": "NetworkitBinary",
+    ".nkbg": "NetworkitBinary",
     ".thrill": "ThrillBinary",
     ".metis": "METIS",
     ".graph": "METIS",
@@ -248,6 +255,7 @@ def write_graph(g: Graph, path: str, fmt: str | None = None, **kwargs) -> None:
         "MAT": lambda: readers5.write_mat(g, path, **kwargs),
         "RB": lambda: readers5.write_rb(g, path),
         "GraphToolBinary": lambda: readers3.write_graphtool_binary(g, path),
+        "NetworkitBinary": lambda: readers6.write_networkit_binary(g, path, **kwargs),
         "ThrillBinary": lambda: readers3.write_thrill_binary(g, path),
         "Parquet": lambda: readers3.write_graph_parquet(g, path),
         "DOT": lambda: readers2.write_dot(g, path),
