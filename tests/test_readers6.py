@@ -59,6 +59,27 @@ def test_varint_spec_examples():
     assert buf[0] == 0b11111110 and buf[1] == 0b00000011
 
 
+def test_varint_property_roundtrip_and_stream():
+    """Property check over the full uint64 domain plus adversarial
+    near-boundary values: every value round-trips AND a concatenated
+    stream decodes back element-wise (self-delimiting codes)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=20))
+    def check(values):
+        buf = bytearray()
+        sizes = [varint_encode(v, buf) for v in values]
+        assert len(buf) == sum(sizes)
+        pos, out = 0, []
+        for _ in values:
+            v, pos = varint_decode(bytes(buf), pos)
+            out.append(v)
+        assert out == values and pos == len(buf)
+
+    check()
+
+
 @pytest.mark.parametrize("value", [0, 1, -1, 2, -2, 2**62, -(2**62)])
 def test_zigzag(value):
     assert zigzag_decode(zigzag_encode(value)) == value
