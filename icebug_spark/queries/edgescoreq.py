@@ -64,12 +64,21 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
     return edgescores.scan_similarity(_eu(spark, sf))
 
 
+# NB: Spark's round(double, 6) rounds the SHORTEST-REPR decimal of the
+# double (BigDecimal.valueOf), DuckDB's ROUND the exact binary value —
+# a quotient whose shortest repr lands exactly on a 7th-digit 5 (e.g.
+# 41/640 → "0.0640625", binary value just below the tie) rounds UP in
+# Spark and DOWN in DuckDB (observed once in 586k edges at sf0.1). The
+# VARCHAR→DECIMAL hop reproduces Spark's semantics exactly; the final
+# CAST back to DOUBLE keeps the compared dtype unchanged.
 Q52_SQL = f"""
 WITH {_TRI_SQL},
 deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node)
 SELECT t.u, t.v,
-       ROUND(CAST(t.n_tri + 1 AS DOUBLE)
-             / SQRT(CAST((du.deg + 1) * (dv.deg + 1) AS DOUBLE)), 6) AS scan_sim
+       CAST(ROUND(CAST(CAST(
+             CAST(t.n_tri + 1 AS DOUBLE)
+             / SQRT(CAST((du.deg + 1) * (dv.deg + 1) AS DOUBLE))
+           AS VARCHAR) AS DECIMAL(38,25)), 6) AS DOUBLE) AS scan_sim
 FROM tri t JOIN deg du ON du.node = t.u JOIN deg dv ON dv.node = t.v
 """
 

@@ -261,14 +261,19 @@ def _exact_cosine_pairs(emb: DataFrame, min_cosine: float) -> DataFrame:
     """Brute-force all-pairs cosine ≥ t — the independent witness set for
     the LSH certificates. O(n²) by design: it exists to REFUTE the
     bucketed path, and runs only inside correctness queries."""
+    # SAME arithmetic as the operator under test (similarity._dot/_norm2,
+    # incl. the per-element double cast): without the cast the products
+    # round in float32 and a pair near a 6dp boundary certifies false —
+    # observed at sf0.1 (the witness set must differ in SEARCH STRATEGY,
+    # not in arithmetic)
+    from icebug_spark.llm.similarity import _dot, _norm2
+
     base = emb.select("vec_id", "embedding")
     a = base.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = base.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    na = F.sqrt(F.aggregate(F.transform("ea", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
-    nb = F.sqrt(F.aggregate(F.transform("eb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    dot = _dot(F.col("ea"), F.col("eb"))
+    na = F.sqrt(_norm2(F.col("ea")))
+    nb = F.sqrt(_norm2(F.col("eb")))
     return (
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))
