@@ -55,6 +55,26 @@ def test_scc(spark):
     assert comp[5] not in (comp[0], comp[3])
 
 
+def test_scc_trim_chains(spark):
+    """FW-BW-Trim path: a long acyclic chain hanging off a cycle must be
+    peeled by the trim loop (each chain node is its own SCC), and deep
+    chains must not exhaust the coloring iterations."""
+    from icebug_spark.operators.scc import strongly_connected_components
+
+    # chain 10→11→…→29 feeding cycle 0→1→2→0, plus tail 2→30→31
+    edges = (
+        [(i, i + 1) for i in range(10, 29)]
+        + [(29, 0), (0, 1), (1, 2), (2, 0), (2, 30), (30, 31)]
+    )
+    g = Graph.from_edge_list(spark, edges, directed=True)
+    comp = {r["id"]: r["component"] for r in strongly_connected_components(g.edges).collect()}
+    assert comp[0] == comp[1] == comp[2] == 2
+    singles = [i for i in range(10, 30)] + [30, 31]
+    for i in singles:
+        assert comp[i] == i  # trimmed → own SCC
+    assert len(comp) == 25
+
+
 def test_luby_mis(spark):
     from icebug_spark.operators.independent import luby_mis
 
