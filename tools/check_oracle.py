@@ -65,23 +65,35 @@ def _log(msg: str) -> None:
 
 
 def run_one(spark, con, sf_dir: str, name: str, fn, sql) -> dict:
-    """Run one query + oracle compare; returns the result record."""
+    """Run one query + oracle compare; returns the result record.
+
+    ``secs`` is total wall (spark + oracle + compare); ``spark_secs``
+    and ``oracle_secs`` are recorded separately and the over-budget
+    flag is decided by SPARK time alone — the budget exists to catch
+    OUR tail regressions, and at sf0.1 the DuckDB twin can dominate
+    (its recursive-CTE connected components runs ~80 s while the Spark
+    side takes 3 s; flagging that line would blame the wrong engine)."""
     t0 = time.time()
+    timings = {"spark_secs": None, "oracle_secs": None}
 
     def record(status: str, detail: str | None = None, rows: int | None = None):
         secs = round(time.time() - t0, 1)
-        if secs > BUDGET_SECS:
-            _log(f"OVER-BUDGET {name}: {secs}s > {BUDGET_SECS}s")
+        sp = timings["spark_secs"]
+        over = sp is not None and sp > BUDGET_SECS
+        if over:
+            _log(f"OVER-BUDGET {name}: spark {sp}s > {BUDGET_SECS}s")
         return {
             "status": status,
             "rows": rows,
             "secs": secs,
-            "over_budget": secs > BUDGET_SECS,
+            **timings,
+            "over_budget": over,
             "detail": detail,
         }
 
     try:
         sdf = fn(spark, sf_dir).toPandas()
+        timings["spark_secs"] = round(time.time() - t0, 1)
     except Exception as exc:  # noqa: BLE001
         _log(f"FAIL {name}: spark error: {exc}")
         return record("fail", f"spark error: {str(exc)[:300]}")
@@ -90,7 +102,9 @@ def run_one(spark, con, sf_dir: str, name: str, fn, sql) -> dict:
         return record("rows_only", rows=len(sdf))
     try:
         # cursor() gives this thread its own view of the shared catalog
+        t1 = time.time()
         odf = con.cursor().sql(sql).df()
+        timings["oracle_secs"] = round(time.time() - t1, 1)
     except Exception as exc:  # noqa: BLE001
         _log(f"FAIL {name}: duckdb error: {str(exc)[:300]}")
         return record("fail", f"duckdb error: {str(exc)[:300]}")
@@ -171,11 +185,12 @@ def main() -> int:
         for name in flagged:
             fn, sql = ALL[name]
             iso = run_one(spark, con, sf_dir, name, fn, sql)
-            results[name]["isolated_secs"] = iso["secs"]
-            results[name]["over_budget"] = iso["secs"] > BUDGET_SECS
+            iso_spark = iso["spark_secs"] if iso["spark_secs"] is not None else iso["secs"]
+            results[name]["isolated_secs"] = iso_spark
+            results[name]["over_budget"] = iso_spark > BUDGET_SECS
             _log(
-                f"ISOLATED RE-MEASURE {name}: {iso['secs']}s "
-                f"({'still over' if iso['secs'] > BUDGET_SECS else 'under'} "
+                f"ISOLATED RE-MEASURE {name}: spark {iso_spark}s "
+                f"({'still over' if iso_spark > BUDGET_SECS else 'under'} "
                 f"budget {BUDGET_SECS}s)"
             )
     # SPARK_GRAFT_ARTIFACT names an artifact to write even for a
