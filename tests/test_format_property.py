@@ -1,0 +1,115 @@
+"""Cross-format round-trip property test: random graphs through every
+lossless whole-graph container (NetworkitBinary, GraphToolBinary,
+Parquet) must come back edge-identical.
+
+Hypothesis drives the GRAPH SHAPE (node count, edge set, directedness,
+weights incl. negative/fractional, self-loops); the Spark work per
+example is bounded (≤ 12 nodes). Formats with documented lossy id
+mapping (GraphML positional compaction, MAT unweighted) are excluded —
+their exact semantics are pinned in tests/test_readers45.py."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from icebug_spark.graph.core import Graph
+from icebug_spark.sources import readers3, readers6
+
+
+@st.composite
+def graphs(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    directed = draw(st.booleans())
+    weighted = draw(st.booleans())
+    pairs = draw(
+        st.sets(
+            st.tuples(
+                st.integers(min_value=0, max_value=n - 1),
+                st.integers(min_value=0, max_value=n - 1),
+            ),
+            max_size=20,
+        )
+    )
+    if not directed:  # canonical storage for undirected
+        pairs = {(min(u, v), max(u, v)) for (u, v) in pairs}
+    edges = sorted(pairs)
+    if weighted:
+        ws = draw(
+            st.lists(
+                st.one_of(
+                    st.integers(min_value=-50, max_value=50).map(float),
+                    st.sampled_from([0.5, -2.25, 3.75, 1e6]),
+                ),
+                min_size=len(edges),
+                max_size=len(edges),
+            )
+        )
+        edges = [(u, v, w) for (u, v), w in zip(edges, ws)]
+    return n, directed, weighted, edges
+
+
+def _build(spark, n, directed, weighted, edges):
+    schema = "src BIGINT, dst BIGINT" + (", weight DOUBLE" if weighted else "")
+    e = (
+        spark.createDataFrame(edges, schema.replace(" BIGINT", " long"))
+        if edges
+        else spark.createDataFrame([], schema)
+    )
+    return Graph(
+        e,
+        vertices=spark.range(n).selectExpr("id"),
+        directed=directed,
+        weighted=weighted,
+    )
+
+
+def _edge_set(g, weighted):
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    return sorted(tuple(r) for r in g.edges.select(*cols).collect())
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(graphs())
+def test_nkbg_roundtrip_random(spark, tmp_path_factory, gdef):
+    n, directed, weighted, edges = gdef
+    g = _build(spark, n, directed, weighted, edges)
+    p = str(tmp_path_factory.mktemp("nkbg") / "g.nkb")
+    readers6.write_networkit_binary(g, p, chunks=3)
+    g2 = readers6.read_networkit_binary(spark, p)
+    assert g2.directed == directed and g2.weighted == weighted
+    want = sorted(edges) if weighted else sorted((u, v) for (u, v) in edges)
+    assert _edge_set(g2, weighted) == [tuple(e) for e in want]
+    assert sorted(r["id"] for r in g2.vertices.collect()) == list(range(n))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(graphs())
+def test_parquet_roundtrip_random(spark, tmp_path_factory, gdef):
+    n, directed, weighted, edges = gdef
+    g = _build(spark, n, directed, weighted, edges)
+    p = str(tmp_path_factory.mktemp("pq") / "g.parquet")
+    readers3.write_graph_parquet(g, p)
+    g2 = readers3.read_graph_parquet(spark, p)
+    assert g2.directed == directed and g2.weighted == weighted
+    assert _edge_set(g2, weighted) == [tuple(e) for e in sorted(edges)]
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_graphtool_roundtrip_examples(spark, tmp_path, directed):
+    edges = [(0, 1), (1, 2), (0, 2), (3, 3)]
+    g = Graph(
+        Graph.from_edge_list(spark, edges, directed=directed).edges,
+        vertices=spark.range(5).selectExpr("id"),
+        directed=directed,
+    )
+    p = str(tmp_path / f"g{int(directed)}.gt")
+    readers3.write_graphtool_binary(g, p)
+    g2 = readers3.read_graphtool_binary(spark, p)
+    assert _edge_set(g2, False) == sorted(edges)
