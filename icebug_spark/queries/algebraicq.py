@@ -86,7 +86,11 @@ lcc AS (
   WHERE d.deg >= 2
 )
 SELECT ROUND(3.0 * tri.n_tri / GREATEST(wed.n_wedges, 1), 6) AS global_cc,
-       ROUND((SELECT AVG(lcc) FROM lcc), 6) AS avg_cc
+       -- the Spark operator emits per-node lcc ROUNDED to 6dp (q25's
+       -- compared surface), so the average must be over the rounded
+       -- values too: averaging raw lcc differs by ~5e-9 and flipped the
+       -- final 6dp at sf0.1 (0.0716205032 vs 0.0716204980 raw)
+       ROUND((SELECT AVG(ROUND(lcc, 6)) FROM lcc), 6) AS avg_cc
 FROM tri, wed
 """
 
