@@ -380,12 +380,18 @@ def k_path_centrality(
     walks_per_node: int = 4,
     seed: int = 11,
 ) -> DataFrame:
-    """KPathCentrality (``centrality/KPathCentrality.hpp:18``): random
-    simple paths of length ≤ k from every node; score(v) = visits of v as
-    an interior node / total walks. Walks advance in lock-step (one join
-    per hop, all walks at once); next hop chosen by seeded hash over
-    not-yet-visited neighbors (visited kept as an array column).
-    → (id, kpath) 6dp."""
+    """KPathCentrality (``centrality/KPathCentrality.hpp:18``,
+    ``KPathCentrality.cpp:52-97``): random simple paths; like the
+    reference, each walk draws a length l uniform in 1..k and EVERY
+    arrival is counted (``counter[v]++`` per hop — the final endpoint
+    included, so a degree-1 node reached by a walk scores too).
+    Distributed re-parameterization (documented): walks are stratified
+    (``walks_per_node`` per start) instead of t random starts, and the
+    score is visits / total walks instead of the reference's
+    k·n·counter/t scaling — same ranking, bounded [0, 1]. Walks advance
+    in lock-step (one join per hop, all walks at once); next hop chosen
+    by seeded hash over not-yet-visited neighbors (visited kept as an
+    array column). → (id, kpath) 6dp."""
     eu = edges_undirected.select("src", "dst")
     eu = eu.union(
         eu.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -401,13 +407,17 @@ def k_path_centrality(
         F.concat_ws("_", "id", "w").alias("walk"),
         F.col("id").alias("cur"),
         F.array("id").alias("visited"),
+        # per-walk length l ~ uniform{1..k} (KPathCentrality.cpp:54)
+        (F.pmod(F.xxhash64(F.lit(seed), F.concat_ws("_", "id", "w")), F.lit(k)) + 1)
+        .alias("l"),
     ).localCheckpoint(eager=True)
 
     visits = []
     cur = walks
     for hop in range(k):
         step = (
-            cur.join(eu.withColumnRenamed("src", "cur"), "cur")
+            cur.where(F.col("l") > hop)
+            .join(eu.withColumnRenamed("src", "cur"), "cur")
             .where(~F.array_contains("visited", F.col("dst")))
         )
         wnd = Window.partitionBy("walk").orderBy(
@@ -420,13 +430,14 @@ def k_path_centrality(
                 "walk",
                 F.col("dst").alias("cur"),
                 F.array_union("visited", F.array("dst")).alias("visited"),
+                "l",
             )
             .localCheckpoint(eager=True)
         )
         if nxt.limit(1).count() == 0:
             break
-        if hop < k - 1:  # interior visits only (endpoints excluded)
-            visits.append(nxt.select(F.col("cur").alias("id")))
+        # every arrival counts (KPathCentrality.cpp:88 counter[v]++)
+        visits.append(nxt.select(F.col("cur").alias("id")))
         cur = nxt
 
     if not visits:

@@ -56,6 +56,18 @@ def test_k_path_centrality_interior_dominates(spark):
     assert kp[0] > max(leaves)
 
 
+def test_k_path_counts_endpoint_arrivals(spark):
+    """Reference rule (KPathCentrality.cpp:88): counter[v]++ on EVERY
+    arrival, endpoints included — on a single edge, each node is the
+    forced first hop of the other's walks, so both score > 0 (the old
+    interior-only rule scored a 2-node path all-zero)."""
+    from icebug_spark.operators.centrality4 import k_path_centrality
+
+    eu = _sym(spark, [(0, 1)])
+    kp = {r["id"]: r["kpath"] for r in k_path_centrality(eu, k=3, walks_per_node=2).collect()}
+    assert kp[0] > 0.0 and kp[1] > 0.0
+
+
 def test_gedwalk_group_picks_hub_first(spark):
     from icebug_spark.operators.centrality4 import gedwalk_group
 
