@@ -212,36 +212,48 @@ ORDER BY objective
 
 
 # q110 — EXACT 2-hop pruned landmark labeling (PrunedLandmarkLabeling.hpp:12):
-# pairwise distances from the hub-label join for a 15x15 pair grid. Unlike
+# pairwise distances from the hub-label join for a pair grid. Unlike
 # q81's approximate landmarks, PLL distances are exact, so the twin is the
 # plain recursive-BFS CTE — a full value oracle for the labeling.
-_PLL_GRID = 15
+# The certificate runs on the (src%7<2, dst%7<2) induced subgraph — the
+# SQL-expressible density cap (the q140/q141 convention) that keeps the
+# certified graph under the exact-PLL driver guard (pll.py max_edges) at
+# EVERY sf: exact PLL construction is sequential by nature (SURVEY risk
+# register), so the certificate scales the graph, not the guard — at
+# sf0.1 the full graph is 586k arcs but the subgraph is ~48k.
+_PLL_GRID = 50  # grid ids scanned; %7<2 keeps 15 of them
 
 
 def q110(spark: SparkSession, sf: str) -> DataFrame:
     from icebug_spark.operators.pll import pll_distance, pll_label_table
 
-    eu = _eu(spark, sf)
+    eu = _eu(spark, sf).where(
+        (F.col("src") % 7 < 2) & (F.col("dst") % 7 < 2)
+    )
     labels = pll_label_table(eu)
+    grid = (
+        spark.range(_PLL_GRID).where(F.col("id") % 7 < 2).select("id")
+    )
     pairs = (
-        spark.range(_PLL_GRID)
-        .select(F.col("id").alias("u"))
-        .crossJoin(spark.range(_PLL_GRID).select(F.col("id").alias("v")))
+        grid.select(F.col("id").alias("u"))
+        .crossJoin(grid.select(F.col("id").alias("v")))
         .where(F.col("u") != F.col("v"))
     )
     return pll_distance(labels, pairs)
 
 
 Q110_SQL = f"""
-WITH RECURSIVE eu AS ({_EU_INLINE}),
+WITH RECURSIVE eu AS (
+  SELECT src, dst FROM ({_EU_INLINE}) WHERE src % 7 < 2 AND dst % 7 < 2
+),
 bfs(source, node, dist) AS (
   SELECT src, src, 0 FROM eu WHERE src < {_PLL_GRID}
   UNION
   SELECT b.source, eu.dst, b.dist + 1
   FROM bfs b JOIN eu ON eu.src = b.node
   -- PLL distances are exact and unbounded, so this oracle's depth cap
-  -- must dominate the graph's diameter (observed ~6 on the derived graph
-  -- at every sf; 20 matches the engine-side max_hops ceilings) or
+  -- must dominate the subgraph's diameter (observed ~8 on the filtered
+  -- derived graph; 20 matches the engine-side max_hops ceilings) or
   -- long-path pairs would vanish from the oracle only.
   WHERE b.dist < 20
 ),
