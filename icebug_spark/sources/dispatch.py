@@ -216,6 +216,38 @@ def read_graph(spark: SparkSession, path: str, fmt: str | None = None, **kwargs)
     return dispatch[fmt]()
 
 
+def read_graphs(
+    spark: SparkSession,
+    dir_path: str,
+    pattern: str,
+    fmt: str | None = None,
+    some: int | None = None,
+    exclude: str | None = None,
+    **kwargs,
+) -> dict:
+    """readGraphs (``graphio.pyx:1349``): walk ``dir_path``, read every
+    file whose name fnmatches ``pattern`` (minus ``exclude``) with
+    ``read_graph``; stop after ``some`` graphs. Returns {sequential id →
+    Graph} like the reference (its graph_id counter)."""
+    import fnmatch
+
+    graphs: dict = {}
+    graph_id = 0
+    for root, _dirs, files in os.walk(dir_path):
+        for file in sorted(files):  # deterministic across filesystems
+            if not fnmatch.fnmatch(file, pattern):
+                continue
+            if exclude is not None and fnmatch.fnmatch(file, exclude):
+                continue
+            graphs[graph_id] = read_graph(
+                spark, os.path.join(root, file), fmt, **kwargs
+            )
+            graph_id += 1
+            if some and len(graphs) == some:
+                return graphs
+    return graphs
+
+
 _EXT_TO_FMT = {
     ".graphml": "GraphML",
     ".gexf": "GEXF",

@@ -80,3 +80,26 @@ def test_guess_metis_trailing_blank_line(spark, tmp_path):
     p = tmp_path / "t.metis"
     p.write_text("3 2\n2 3\n1\n1\n\n")
     assert dispatch.guess_file_format(str(p)) == "METIS"
+
+
+def test_read_graphs_directory_batch(spark, tmp_path):
+    """readGraphs parity (graphio.pyx:1349): fnmatch pattern + exclude +
+    some cap over a directory walk, sequential integer keys."""
+    from icebug_spark.graph.core import Graph
+    from icebug_spark.sources.dispatch import read_graphs, write_graph
+
+    for i in range(3):
+        g = Graph.from_edge_list(spark, [(0, i + 1)], directed=False)
+        write_graph(g, str(tmp_path / f"g{i}.nkb"))
+    write_graph(
+        Graph.from_edge_list(spark, [(0, 9)], directed=False),
+        str(tmp_path / "skip.nkb"),
+    )
+    got = read_graphs(spark, str(tmp_path), "*.nkb", exclude="skip*")
+    assert sorted(got) == [0, 1, 2]
+    all_edges = sorted(
+        tuple(r) for k in got for r in got[k].edges.select("src", "dst").collect()
+    )
+    assert all_edges == [(0, 1), (0, 2), (0, 3)]
+    capped = read_graphs(spark, str(tmp_path), "*.nkb", some=2)
+    assert len(capped) == 2
