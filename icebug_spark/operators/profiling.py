@@ -80,3 +80,103 @@ def profile(
         rows.append(("degree_assortativity", float(a) if a is not None else 0.0))
 
     return spark.createDataFrame(sorted(rows), "metric string, value double")
+
+
+def overview(g, include_clustering: bool = True) -> str:
+    """``nk.overview(G)`` (reference ``networkit/__init__.py:135``):
+    collect the basic network properties and print the reference's
+    report (also returned as a string). Same line set and number
+    formats: nodes/edges, directed?, weighted?, isolated nodes,
+    self-loops, density, clustering coefficient (only for loop-free
+    undirected graphs, like the reference), min/max/avg degree, degree
+    assortativity, component count + largest size — components are
+    STRONGLY connected for directed graphs (``:157-161``). Every stat
+    is a distributed aggregation; only scalars reach the driver."""
+    from icebug_spark.graph.core import Graph  # noqa: F401 (type context)
+    from icebug_spark.operators.scc import strongly_connected_components
+    from icebug_spark.operators.triangles import local_clustering_coefficient
+
+    spark = g.edges.sparkSession
+    eu = g.symmetrized().localCheckpoint(eager=True)
+    n = g.number_of_nodes()
+    m = g.edges.count()
+    self_loops = g.edges.where(F.col("src") == F.col("dst")).count()
+
+    # degrees over ALL vertices (isolated ⇒ 0), reference DegreeCentrality
+    deg = (
+        g.vertices.select("id")
+        .join(
+            eu.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("deg")
+            ),
+            "id",
+            "left",
+        )
+        .na.fill({"deg": 0})
+    )
+    ds = deg.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("deg") == 0, 1).otherwise(0)).alias("iso"),
+        F.min("deg").alias("mn"),
+        F.max("deg").alias("mx"),
+        F.avg("deg").alias("avg"),
+    ).collect()[0]
+
+    if g.directed:
+        comp = strongly_connected_components(g.edges)
+    else:
+        comp = connected_components(eu)
+    cs = (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(F.count(F.lit(1)).alias("k"), F.max("sz").alias("lcs"))
+        .collect()[0]
+    )
+    # components are computed over the edge-incident node set; each
+    # isolated vertex is its own component in the reference's Partition
+    n_iso = int(ds["iso"] or 0)
+    n_comp = int(cs["k"] or 0) + n_iso
+    lcs = max(int(cs["lcs"] or 0), 1 if n else 0)
+
+    lines = [
+        "Network Properties:",
+        f"nodes, edges\t\t\t{n}, {m}",
+        f"directed?\t\t\t{g.directed}",
+        f"weighted?\t\t\t{g.weighted}",
+        f"isolated nodes\t\t\t{int(ds['iso'] or 0)}",
+        f"self-loops\t\t\t{self_loops}",
+        "density\t\t\t\t{:.6f}".format(
+            (m / (n * (n - 1)) if g.directed else 2 * m / (n * (n - 1)))
+            if n > 1
+            else 0.0
+        ),
+    ]
+    if include_clustering and self_loops == 0 and not g.directed:
+        lcc_avg = (
+            deg.join(local_clustering_coefficient(eu), "id", "left")
+            .na.fill({"lcc": 0.0})
+            .agg(F.avg("lcc"))
+            .collect()[0][0]
+        )
+        lines.append(
+            "clustering coefficient\t\t{:.6f}".format(float(lcc_avg or 0.0))
+        )
+    lines.append(
+        "min/max/avg degree\t\t{:d}, {:d}, {:.6f}".format(
+            int(ds["mn"] or 0), int(ds["mx"] or 0), float(ds["avg"] or 0.0)
+        )
+    )
+    lines.append(
+        "degree assortativity\t\t{:.6f}".format(
+            float(degree_assortativity(eu).collect()[0][0] or 0.0)
+        )
+    )
+    lines.append(f"number of connected components\t{n_comp}")
+    lines.append(
+        "size of largest component\t{} ({:.2f} %)".format(
+            lcs, 100.0 * lcs / n if n else 0.0
+        )
+    )
+    report = "\n".join(lines)
+    print(report)
+    return report

@@ -71,3 +71,32 @@ def test_render_gate_matches_reference(spark):
         pytest.skip("matplotlib present; gate not exercisable")
     with pytest.raises(MissingDependencyError, match="matplotlib"):
         plot.plot_degree_distribution(_toy(spark))
+
+
+def test_overview_report(spark, capsys):
+    """nk.overview parity (networkit/__init__.py:135): line set, number
+    formats, SCC-for-directed component rule."""
+    from icebug_spark.operators.profiling import overview
+
+    g = _toy(spark)
+    report = overview(g)
+    lines = report.splitlines()
+    assert lines[0] == "Network Properties:"
+    assert "nodes, edges\t\t\t5, 4" in report
+    assert "directed?\t\t\tFalse" in report
+    assert "isolated nodes\t\t\t1" in report
+    assert "self-loops\t\t\t0" in report
+    assert "density\t\t\t\t0.400000" in report  # 2*4/(5*4)
+    assert "clustering coefficient" in report
+    assert "min/max/avg degree\t\t0, 3, 1.600000" in report
+    assert "number of connected components\t2" in report
+    assert "size of largest component\t4 (80.00 %)" in report
+    # directed graphs use SCC and skip the clustering line
+    gd = Graph(
+        Graph.from_edge_list(spark, [(0, 1), (1, 0), (1, 2)], directed=True).edges,
+        vertices=spark.range(3).selectExpr("id"),
+        directed=True,
+    )
+    rd = overview(gd)
+    assert "clustering coefficient" not in rd
+    assert "number of connected components\t2" in rd  # {0,1}, {2}
