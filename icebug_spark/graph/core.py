@@ -58,6 +58,60 @@ class Graph:
         return cls(df.select(*casts), directed=directed, weighted=weighted)
 
     @classmethod
+    def from_coo(
+        cls, spark, input_data, n: int = 0, weighted: bool = False,
+        directed: bool = False,
+    ) -> "Graph":
+        """GraphFromCoo (reference ``networkit/graph.pyx:2266``): build
+        from triplet/ijv data — ``(data, (i, j))`` or ``(i, j)`` array
+        tuples (the reference also takes a scipy coo_matrix; scipy is
+        absent here, so pass its ``(mat.data, (mat.row, mat.col))``).
+        Pairs without data get weight 1.0 even when ``weighted`` (the
+        reference note); ``n`` pre-declares the vertex set like the
+        reference's Graph(n). Undirected graphs store canonical
+        (min, max) arcs — the engine's single-storage convention for the
+        reference's double insertion."""
+        import numpy as np
+        import pandas as pd
+
+        if len(input_data) == 2 and not isinstance(input_data[1], tuple):
+            i, j = input_data
+            data = None
+        else:
+            data, (i, j) = input_data
+        i = np.asarray(i, dtype="int64")
+        j = np.asarray(j, dtype="int64")
+        if not directed:
+            i, j = np.minimum(i, j), np.maximum(i, j)
+        cols = {"src": i, "dst": j}
+        if weighted:
+            cols["weight"] = (
+                np.ones(len(i)) if data is None
+                else np.asarray(data, dtype="float64")
+            )
+        pdf = pd.DataFrame(cols)
+        if not directed:
+            agg = {"weight": "max"} if weighted else None
+            pdf = (
+                pdf.groupby(["src", "dst"], as_index=False).agg(agg)
+                if agg
+                else pdf.drop_duplicates()
+            )
+        schema = "src long, dst long" + (", weight double" if weighted else "")
+        edges = (
+            spark.createDataFrame(pdf)
+            if len(pdf)
+            else spark.createDataFrame([], schema)
+        )
+        vertices = (
+            spark.range(max(int(n), int(i.max() + 1 if len(i) else 0),
+                            int(j.max() + 1 if len(j) else 0))).select("id")
+            if (n or len(i))
+            else None
+        )
+        return cls(edges, vertices=vertices, directed=directed, weighted=weighted)
+
+    @classmethod
     def from_csr(cls, spark, indptr, indices, weights=None, directed=True) -> "Graph":
         """Zero-copy-ish CSR ingest (parity with ``Graph.fromCSR``,
         reference ``networkit/graph.pyx:83-232``): CSR → (src, dst) pairs

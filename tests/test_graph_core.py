@@ -123,3 +123,22 @@ def test_edge_lookups(spark):
     gd = Graph.from_edge_list(spark, [(0, 1)], directed=True)
     assert tools.has_edge(gd, 0, 1) and not tools.has_edge(gd, 1, 0)
     assert tools.edge_weight(gd, 0, 1) == 1.0
+
+
+def test_from_coo_variants(spark):
+    """GraphFromCoo parity (graph.pyx:2266): (i,j) pairs weight-1.0 even
+    when weighted; (data,(i,j)) triplets; n pre-declares vertices;
+    undirected pairs collapse to canonical storage."""
+    import numpy as np
+
+    i, j = np.array([0, 2, 1]), np.array([1, 0, 2])
+    g = Graph.from_coo(spark, (i, j), n=5, weighted=True)
+    rows = sorted(tuple(r) for r in g.edges.collect())
+    assert rows == [(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0)]
+    assert g.vertices.count() == 5 and not g.directed and g.weighted
+
+    d = np.array([2.5, 0.5, 1.5])
+    gd = Graph.from_coo(spark, (d, (i, j)), weighted=True, directed=True)
+    rows = sorted(tuple(r) for r in gd.edges.collect())
+    assert rows == [(0, 1, 2.5), (1, 2, 1.5), (2, 0, 0.5)]
+    assert gd.vertices.count() == 3
