@@ -142,3 +142,43 @@ def test_streaming_window_matches_batch(spark, sf_dir, tmp_path):
         for r in run_batch_equivalent(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_text_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    """The text-analysis pipeline (stats -> quality -> language id) is
+    pure stateless column algebra, so the SAME functions run unchanged
+    on a readStream source — the streaming-ingest shape of a training
+    -data filter. Prove stream == batch on the documents table."""
+    import shutil
+
+    from icebug_spark.llm.textstats import language_id, quality_score
+
+    src = str(tmp_path / "docs")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").write.parquet(src)
+    batch_docs = spark.read.parquet(src)
+    want = sorted(
+        tuple(r)
+        for r in quality_score(batch_docs)
+        .join(language_id(batch_docs).select("doc_id", "pred_lang"), "doc_id")
+        .select("doc_id", "quality", "pred_lang")
+        .collect()
+    )
+
+    stream = spark.readStream.schema(batch_docs.schema).parquet(src)
+    out = (
+        quality_score(stream)
+        .join(language_id(stream).select("doc_id", "pred_lang"), "doc_id")
+        .select("doc_id", "quality", "pred_lang")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("txtpipe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM txtpipe").collect())
+    assert got == want
+    shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
