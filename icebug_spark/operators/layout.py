@@ -262,3 +262,101 @@ def layout_stress(edges_undirected: DataFrame, coords: DataFrame) -> float:
     )
     row = d.agg(F.sum(F.pow(F.col("nrm") - 1.0, 2)).alias("s")).collect()[0]
     return float(row["s"] or 0.0) / 2.0  # both directions present
+
+
+#: the reference's 24-color cyclic palette (PostscriptWriter.cpp:21-29)
+_PS_COLORS = [
+    (1.0, 0.0, 0.0), (1.0, 0.5, 0.0), (1.0, 1.0, 0.0), (0.5, 1.0, 0.0),
+    (0.0, 1.0, 0.0), (0.0, 1.0, 0.5), (0.0, 1.0, 1.0), (0.0, 0.5, 1.0),
+    (0.0, 0.0, 1.0), (0.5, 0.0, 1.0), (1.0, 0.0, 1.0), (1.0, 0.0, 0.5),
+    (0.6, 0.0, 0.0), (0.6, 0.3, 0.0), (0.6, 0.6, 0.0), (0.3, 0.6, 0.0),
+    (0.0, 0.6, 0.0), (0.0, 0.6, 0.3), (0.0, 0.6, 0.6), (0.0, 0.3, 0.6),
+    (0.0, 0.0, 0.6), (0.3, 0.0, 0.6), (0.6, 0.0, 0.6), (0.6, 0.0, 0.3),
+]
+
+
+def write_postscript(
+    edges: DataFrame,
+    layout: DataFrame,
+    path: str,
+    clustering: DataFrame | None = None,
+    torus: bool = False,
+) -> None:
+    """PostscriptWriter (``viz/PostscriptWriter.hpp:25``,
+    ``PostscriptWriter.cpp:37-167``): EPS drawing of a laid-out graph —
+    1020x1020 canvas, coordinates affinely scaled into the bounding box,
+    one ``p x y m x y l s`` line per edge, one ``p x y 2.0 0 360 a s``
+    dot per node, 3-decimal fixed formatting and the reference's macro
+    block + 24-color cyclic cluster palette (same-cluster edges colored,
+    cross-cluster edges grey, uncolored nodes black). ``torus=True``
+    mirrors the wrap-around header and the ±500 edge-shortening rule.
+
+    ``layout`` is (id, x, y) — the output of :func:`pivot_mds` /
+    :func:`maxent_stress`; ``clustering`` optional (id, cluster). The
+    draw list is one driver pass over the collected coordinates (a
+    rendered figure is a small-graph artifact; the layout itself is the
+    distributed part)."""
+    pts = {int(r["id"]): (float(r["x"]), float(r["y"])) for r in layout.collect()}
+    cl = (
+        {int(r["id"]): int(r["cluster"]) for r in clustering.collect()}
+        if clustering is not None
+        else {}
+    )
+    es = [
+        (int(r["src"]), int(r["dst"]))
+        for r in edges.select("src", "dst").collect()
+        if int(r["src"]) in pts and int(r["dst"]) in pts
+    ]
+    size, border = 1020.0, 0.0
+    xs = [p[0] for p in pts.values()] or [0.0]
+    ys = [p[1] for p in pts.values()] or [0.0]
+    mnx, mny, mxx, mxy = min(xs), min(ys), max(xs), max(ys)
+    sx = (size - 2 * border) / (mxx - mnx) if mxx > mnx else 1.0
+    sy = (size - 2 * border) / (mxy - mny) if mxy > mny else 1.0
+
+    def adj(p):
+        return ((p[0] - mnx) * sx + border, (p[1] - mny) * sy + border)
+
+    lines = []
+    lines.append("%!PS-Adobe-3.0 EPSF-3.0" if torus else "%!PS-Adobe-1.0")
+    lines.append("%%Title: NetworKit visualization")
+    lines.append(f"%%BoundingBox: 0.000 0.000 {size:.3f} {size:.3f}")
+    lines.append("%%EndComments")
+    if not torus:
+        lines.append("%%EndProlog")
+        lines.append("gsave")
+    lines.append(
+        "/p {newpath} bind def\n/m {moveto} bind def\n"
+        "/r {rmoveto} bind def\n/k {rlineto} bind def\n"
+        "/l {lineto} bind def\n/n {rlineto} bind def\n"
+        "/c {setrgbcolor} bind def\n/s {stroke} bind def\n"
+        "/w {setlinewidth} bind def\n/h {show} bind def\n"
+        "/a {arc closepath fill} bind def\n/b {closepath eofill} bind def"
+    )
+    lines.append("0.000 0.000 0.000 c")
+    for u, v in es:
+        cu, cv = cl.get(u), cl.get(v)
+        if cu is not None and cu == cv:
+            r, g, b = _PS_COLORS[cu % len(_PS_COLORS)]
+            pre = f"{r:.3f} {g:.3f} {b:.3f} c "
+        else:
+            pre = "0.80 0.80 0.80 c 1.0 w "
+        (x0, y0), (x1, y1) = adj(pts[u]), adj(pts[v])
+        if torus:  # shorten wrap-around edges (PostscriptWriter.cpp:104)
+            dx, dy = x1 - x0, y1 - y0
+            dx += -1000.0 if dx > 500.0 else (1000.0 if dx < -500.0 else 0.0)
+            dy += -1000.0 if dy > 500.0 else (1000.0 if dy < -500.0 else 0.0)
+            x1, y1 = x0 + dx, y0 + dy
+        lines.append(f"{pre}p {x0:.3f} {y0:.3f} m {x1:.3f} {y1:.3f} l s")
+    for u, p in sorted(pts.items()):
+        if u in cl:
+            r, g, b = _PS_COLORS[cl[u] % len(_PS_COLORS)]
+            lines.append(f"{r:.3f} {g:.3f} {b:.3f} c ")
+        else:
+            lines.append("0.0 0.0 0.0 c ")
+        x, y = adj(p)
+        lines.append(f"p {x:.3f} {y:.3f} 2.0 0.00 360.00 a s")
+    if not torus:
+        lines.append("grestore")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -76,3 +76,39 @@ def test_maxent_stress_spreads_star(spark):
         for j in range(i + 1, len(leaves)):
             d = sum((p - q) ** 2 for p, q in zip(leaves[i], leaves[j])) ** 0.5
             assert d > 1e-4
+
+
+def test_write_postscript(spark, tmp_path):
+    """PostscriptWriter parity (viz/PostscriptWriter.cpp:37-167): header
+    variant by torus flag, macro block, scaled edge/node draw commands,
+    cluster palette for same-cluster edges, grey for cross-cluster."""
+    from icebug_spark.operators.layout import write_postscript
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src long, dst long"
+    )
+    layout = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, 0.0, 1.0)], "id long, x double, y double"
+    )
+    p = str(tmp_path / "g.eps")
+    write_postscript(edges, layout, p)
+    txt = open(p).read()
+    assert txt.startswith("%!PS-Adobe-1.0\n")
+    assert "%%BoundingBox: 0.000 0.000 1020.000 1020.000" in txt
+    assert "/a {arc closepath fill} bind def" in txt
+    assert txt.count(" l s") == 3  # one stroked line per edge
+    assert txt.count("360.00 a s") == 3  # one dot per node
+    assert "p 0.000 0.000 m 1020.000 0.000 l s" in txt
+
+    clustering = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1)], "id long, cluster long"
+    )
+    p2 = str(tmp_path / "gc.eps")
+    write_postscript(edges, layout, p2, clustering=clustering)
+    txt2 = open(p2).read()
+    assert "1.000 0.000 0.000 c p" in txt2  # cluster-0 edge colored red
+    assert txt2.count("0.80 0.80 0.80 c") == 2  # two cross-cluster edges
+
+    p3 = str(tmp_path / "gt.eps")
+    write_postscript(edges, layout, p3, torus=True)
+    assert open(p3).read().startswith("%!PS-Adobe-3.0 EPSF-3.0\n")
