@@ -100,3 +100,23 @@ def test_overview_report(spark, capsys):
     rd = overview(gd)
     assert "clustering coefficient" not in rd
     assert "number of connected components\t2" in rd  # {0,1}, {2}
+
+
+def test_nxadapter_gate(spark):
+    """nxadapter mirrors the reference's have_nx gate: without networkx
+    both directions raise MissingDependencyError; with it they convert."""
+    from icebug_spark import nxadapter
+
+    g = _toy(spark)
+    if not nxadapter.have_nx:
+        with pytest.raises(MissingDependencyError, match="networkx"):
+            nxadapter.to_networkx(g)
+        with pytest.raises(MissingDependencyError, match="networkx"):
+            nxadapter.from_networkx(spark, object())
+    else:
+        nxg = nxadapter.to_networkx(g)
+        assert nxg.number_of_nodes() == 5 and nxg.number_of_edges() == 4
+        g2 = nxadapter.from_networkx(spark, nxg)
+        assert sorted(
+            (r["src"], r["dst"]) for r in g2.edges.collect()
+        ) == sorted(EDGES)
