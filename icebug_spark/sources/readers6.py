@@ -47,7 +47,6 @@ import struct
 import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 from icebug_spark.graph.core import Graph
 
