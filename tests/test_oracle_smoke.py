@@ -48,3 +48,31 @@ def test_query_matches_oracle(spark, sf_dir, oracle, name):
     odf = _normalize(oracle.sql(sql).df())
     assert list(sdf.columns) == list(odf.columns)
     pd.testing.assert_frame_equal(sdf, odf, check_dtype=False, check_exact=True)
+
+
+def test_round_parity_varchar_decimal_hop(spark):
+    """Cross-engine rounding pin (the q52 lesson): Spark's
+    round(double, d) rounds the SHORTEST-REPR decimal of the double
+    (BigDecimal.valueOf), so 41/640 — binary value just BELOW the
+    0.0640625 tie but printed as the tie — rounds UP; DuckDB's plain
+    ROUND on the exact binary value rounds DOWN. The
+    VARCHAR->DECIMAL(38,25) hop reproduces Spark's semantics in DuckDB.
+    Any future oracle that 6dp-rounds a quotient should use it."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    spark_val = (
+        spark.range(1)
+        .select(F.round(F.lit(41.0) / F.sqrt(F.lit(409600.0)), 6).alias("v"))
+        .collect()[0]["v"]
+    )
+    assert spark_val == 0.064063  # shortest-repr HALF_UP
+
+    con = duckdb.connect()
+    plain = con.sql("SELECT ROUND(41.0/SQRT(409600.0), 6)").fetchone()[0]
+    hopped = con.sql(
+        "SELECT CAST(ROUND(CAST(CAST(41.0/SQRT(409600.0) AS VARCHAR)"
+        " AS DECIMAL(38,25)), 6) AS DOUBLE)"
+    ).fetchone()[0]
+    assert plain == 0.064062  # exact-binary rounding disagrees
+    assert hopped == spark_val  # the hop restores parity
