@@ -72,14 +72,19 @@ def read_metis(spark: SparkSession, path: str) -> Graph:
     neighbors of node i (1-based), optionally weighted (fmt=1)."""
     
     rdd = spark.sparkContext.textFile(path).zipWithIndex()
-    rows = rdd.filter(lambda li: li[0].strip() and not li[0].startswith("%"))
+    # drop COMMENT lines only — a BLANK line is a node with no neighbors
+    # and must keep its position (an isolated node mid-file would
+    # otherwise shift every later node id; found by the format
+    # property test)
+    rows = rdd.filter(lambda li: not li[0].strip().startswith("%"))
     indexed = rows.zipWithIndex().map(lambda x: (x[1], x[0][0]))  # dense line no
     header = indexed.filter(lambda x: x[0] == 0).collect()[0][1].split()
+    n_declared = int(header[0])
     has_weights = len(header) > 2 and header[2].strip() in ("1", "011", "11")
 
     def parse(line_no_text):
         line_no, text = line_no_text
-        if line_no == 0:
+        if line_no == 0 or line_no > n_declared:  # header / trailing blanks
             return []
         u = line_no - 1  # 0-based node id
         toks = text.split()
@@ -94,12 +99,15 @@ def read_metis(spark: SparkSession, path: str) -> Graph:
         return out
 
     edges = indexed.flatMap(parse)
-    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
     # METIS lists each undirected edge twice — keep canonical orientation
     df = df.where(F.col("src") <= F.col("dst"))
     if not has_weights:
         df = df.select("src", "dst")
-    return Graph(df, directed=False, weighted=has_weights)
+    # the header declares the vertex set (reference Graph(n)) — keeps
+    # isolated nodes that no adjacency line mentions
+    vertices = spark.range(n_declared).select(F.col("id"))
+    return Graph(df, vertices=vertices, directed=False, weighted=has_weights)
 
 
 def write_metis(g: Graph, path: str) -> None:

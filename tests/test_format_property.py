@@ -113,3 +113,49 @@ def test_graphtool_roundtrip_examples(spark, tmp_path, directed):
     readers3.write_graphtool_binary(g, p)
     g2 = readers3.read_graphtool_binary(spark, p)
     assert _edge_set(g2, False) == sorted(edges)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(graphs())
+def test_metis_roundtrip_random(spark, tmp_path_factory, gdef):
+    """METIS round-trip over random graphs: undirected, unweighted,
+    loop-free view (the format's scope) — the edge SET must survive."""
+    from icebug_spark.sources import readers
+
+    n, directed, weighted, edges = gdef
+    pairs = sorted(
+        {(min(e[0], e[1]), max(e[0], e[1])) for e in edges if e[0] != e[1]}
+    )
+    g = _build(spark, n, False, False, pairs)
+    p = str(tmp_path_factory.mktemp("metis") / "g.metis")
+    readers.write_metis(g, p)
+    g2 = readers.read_metis(spark, p)
+    assert _edge_set(g2, False) == pairs
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(graphs())
+def test_edge_list_roundtrip_random(spark, tmp_path_factory, gdef):
+    """Edge-list round-trip (space separator, 1-indexed like
+    Format.EdgeListSpaceOne) over random weighted/unweighted graphs."""
+    from icebug_spark.sources import readers
+
+    n, directed, weighted, edges = gdef
+    if not edges:
+        return  # a headerless empty edge list is formatless
+    g = _build(spark, n, directed, weighted, edges)
+    p = str(tmp_path_factory.mktemp("el") / "g.edgelist")
+    readers.write_edge_list(g, p, separator=" ", first_node=1)
+    g2 = readers.read_edge_list(
+        spark, p, separator=r"\s+", first_node=1, directed=directed
+    )
+    assert g2.weighted == weighted
+    assert _edge_set(g2, weighted) == [tuple(e) for e in sorted(edges)]
