@@ -159,3 +159,50 @@ def test_edge_list_roundtrip_random(spark, tmp_path_factory, gdef):
     )
     assert g2.weighted == weighted
     assert _edge_set(g2, weighted) == [tuple(e) for e in sorted(edges)]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(graphs())
+def test_mtx_roundtrip_random(spark, tmp_path_factory, gdef):
+    """MatrixMarket round-trip over random graphs: symmetric for
+    undirected, general for directed, weights always written (real)."""
+    from icebug_spark.sources import readers2
+
+    n, directed, weighted, edges = gdef
+    if not edges:
+        return
+    g = _build(spark, n, directed, weighted, edges)
+    p = str(tmp_path_factory.mktemp("mtx") / "g.mtx")
+    readers2.write_mtx(g, p)
+    g2 = readers2.read_mtx(spark, p)
+    assert g2.directed == directed
+    want = (
+        sorted(edges)
+        if weighted
+        else sorted((u, v, 1.0) for (u, v) in edges)  # writer emits 1.0
+    )
+    assert _edge_set(g2, True) == [tuple(e) for e in want]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(graphs())
+def test_gml_roundtrip_random(spark, tmp_path_factory, gdef):
+    """GML round-trip over random graphs (unweighted scope)."""
+    from icebug_spark.sources import readers, readers3
+
+    n, directed, weighted, edges = gdef
+    pairs = sorted({(e[0], e[1]) for e in edges})
+    g = _build(spark, n, directed, False, pairs)
+    p = str(tmp_path_factory.mktemp("gml") / "g.gml")
+    readers3.write_gml(g, p)
+    g2 = readers.read_gml(spark, p)
+    assert g2.directed == directed
+    assert _edge_set(g2, False) == pairs
