@@ -360,3 +360,114 @@ def write_postscript(
         lines.append("grestore")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+def num_edge_crossings(edges: DataFrame, layout: DataFrame) -> int:
+    """GraphLayoutAlgorithm::numEdgeCrossings
+    (``viz/GraphLayoutAlgorithm.hpp:36``): count of edge pairs whose
+    drawn segments cross. Computed DISTRIBUTED: edges join their
+    endpoint coordinates, self-join on eid_a < eid_b, and a proper
+    segment-intersection test (signed-area orientation predicates, the
+    robust formulation) counts each crossing pair once.
+
+    Documented divergences from the reference's slope-intercept loop:
+    (1) its second intercept is computed with the FIRST edge's slope
+    (``b2 = p.y - m1*p.x``, hpp:48 — a bug that misplaces the
+    intersection test), (2) it divides by zero on vertical segments,
+    and (3) it counts pairs sharing an endpoint as crossings. This
+    implementation tests true proper crossings and excludes
+    endpoint-sharing pairs; for layouts in general position without
+    vertical lines the intended semantics agree."""
+    pts = layout.select("id", "x", "y")
+    e = (
+        edges.select("src", "dst")
+        .withColumn("eid", F.monotonically_increasing_id())
+        .join(pts.select(F.col("id").alias("src"), F.col("x").alias("x1"), F.col("y").alias("y1")), "src")
+        .join(pts.select(F.col("id").alias("dst"), F.col("x").alias("x2"), F.col("y").alias("y2")), "dst")
+        .localCheckpoint(eager=True)
+    )
+    a = e.select(
+        F.col("eid").alias("ea"), F.col("src").alias("ua"), F.col("dst").alias("va"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+        F.col("x2").alias("ax2"), F.col("y2").alias("ay2"),
+    )
+    b = e.select(
+        F.col("eid").alias("eb"), F.col("src").alias("ub"), F.col("dst").alias("vb"),
+        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+        F.col("x2").alias("bx2"), F.col("y2").alias("by2"),
+    )
+
+    def ccw(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    d1 = ccw(F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"), F.col("bx1"), F.col("by1"))
+    d2 = ccw(F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"), F.col("bx2"), F.col("by2"))
+    d3 = ccw(F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2"), F.col("ax1"), F.col("ay1"))
+    d4 = ccw(F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2"), F.col("ax2"), F.col("ay2"))
+    shares = (
+        (F.col("ua") == F.col("ub")) | (F.col("ua") == F.col("vb"))
+        | (F.col("va") == F.col("ub")) | (F.col("va") == F.col("vb"))
+    )
+    crossing = (d1 * d2 < 0) & (d3 * d4 < 0)
+    n = (
+        a.crossJoin(b)
+        .where((F.col("ea") < F.col("eb")) & ~shares & crossing)
+        .count()
+    )
+    return int(n)
+
+
+def write_layout_gml(edges: DataFrame, layout: DataFrame, path: str, directed: bool = False) -> None:
+    """GraphLayoutAlgorithm::writeGraphToGML
+    (``viz/GraphLayoutAlgorithm.hpp:74``): GML with per-node graphics
+    blocks, coordinates scaled by 50 like the reference."""
+    pts = sorted(
+        (int(r["id"]), float(r["x"]), float(r["y"])) for r in layout.collect()
+    )
+    es = sorted((int(r["src"]), int(r["dst"])) for r in edges.select("src", "dst").collect())
+    with open(path, "w") as f:
+        f.write("graph [\n")
+        if directed:
+            f.write("  directed 1\n")
+        for u, x, y in pts:
+            f.write(
+                f"  node [\n    id {u}\n    graphics\n"
+                f"    [ x {50 * x}\n      y {50 * y}\n    ]\n  ]\n"
+            )
+        for u, v in es:
+            f.write(f"  edge [\n    source {u}\n    target {v}\n  ]\n")
+        f.write("]\n")
+
+
+def write_kinemage(edges: DataFrame, layout3d: DataFrame, path: str) -> None:
+    """GraphLayoutAlgorithm::writeKinemage
+    (``viz/GraphLayoutAlgorithm.hpp:113``): kinemage text — header
+    directives, one ``{a} x y z`` ball per node, ``P``-prefixed vector
+    pairs per edge. Requires a 3-D layout (id, x, y, z) like the
+    reference's dimension guard."""
+    import os
+
+    cols = set(layout3d.columns)
+    if not {"x", "y", "z"} <= cols:
+        raise ValueError("write_kinemage requires a 3-D layout (id, x, y, z)")
+    pts = {
+        int(r["id"]): (float(r["x"]), float(r["y"]), float(r["z"]))
+        for r in layout3d.collect()
+    }
+    es = [(int(r["src"]), int(r["dst"])) for r in edges.select("src", "dst").collect()]
+    name = "/" + os.path.basename(path)
+    with open(path, "w") as f:
+        f.write("@whitebackground\n@zoom 1.0\n@zslab 240\n@center 0 0 0\n")
+        f.write("@master{points}\n")
+        f.write(f"@group{{{name}}}\n")
+        f.write("@balllist {a} color= blue master={points} radius= 0.05\n")
+        for u in sorted(pts):
+            x, y, z = pts[u]
+            f.write(f"{{a}}{x} {y} {z}\n")
+        f.write("\n@subgroup {edges} dominant\n@vectorlist {edges} color= white\n")
+        for u, v in es:
+            x, y, z = pts[u]
+            f.write(f"P {x} {y} {z}\n")
+            x, y, z = pts[v]
+            f.write(f"{x} {y} {z}\n")
+        f.write("\n")

@@ -112,3 +112,50 @@ def test_write_postscript(spark, tmp_path):
     p3 = str(tmp_path / "gt.eps")
     write_postscript(edges, layout, p3, torus=True)
     assert open(p3).read().startswith("%!PS-Adobe-3.0 EPSF-3.0\n")
+
+
+def test_num_edge_crossings(spark):
+    """Two diagonals of a square cross once; the square's sides (which
+    share endpoints) never count; parallel segments never count."""
+    from icebug_spark.operators.layout import num_edge_crossings
+
+    layout = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, 1.0, 1.0), (3, 0.0, 1.0)],
+        "id long, x double, y double",
+    )
+    sides = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    assert num_edge_crossings(sides, layout) == 0
+    with_diags = sides.union(
+        spark.createDataFrame([(0, 2), (1, 3)], "src long, dst long")
+    )
+    assert num_edge_crossings(with_diags, layout) == 1
+
+
+def test_write_layout_gml_and_kinemage(spark, tmp_path):
+    from icebug_spark.operators.layout import write_kinemage, write_layout_gml
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    l2 = spark.createDataFrame(
+        [(0, 1.0, 2.0), (1, 3.0, 4.0)], "id long, x double, y double"
+    )
+    p = str(tmp_path / "g.gml")
+    write_layout_gml(edges, l2, p)
+    txt = open(p).read()
+    assert "graphics" in txt and "[ x 50.0" in txt and "y 200.0" in txt
+
+    l3 = spark.createDataFrame(
+        [(0, 1.0, 2.0, 3.0), (1, 4.0, 5.0, 6.0)],
+        "id long, x double, y double, z double",
+    )
+    k = str(tmp_path / "g.kin")
+    write_kinemage(edges, l3, k)
+    kt = open(k).read()
+    assert kt.startswith("@whitebackground\n")
+    assert "{a}1.0 2.0 3.0" in kt and "P 1.0 2.0 3.0" in kt
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="3-D"):
+        write_kinemage(edges, l2, k)
