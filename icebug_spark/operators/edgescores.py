@@ -284,23 +284,22 @@ def linearize_score(edges_scored: DataFrame, score_col: str = "score", inverse: 
     ∈ [0,1] (deterministic tie-break by (u,v) instead of the reference's
     random tiebreak — same distribution, reproducible).
 
-    Scale note: a total rank needs a global order — the un-partitioned
-    window serializes into one task. Acceptable here because linearization
-    is a presentation-layer rescale; at 100 TB use normalize_score (min-max,
-    one agg) or a percentile bucketing instead."""
-    e = edges_scored.select("u", "v", F.col(score_col).cast("double").alias("s"))
-    order = (
-        [F.col("s").desc(), "u", "v"] if inverse else [F.col("s").asc(), "u", "v"]
-    )
-    w = Window.orderBy(*order)
+    Scale note: the total rank is computed with the two-pass
+    :func:`zipindex.dense_index` pattern (range-partition by the sort
+    key, P-row offset collect, rank within partitions in parallel) —
+    no Exchange SinglePartition, so an m-row score table ranks at full
+    cluster parallelism."""
+    from icebug_spark.plans.zipindex import dense_index
+
+    s = F.col(score_col).cast("double")
+    e = edges_scored.select("u", "v", (-s if inverse else s).alias("__k"))
     m = edges_scored.count()
     denom = float(max(m - 1, 1))
-    return e.select(
+    idx = dense_index(e, ["__k", "u", "v"], out="__r", assume_distinct=True)
+    return idx.select(
         "u",
         "v",
-        F.round((F.row_number().over(w) - 1).cast("double") / F.lit(denom), 6).alias(
-            "lin_score"
-        ),
+        F.round(F.col("__r").cast("double") / F.lit(denom), 6).alias("lin_score"),
     )
 
 

@@ -43,18 +43,41 @@ def _u01(*cols) -> F.Column:
     return F.pmod(F.xxhash64(*cols), F.lit(_DENOM)).cast("double") / _DENOM
 
 
+def _value_cumcounts(values: DataFrame, col: str) -> DataFrame:
+    """Per-DISTINCT-value tie counts plus the inclusive global running
+    count, with no single-partition stage: one groupBy shuffle collapses
+    the input to its distinct values, then :func:`zipindex.running_sums`
+    (range-partition + P-row offset collect) accumulates across value
+    order in parallel. → (x, _c, _cum) where ``_cum`` = #rows ≤ x."""
+    from icebug_spark.plans.zipindex import running_sums
+
+    counts = (
+        values.select(F.col(col).cast("double").alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_cum", F.col("_c"))
+    )
+    return running_sums(counts, ["x"], ["_cum"])
+
+
 def gini(values: DataFrame, col: str) -> DataFrame:
     """Gini coefficient (``stats.pyx:16``). The reference's prefix-area
     loop over the ascending sort equals the closed rank form
-    G = 2·Σ rᵢxᵢ / (n·Σx) − (n+1)/n, which is ONE window rank + ONE
-    aggregation here. → single row (gini DOUBLE)."""
-    ranked = values.select(F.col(col).cast("double").alias("x")).withColumn(
-        "r", F.row_number().over(Window.orderBy(F.col("x").asc())).cast("double")
+    G = 2·Σ rᵢxᵢ / (n·Σx) − (n+1)/n; Σrᵢxᵢ is invariant under permuting
+    ranks within a tie group, so it collapses onto distinct values: a
+    value x with c ties ending at inclusive running count ``cum``
+    occupies ranks cum−c+1..cum, contributing x·c·(2·cum−c+1)/2. Two-pass
+    rank (:func:`zipindex.running_sums` over the distinct-value table),
+    no single-partition window. → single row (gini DOUBLE)."""
+    cc = _value_cumcounts(values, col)
+    n = F.sum("_c")
+    rank_sum = F.sum(
+        F.col("x") * F.col("_c") * (2.0 * F.col("_cum") - F.col("_c") + 1.0) / 2.0
     )
-    return ranked.agg(
+    return cc.agg(
         (
-            2.0 * F.sum(F.col("r") * F.col("x")) / (F.count(F.lit(1)) * F.sum("x"))
-            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))
+            2.0 * rank_sum / (n * F.sum(F.col("x") * F.col("_c")))
+            - (n + 1.0) / n
         ).alias("gini")
     )
 
@@ -63,17 +86,19 @@ def ranked(values: DataFrame, col: str, out: str = "rank") -> DataFrame:
     """Average rank with ties (``helpers.pyx:21`` ``ranked``):
     ``out[i]`` is the 1-based rank of row i under ascending ``col``,
     tie groups sharing the MEAN of their positions — exactly the
-    reference's two-pass sum/length loop, as one rank window + one
-    tie-size window (a tie group starting at position a with c members
-    averages a + (c−1)/2). Global sort: at 100 TB swap the bare window
-    for a range-partitioned rank (zipindex.dense_index pattern)."""
-    w_rank = Window.orderBy(F.col(col).asc())
-    w_val = Window.partitionBy(col)
+    reference's two-pass sum/length loop. A tie group of size c ending
+    at inclusive running count ``cum`` averages cum − (c−1)/2; the
+    running count comes from :func:`zipindex.running_sums` over the
+    DISTINCT-value table (tiny), joined back on the value — fully
+    range-partitioned, no single-partition global window."""
+    cc = _value_cumcounts(values, col).withColumn(
+        out, F.col("_cum") - (F.col("_c") - 1) / 2.0
+    )
+    key = F.col(col).cast("double")
     return (
-        values.withColumn("_r", F.rank().over(w_rank))
-        .withColumn("_c", F.count(F.lit(1)).over(w_val))
-        .withColumn(out, F.col("_r") + (F.col("_c") - 1) / 2.0)
-        .drop("_r", "_c")
+        values.withColumn("__x", key)
+        .join(cc.select(F.col("x").alias("__x"), out), "__x", "left")
+        .drop("__x")
     )
 
 

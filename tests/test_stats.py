@@ -135,3 +135,37 @@ def test_measure_correlations_goldens(spark):
     assert row["covariance"] == pytest.approx(
         ((aa - aa.mean()) * (bb - bb.mean())).mean(), abs=1e-6
     )
+
+
+def test_global_rank_operators_have_no_single_partition_stage(spark):
+    """The round-8 verdict's last perf item: gini / ranked /
+    linearize_score must rank via the two-pass zipindex pattern, never
+    an Exchange SinglePartition (the un-partitioned global window that
+    serializes the whole input into one task at scale)."""
+    from icebug_spark.operators.edgescores import linearize_score
+
+    def check(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            # the sole legitimate SinglePartition is the final scalar
+            # aggregate's partial->final exchange (P partial rows)
+            if "Exchange SinglePartition" in line:
+                assert "partial_" in lines[i + 1], plan
+            # every Window must be partitioned: partitioned windows render
+            # as "Window [exprs], [partition], [order]" (three groups)
+            if line.strip().lstrip("+-: ").startswith("Window "):
+                assert line.count("], [") >= 2, plan
+
+    vals = spark.createDataFrame(
+        [(float(i % 7),) for i in range(50)], "x DOUBLE"
+    )
+    check(stats.gini(vals, "x"))
+    check(stats.ranked(vals, "x"))
+
+    scored = spark.createDataFrame(
+        [(i, i + 1, float(i % 5)) for i in range(40)],
+        "u LONG, v LONG, score DOUBLE",
+    )
+    for inverse in (False, True):
+        check(linearize_score(scored, "score", inverse=inverse))
