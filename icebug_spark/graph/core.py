@@ -70,7 +70,16 @@ class Graph:
         reference note); ``n`` pre-declares the vertex set like the
         reference's Graph(n). Undirected graphs store canonical
         (min, max) arcs — the engine's single-storage convention for the
-        reference's double insertion."""
+        reference's double insertion.
+
+        Duplicate-entry rule (documented divergence): the reference's
+        GraphFromCoo (addEdges, checkMultiEdge=False) inserts every
+        duplicate as a parallel edge; this engine's simple-graph storage
+        collapses duplicate undirected (min, max) pairs by SUMMING their
+        weights — the scipy ``coo_matrix`` duplicate convention — so the
+        weighted adjacency matrix matches what scipy would materialize
+        from the same triplets. Unweighted duplicates collapse to one
+        edge; directed input is stored as given."""
         import numpy as np
         import pandas as pd
 
@@ -91,7 +100,7 @@ class Graph:
             )
         pdf = pd.DataFrame(cols)
         if not directed:
-            agg = {"weight": "max"} if weighted else None
+            agg = {"weight": "sum"} if weighted else None
             pdf = (
                 pdf.groupby(["src", "dst"], as_index=False).agg(agg)
                 if agg

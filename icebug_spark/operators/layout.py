@@ -377,10 +377,19 @@ def num_edge_crossings(edges: DataFrame, layout: DataFrame) -> int:
     and (3) it counts pairs sharing an endpoint as crossings. This
     implementation tests true proper crossings and excludes
     endpoint-sharing pairs; for layouts in general position without
-    vertical lines the intended semantics agree."""
+    vertical lines the intended semantics agree.
+
+    Edges are canonicalized to ONE undirected row per drawn segment
+    (least/greatest + distinct) before eids are assigned, so passing a
+    symmetrized both-directions edge table cannot double-count a
+    geometric crossing."""
     pts = layout.select("id", "x", "y")
     e = (
-        edges.select("src", "dst")
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
         .withColumn("eid", F.monotonically_increasing_id())
         .join(pts.select(F.col("id").alias("src"), F.col("x").alias("x1"), F.col("y").alias("y1")), "src")
         .join(pts.select(F.col("id").alias("dst"), F.col("x").alias("x2"), F.col("y").alias("y2")), "dst")
@@ -420,19 +429,29 @@ def num_edge_crossings(edges: DataFrame, layout: DataFrame) -> int:
 def write_layout_gml(edges: DataFrame, layout: DataFrame, path: str, directed: bool = False) -> None:
     """GraphLayoutAlgorithm::writeGraphToGML
     (``viz/GraphLayoutAlgorithm.hpp:74``): GML with per-node graphics
-    blocks, coordinates scaled by 50 like the reference."""
+    blocks, coordinates scaled by 50 like the reference; a 3-D layout
+    (id, x, y, z) also emits the reference's ``z 50*coord`` line
+    (hpp:95's dim==3 branch), so round-tripping keeps the dimension."""
+    has_z = "z" in layout.columns
     pts = sorted(
-        (int(r["id"]), float(r["x"]), float(r["y"])) for r in layout.collect()
+        (
+            int(r["id"]),
+            float(r["x"]),
+            float(r["y"]),
+            float(r["z"]) if has_z else None,
+        )
+        for r in layout.collect()
     )
     es = sorted((int(r["src"]), int(r["dst"])) for r in edges.select("src", "dst").collect())
     with open(path, "w") as f:
         f.write("graph [\n")
         if directed:
             f.write("  directed 1\n")
-        for u, x, y in pts:
+        for u, x, y, z in pts:
+            zline = f"      z {50 * z}\n" if has_z else ""
             f.write(
                 f"  node [\n    id {u}\n    graphics\n"
-                f"    [ x {50 * x}\n      y {50 * y}\n    ]\n  ]\n"
+                f"    [ x {50 * x}\n      y {50 * y}\n{zline}    ]\n  ]\n"
             )
         for u, v in es:
             f.write(f"  edge [\n    source {u}\n    target {v}\n  ]\n")

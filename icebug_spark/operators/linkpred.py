@@ -147,7 +147,9 @@ def degree_assortativity(edges_undirected: DataFrame) -> DataFrame:
     """Pearson correlation of endpoint degrees over directed arc list
     (reference ``correlation/Assortativity.hpp:23``). Computed from exact
     BIGINT sums so the double arithmetic is order-independent; single row
-    (assortativity DOUBLE) rounded 6dp."""
+    (assortativity DOUBLE) rounded 6dp. Zero degree variance (regular
+    graphs) → NULL via try_divide (the correlation is undefined; the
+    reference emits NaN from its 0/0)."""
     eu = edges_undirected.select("src", "dst")
     deg = eu.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     pairs = (
@@ -164,10 +166,10 @@ def degree_assortativity(edges_undirected: DataFrame) -> DataFrame:
     )
     return s.select(
         F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (
+            F.try_divide(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double"),
                 F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
             ),
             6,
         ).alias("assortativity")

@@ -133,9 +133,18 @@ def overview(g, include_clustering: bool = True) -> str:
         .collect()[0]
     )
     # components are computed over the edge-incident node set; each
-    # isolated vertex is its own component in the reference's Partition
+    # isolated vertex is its own component in the reference's Partition.
+    # A node whose ONLY incident arc is a self-loop is neither isolated
+    # (deg>0) nor in the component output (the kernels drop self-loops)
+    # — the reference still counts it as its own singleton component.
     n_iso = int(ds["iso"] or 0)
-    n_comp = int(cs["k"] or 0) + n_iso
+    edge_nodes = (
+        g.edges.select(F.col("src").alias("id"))
+        .union(g.edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n_loop_only = edge_nodes.join(comp.select("id"), "id", "left_anti").count()
+    n_comp = int(cs["k"] or 0) + n_iso + n_loop_only
     lcs = max(int(cs["lcs"] or 0), 1 if n else 0)
 
     lines = [

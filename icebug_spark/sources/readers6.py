@@ -131,9 +131,12 @@ def _detect_weight_format(weights) -> int:
     arr = np.asarray(weights, dtype=np.float64)
     if arr.size == 0:
         return W_VARINT
-    as_int = arr.astype(np.int64, copy=False)
-    if np.all(arr == as_int):
-        return W_VARINT if np.all(arr >= 0) else W_SIGNED_VARINT
+    # the int64 probe is undefined (and warns) on NaN/inf/|w|>=2^63 —
+    # only attempt it when every weight is safely castable
+    if np.all(np.isfinite(arr)) and np.all(np.abs(arr) < 2**63):
+        as_int = arr.astype(np.int64, copy=False)
+        if np.all(arr == as_int):
+            return W_VARINT if np.all(arr >= 0) else W_SIGNED_VARINT
     if np.all(arr == arr.astype(np.float32)):
         return W_FLOAT
     return W_DOUBLE

@@ -142,3 +142,17 @@ def test_from_coo_variants(spark):
     rows = sorted(tuple(r) for r in gd.edges.collect())
     assert rows == [(0, 1, 2.5), (1, 2, 1.5), (2, 0, 0.5)]
     assert gd.vertices.count() == 3
+
+
+def test_from_coo_duplicate_undirected_entries_sum(spark):
+    """Duplicate undirected coo entries collapse by SUMMING weights (the
+    scipy coo_matrix duplicate convention, documented divergence from
+    the reference's parallel-edge insert)."""
+    import numpy as np
+
+    i = np.array([0, 1, 0])
+    j = np.array([1, 0, 1])
+    d = np.array([1.5, 2.0, 0.5])
+    g = Graph.from_coo(spark, (d, (i, j)), weighted=True)
+    rows = sorted(tuple(r) for r in g.edges.collect())
+    assert rows == [(0, 1, 4.0)]

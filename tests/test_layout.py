@@ -159,3 +159,44 @@ def test_write_layout_gml_and_kinemage(spark, tmp_path):
 
     with _pt.raises(ValueError, match="3-D"):
         write_kinemage(edges, l2, k)
+
+
+def test_num_edge_crossings_symmetrized_input_not_double_counted(spark):
+    """A symmetrized (both-directions) edge table canonicalizes to one
+    row per drawn segment, so the diagonals still cross exactly once
+    (the pre-fix behavior counted the pair 4x)."""
+    from pyspark.sql import functions as F
+
+    from icebug_spark.operators.layout import num_edge_crossings
+
+    layout = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, 1.0, 1.0), (3, 0.0, 1.0)],
+        "id long, x double, y double",
+    )
+    diags = spark.createDataFrame([(0, 2), (1, 3)], "src long, dst long")
+    sym = diags.union(
+        diags.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    assert num_edge_crossings(sym, layout) == 1
+
+
+def test_write_layout_gml_emits_z_for_3d(spark, tmp_path):
+    """writeGraphToGML emits 'z 50*coord' when dim==3
+    (GraphLayoutAlgorithm.hpp:95); a 3-D layout round-tripped through
+    GML must keep its third dimension."""
+    from icebug_spark.operators.layout import write_layout_gml
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    l3 = spark.createDataFrame(
+        [(0, 1.0, 2.0, 3.0), (1, 4.0, 5.0, 6.0)],
+        "id long, x double, y double, z double",
+    )
+    p = str(tmp_path / "g3.gml")
+    write_layout_gml(edges, l3, p)
+    txt = open(p).read()
+    assert "z 150.0" in txt and "z 300.0" in txt
+    # 2-D layouts still omit the z line
+    l2 = l3.select("id", "x", "y")
+    p2 = str(tmp_path / "g2.gml")
+    write_layout_gml(edges, l2, p2)
+    assert "z " not in open(p2).read()

@@ -120,3 +120,22 @@ def test_nxadapter_gate(spark):
         assert sorted(
             (r["src"], r["dst"]) for r in g2.edges.collect()
         ) == sorted(EDGES)
+
+
+def test_overview_counts_self_loop_only_node_as_component(spark):
+    """A directed node whose only arc is a self-loop is dropped by the
+    SCC kernel and is not isolated (deg>0), yet the reference's
+    Partition counts it as its own singleton SCC."""
+    from icebug_spark.graph.core import Graph
+    from icebug_spark.operators.profiling import overview
+
+    gd = Graph(
+        Graph.from_edge_list(
+            spark, [(0, 1), (1, 0), (2, 2)], directed=True
+        ).edges,
+        vertices=spark.range(3).selectExpr("id"),
+        directed=True,
+    )
+    rd = overview(gd)
+    assert "self-loops\t\t\t1" in rd
+    assert "number of connected components\t2" in rd  # {0,1} and {2}

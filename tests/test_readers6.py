@@ -224,3 +224,28 @@ def test_dispatch_guess_and_read(spark, tmp_path):
     assert guess_file_format(p) == "NetworkitBinary"
     g2 = read_graph(spark, p)  # magic-dispatched
     assert _pairs(g2) == sorted(EDGES_U)
+
+
+def test_detect_weight_format_nan_inf_huge():
+    """NaN/inf/|w|>=2^63 must fall to DOUBLE without attempting the
+    (undefined, warning-raising) int64 cast."""
+    import warnings
+
+    import numpy as np
+
+    from icebug_spark.sources.readers6 import (
+        W_DOUBLE,
+        W_FLOAT,
+        W_VARINT,
+        _detect_weight_format,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert _detect_weight_format([1.0, float("nan")]) == W_DOUBLE
+        # inf is losslessly float32-representable; the point is the
+        # int64 probe is skipped (no invalid-cast warning under -W error)
+        assert _detect_weight_format([float("inf")]) == W_FLOAT
+        assert _detect_weight_format([2.0**63]) == W_FLOAT
+        assert _detect_weight_format([2.0**63 + 4097.0]) == W_DOUBLE
+        assert _detect_weight_format([1.0, 2.0]) == W_VARINT
