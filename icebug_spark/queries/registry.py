@@ -22,41 +22,41 @@ from icebug_spark.queries.structuralq import STRUCTURAL
 
 # Ordering is deliberate: a prefix-taking correctness gate naturally
 # rotates (proven in r06/r07: the gate took exactly the then-leading
-# prefix). After r07 every registry query has been driver-checked at
-# least once (cross-round union 170/170), so the rotation policy flips
-# from never-checked to STALEST-checked: the prefix is now the queries
-# whose only driver rows date from rounds 1-3 (the union of
-# CORRECTNESS_r01-r03.json keys — dozens of code changes ago), so the
-# r08 gate re-verifies them at HEAD. The full registry is still swept
+# prefix). Every registry query has been driver-checked at least once
+# (cross-round union), so the rotation policy is STALEST-checked: the
+# prefix is the 50 queries whose last driver check is oldest (after r08
+# that's the r04-r05 cohort — the LLM pipeline battery, the community/
+# randomization q98-q105 block — then the leading r06 half), so the r09
+# gate re-verifies them at HEAD. The full registry is still swept
 # locally every round (tools/check_oracle.py → CORRECTNESS_LOCAL.json).
 _MERGED = {**DYN, **IO, **COVER, **CENTRAL, **LLM, **EDGESCORE, **SCD, **ALGEBRAIC, **QUALITY, **DISTANCE2, **POINT, **SPARSIFY2, **STRUCTURAL, **RELATIONAL, **GRAPH, **COMMUNITY, **COMMUNITY3}
 
 _STALEST_DRIVER_CHECKED = [
-    "q01_filter_project", "q02_groupagg_pricing",
-    "q03_join3_nation_revenue", "q04_leftjoin_nulls",
-    "q05_semijoin_segment", "q06_antijoin_unordered_parts",
-    "q07_window_topn_per_customer", "q08_window_running_sum",
-    "q09_rollup_nation_segment", "q10_count_distinct", "q11_set_ops",
-    "q12_topk_orders", "q13_string_funcs", "q14_date_funcs",
-    "q15_case_buckets", "q16_events_tumbling_hour",
-    "q17_events_sessionization", "q18_degrees", "q19_weighted_degrees",
-    "q20_common_neighbors", "q21_jaccard", "q22_adamic_adar",
-    "q23_pref_attachment", "q24_triangle_count", "q25_local_clustering",
-    "q26_two_hop_reach", "q27_assortativity",
-    "q28_connected_components", "q29_pagerank", "q30_bfs_from_0",
-    "q31_kcore_k5", "q32_modularity_hash10", "q33_conductance_hash10",
-    "q34_coverage_hash10", "q35_nmi_hash_partitions",
-    "q36_plp_community_sizes", "q37_louvain_quality", "q38_scc",
-    "q39_msf_summary", "q40_luby_mis_size", "q41_matching_summary",
-    "q42_katz", "q43_sfigality", "q44_laplacian_centrality",
-    "q45_eccentricity_sample", "q46_closeness_sample",
-    "q47_diameter_double_sweep", "q48_betweenness_sample",
-    "q49_eigenvector", "q50_effective_diameter",
-    "q98_modularity_scoring", "q99_overlapping_nmi",
     "q100_rand_node_sampled", "q101_rand_graph_sampled",
     "q102_dynamic_nmi", "q103_lp_degree_ordered",
     "q104_parallel_agglomerative", "q105_cut_clustering",
-    "q111_planarity_check",
+    "q111_planarity_check", "q98_modularity_scoring",
+    "q99_overlapping_nmi", "llm_ann_candidates",
+    "llm_audio_features", "llm_dedup_clusters",
+    "llm_dedup_exact", "llm_embedding_topk",
+    "llm_fingerprint", "llm_frame_sample",
+    "llm_image_decode", "llm_ivf_topk",
+    "llm_lang_id", "llm_media_summary",
+    "llm_minhash_lsh_dups", "llm_near_dup_embeddings",
+    "llm_ngram_jaccard_pairs", "llm_pii_scrub",
+    "llm_quality_score", "llm_simhash",
+    "llm_text_stats", "llm_token_count_by_source",
+    "q112_approx_group_betweenness", "llm_contamination",
+    "llm_repetition_filter", "q110_pll_exact_distances",
+    "q113_maxent_layout", "q114_commute_time_lamg",
+    "q52_scan_similarity", "q53_local_degree_score",
+    "q54_resource_allocation", "q55_total_nd_neighbors",
+    "q56_neighbors_measure", "q57_adjusted_rand_index",
+    "q58_chance_corrected_tri", "q59_multiscale_score",
+    "q60_katz_index", "q61_missing_links",
+    "q62_pagerank_nibble", "q63_node2vec_walks",
+    "q64_clustering_coefficients", "q65_algebraic_triangles",
+    "q66_reachable_nodes", "q67_four_cliques",
 ]
 
 _missing = [k for k in _STALEST_DRIVER_CHECKED if k not in _MERGED]
