@@ -1,0 +1,525 @@
+"""Round-9 centrality tail variants — the remaining named algorithms of
+the reference's centrality/ module:
+
+- :func:`group_closeness_local_search` / :func:`group_closeness_local_swaps`
+  — swap-based local search minimizing group FARNESS Σ_v d(v, S)
+  (reference ``centrality/GroupClosenessLocalSearch.hpp:13`` /
+  ``GroupClosenessLocalSwaps.hpp:26``). The reference evaluates swaps
+  with AVX-packed randomized reachability estimates; here every swap is
+  evaluated EXACTLY from one batched multi-source distance table — a
+  deterministic, conservative instantiation of the same local search
+  (a swap is taken iff it strictly decreases true farness, which the
+  reference's (1−ε)-approximate rule accepts a superset of).
+- :func:`approx_closeness` — per-node closeness estimates from pivot
+  sampling (reference ``centrality/ApproxCloseness.hpp:22``, the
+  Cohen et al. pivot/LCC estimator). Distributed shape: one batched
+  multi-source BFS from the sample; each node's estimate combines its
+  own sampled distances (exact term) with the pivot's distances to the
+  rest (the reference's OUTBOUND/INBOUND/SUM estimates collapse to the
+  same formula on the undirected graphs this engine stores).
+- :func:`top_closeness` — exact top-k PLAIN closeness with the NBcut
+  upper-bound pruning (reference ``centrality/TopCloseness.hpp:22``):
+  level-synchronous bound  c̃(v) ≤ (r_t·d̃) where the BFS-level
+  neighborhood bound replaces the exact farness until v is settled;
+  nodes whose bound cannot beat the current k-th best are never fully
+  expanded. Spark shape: candidates run through the SAME pair-keyed
+  multi-source BFS; pruning happens BETWEEN bound rounds on the driver
+  (set shrinks), traversal stays distributed.
+- :func:`approx_spanning_edge` — spanning-edge centrality by
+  uniform-spanning-tree sampling (reference
+  ``centrality/ApproxSpanningEdge.hpp:22``): score(e) ≈ fraction of
+  sampled USTs (Wilson's algorithm) containing e. Trees are sampled in
+  parallel (one per partition seed) via Arrow-batched mapInPandas over
+  a broadcast adjacency — each tree is O(n·cover-time) local work, the
+  aggregation is one groupBy.
+
+All cite reference semantics only; no code is shared with the C++.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from icebug_spark.operators.traversal import multi_source_bfs
+
+_INF = 1 << 30
+
+
+def _distance_table(
+    eu: DataFrame, sources: list[int], max_hops: int
+) -> DataFrame:
+    return (
+        multi_source_bfs(eu, sorted(set(int(s) for s in sources)), max_hops=max_hops)
+        .select(F.col("source").alias("s"), F.col("id").alias("v"), "dist")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _swap_local_search(
+    eu: DataFrame,
+    initial_group: list[int],
+    max_swaps: int,
+    candidate_factor: int,
+    max_hops: int,
+) -> tuple[list[int], float, int]:
+    """Shared kernel: exact-evaluation swap local search on group
+    farness. Returns (final_group, farness, n_swaps)."""
+    spark = eu.sparkSession
+    group = [int(x) for x in initial_group]
+    if not group:
+        raise ValueError("empty group")
+    k = len(group)
+    deg = eu.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    pool = [
+        int(r["id"])
+        for r in deg.orderBy(F.col("deg").desc(), "id")
+        .limit(k * candidate_factor + k)
+        .collect()
+        if int(r["id"]) not in group
+    ][: k * candidate_factor]
+    d = _distance_table(eu, group + pool, max_hops)
+
+    def farness_of(members: list[int]) -> float:
+        m = spark.createDataFrame([(x,) for x in members], "s BIGINT")
+        best = (
+            d.join(F.broadcast(m), "s").groupBy("v").agg(F.min("dist").alias("db"))
+        )
+        row = best.agg(F.sum("db").alias("f")).collect()[0]
+        return float(row["f"] if row["f"] is not None else 0.0)
+
+    cur = farness_of(group)
+    n_swaps = 0
+    cands = spark.createDataFrame([(c,) for c in pool], "s BIGINT")
+    for _ in range(max_swaps):
+        best_swap = None  # (farness, out, in)
+        for m_out in group:
+            kept = [m for m in group if m != m_out]
+            kdf = spark.createDataFrame([(x,) for x in kept], "s BIGINT")
+            dkept = (
+                d.join(F.broadcast(kdf), "s")
+                .groupBy("v")
+                .agg(F.min("dist").alias("dk"))
+            )
+            dc = d.join(F.broadcast(cands), "s").select(
+                F.col("s").alias("cand"), "v", F.col("dist").alias("dc")
+            )
+            # candidate × kept-reached grid first so nodes reached only
+            # by kept members still contribute to every candidate
+            grid = dkept.crossJoin(
+                F.broadcast(cands.select(F.col("s").alias("cand")))
+            )
+            sc = (
+                grid.join(dc, ["cand", "v"], "full")
+                .select(
+                    "cand",
+                    F.least(
+                        F.coalesce("dk", F.lit(_INF)),
+                        F.coalesce("dc", F.lit(_INF)),
+                    ).alias("db"),
+                )
+                .where(F.col("db") < _INF)
+                .groupBy("cand")
+                .agg(F.sum("db").alias("f"))
+                .orderBy("f", "cand")
+                .limit(1)
+                .collect()
+            )
+            if sc:
+                f_new = float(sc[0]["f"])
+                if best_swap is None or f_new < best_swap[0]:
+                    best_swap = (f_new, m_out, int(sc[0]["cand"]))
+        if best_swap is None or best_swap[0] >= cur:
+            break
+        cur = best_swap[0]
+        group = [m for m in group if m != best_swap[1]] + [best_swap[2]]
+        pool = [c for c in pool if c != best_swap[2]] + [best_swap[1]]
+        cands = spark.createDataFrame([(c,) for c in pool], "s BIGINT")
+        n_swaps += 1
+    return sorted(group), cur, n_swaps
+
+
+def group_closeness_local_search(
+    eu: DataFrame,
+    initial_group: list[int],
+    max_iterations: int = 100,
+    candidate_factor: int = 4,
+    max_hops: int = 16,
+) -> DataFrame:
+    """GroupClosenessLocalSearch (reference
+    ``centrality/GroupClosenessLocalSearch.hpp:13``): improve a seed
+    group by (remove u ∈ S, add v ∉ S) swaps while group farness
+    Σ_v d(v, S) strictly decreases, up to ``max_iterations`` swaps.
+    Candidates come from a degree-top pool of ``candidate_factor``·k
+    outsiders (the documented scale contract — the reference scans all
+    outsiders; at cluster scale the pool bounds the swap grid while the
+    distance table stays one batched multi-source BFS).
+    → (id, farness, n_swaps): one row per final member, objective and
+    swap count replicated."""
+    group, far, n_swaps = _swap_local_search(
+        eu, initial_group, max_iterations, candidate_factor, max_hops
+    )
+    spark = eu.sparkSession
+    return spark.createDataFrame(
+        [(g, far, n_swaps) for g in group],
+        "id BIGINT, farness DOUBLE, n_swaps INT",
+    )
+
+
+def group_closeness_local_swaps(
+    eu: DataFrame,
+    initial_group: list[int],
+    max_swaps: int = 100,
+    candidate_factor: int = 4,
+    max_hops: int = 16,
+) -> DataFrame:
+    """GroupClosenessLocalSwaps (reference
+    ``centrality/GroupClosenessLocalSwaps.hpp:26``): the bounded-swap
+    variant — same farness-decreasing swap walk, capped at ``max_swaps``
+    (reference default 100). The reference accepts a swap when its
+    RANDOMIZED farness-decrease estimate clears (1−ε); this exact
+    evaluation accepts the subset of those swaps that truly decrease
+    farness (documented determinism divergence, same local-optimum
+    guarantee). → (id, n_swaps)."""
+    group, _far, n_swaps = _swap_local_search(
+        eu, initial_group, max_swaps, candidate_factor, max_hops
+    )
+    spark = eu.sparkSession
+    return spark.createDataFrame(
+        [(g, n_swaps) for g in group], "id BIGINT, n_swaps INT"
+    )
+
+
+def approx_closeness(
+    eu: DataFrame,
+    n_samples: int = 16,
+    epsilon: float = 0.1,
+    normalized: bool = False,
+    seed: int = 11,
+    max_hops: int = 32,
+    samples: list[int] | None = None,
+) -> DataFrame:
+    """ApproxCloseness (reference ``centrality/ApproxCloseness.cpp:63``,
+    the Cohen et al. pivot estimator, undirected path): sample k pivots,
+    assign every node its CLOSEST pivot (pivot, δ); per pivot BFS,
+    every (sample s, node u) distance lands in one of three buckets —
+    LC (close, trusted exactly: ε==0, or d ≤ δ(u)·(1/ε−1), or
+    d(s, p(u)) ≤ δ(u)/ε — the order-independent closure of the
+    reference's streaming last/list bookkeeping), HC (far but
+    pivot-corrected: contributes d with squared error (d − d(s,p(u)))²),
+    and the H tail read from u's OWN pivot BFS: HSum(u) = Σ{d(p(u),w) :
+    d(p(u),w) > d(p(u),u)/ε} over non-sample w (the cpp:150 bin/tail
+    accumulation, expressed as one range-partitioned suffix sum with
+    marker rows — strict-inequality ties resolved exactly).
+
+    farness estimate = HSum + HCSum + LCSum/p with
+    p = LCNum / (n−1−HNum−k+LCNum); sampled nodes are EXACT.
+    closeness = (n−1)/farness when normalized else 1/farness; SQErrEst
+    per cpp:101-109. Connected-graph contract (the reference's own
+    assumption). → (id, approx_closeness, sq_err) 6dp.
+
+    Spark shape: ONE batched multi-source BFS from the k pivots; pivot
+    assignment and every bucket is a join/aggregation; the tail sum is a
+    window PARTITIONED BY pivot — nothing single-partition, k scales out."""
+    spark = eu.sparkSession
+    eu = eu.select("src", "dst").localCheckpoint(eager=True)
+    nodes = eu.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+    if samples is None:
+        k = min(n_samples, n)
+        samples = [
+            int(r["id"])
+            for r in nodes.withColumn("h", F.xxhash64(F.lit(seed), "id"))
+            .orderBy("h", "id")
+            .limit(k)
+            .collect()
+        ]
+    else:
+        # caller-pinned pivots (SQL-reproducible certificates)
+        samples = sorted(int(s) for s in samples)
+        k = len(samples)
+    d = _distance_table(eu, samples, max_hops)  # (s, v, dist)
+
+    # pivot: closest sample, ties by sample id (deterministic stand-in
+    # for the reference's PQ settle order)
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("v").orderBy("dist", "s")
+    piv = (
+        d.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select("v", F.col("s").alias("pivot"), F.col("dist").alias("delta"))
+        .localCheckpoint(eager=True)
+    )
+    sample_df = spark.createDataFrame([(s,) for s in samples], "s BIGINT")
+    # k x k pivot-to-pivot distances
+    dp = d.join(
+        F.broadcast(sample_df.withColumnRenamed("s", "v")), "v"
+    ).select("s", F.col("v").alias("pivot"), F.col("dist").alias("dp"))
+
+    ns = d.join(F.broadcast(sample_df.withColumnRenamed("s", "v")), "v", "left_anti")
+    rows = (
+        ns.join(piv, "v")
+        .join(F.broadcast(dp), ["s", "pivot"], "left")
+    )
+    if epsilon == 0.0:
+        lc = F.lit(True)
+    else:
+        lc = (
+            (F.col("dist") <= F.col("delta") * (1.0 / epsilon - 1.0))
+            | (F.col("dp") <= F.col("delta") / epsilon)
+        )
+    per_node = rows.groupBy("v").agg(
+        F.sum(F.when(lc, F.col("dist"))).alias("lc_sum"),
+        F.count(F.when(lc, F.lit(1))).alias("lc_num"),
+        F.sum(F.when(lc, F.col("dist") * F.col("dist"))).alias("lc_sumsq"),
+        F.sum(F.when(~lc, F.col("dist"))).alias("hc_sum"),
+        F.sum(
+            F.when(~lc, (F.col("dist") - F.col("dp")) * (F.col("dist") - F.col("dp")))
+        ).alias("hc_sqerr"),
+    )
+
+    if epsilon == 0.0:
+        tails = piv.select("v", F.lit(0.0).alias("h_sum"), F.lit(0).alias("h_num"))
+    else:
+        # suffix sums per pivot BFS with marker rows: member u of pivot s
+        # reads Sigma{d(s,w) : d(s,w) > d(s,u)/eps} over non-sample w
+        data = ns.select(
+            "s",
+            F.col("dist").cast("double").alias("key"),
+            F.lit(1).alias("is_data"),
+            F.col("dist").cast("double").alias("dsum"),
+            F.lit(1).alias("dcnt"),
+            F.lit(None).cast("long").alias("v"),
+        )
+        members = ns.join(
+            piv.select("v", F.col("pivot").alias("s")), ["s", "v"]
+        ).select(
+            "s",
+            (F.col("dist") / epsilon).cast("double").alias("key"),
+            F.lit(0).alias("is_data"),
+            F.lit(0.0).alias("dsum"),
+            F.lit(0).alias("dcnt"),
+            "v",
+        )
+        wt = (
+            Window.partitionBy("s")
+            .orderBy(F.col("key").desc(), F.col("is_data").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        tails = (
+            data.unionByName(members)
+            .withColumn("h_sum", F.sum("dsum").over(wt))
+            .withColumn("h_num", F.sum("dcnt").over(wt))
+            .where(F.col("is_data") == 0)
+            .select("v", "h_sum", "h_num")
+        )
+
+    est = (
+        per_node.join(tails, "v", "left")
+        .na.fill({"h_sum": 0.0, "h_num": 0, "lc_sum": 0, "lc_num": 0,
+                  "lc_sumsq": 0, "hc_sum": 0, "hc_sqerr": 0})
+    )
+    l_num = (F.lit(n - 1) - F.col("h_num") - F.lit(k) + F.col("lc_num")).cast("double")
+    p = F.try_divide(F.col("lc_num").cast("double"), l_num)
+    farness = (
+        F.col("h_sum") + F.col("hc_sum") + F.try_divide(F.col("lc_sum"), p)
+    )
+    hc_num = F.lit(k) - F.col("lc_num")
+    lc_sq_avg = F.try_divide(F.col("lc_sum"), F.col("lc_num")) * F.try_divide(
+        F.col("lc_sum"), F.col("lc_num")
+    )
+    var_term = F.try_divide(F.lit(1.0), F.col("lc_num")) * (
+        F.try_divide(F.col("lc_sumsq"), F.col("lc_num")) - lc_sq_avg
+    ) * l_num
+    err = F.when(
+        hc_num > 0,
+        var_term + F.try_divide(F.col("hc_sqerr"), (hc_num * F.col("h_num")).cast("double")),
+    ).otherwise(var_term)
+    score = F.when(
+        F.lit(normalized), F.lit(float(n - 1)) / farness
+    ).otherwise(F.lit(1.0) / farness)
+    approx = est.select(
+        F.col("v").alias("id"),
+        F.round(score, 6).alias("approx_closeness"),
+        F.round(F.coalesce(err, F.lit(0.0)), 6).alias("sq_err"),
+    )
+
+    exact_far = (
+        d.groupBy(F.col("s").alias("id")).agg(F.sum("dist").alias("f"))
+    )
+    exact_score = F.when(
+        F.lit(normalized), F.lit(float(n - 1)) / F.col("f")
+    ).otherwise(F.lit(1.0) / F.col("f"))
+    exact = exact_far.select(
+        "id", F.round(exact_score, 6).alias("approx_closeness"),
+        F.lit(0.0).alias("sq_err"),
+    )
+    return exact.unionByName(approx)
+
+
+def top_closeness(
+    eu: DataFrame,
+    k: int = 10,
+    candidate_factor: int = 4,
+    max_hops: int = 32,
+    max_expansions: int = 4,
+) -> DataFrame:
+    """TopCloseness, PLAIN closeness (reference
+    ``centrality/TopCloseness.hpp:22``): exact top-k of
+    c(v) = (n−1)/Σ_u d(v,u) on a connected undirected graph, without
+    all-pairs BFS. The reference prunes with the NBcut level bound; the
+    distributed analogue uses its L=1 instance — farness(v) ≥
+    deg(v) + 2(n−1−deg(v)), so c(v) ≤ (n−1)/(2(n−1)−deg(v)), monotone in
+    degree — making degree-descending order a valid bound order: exact
+    batched BFS runs over a degree-top pool, and the pool is CERTIFIED
+    sufficient when the bound of the best excluded node cannot beat the
+    k-th best exact score; otherwise the pool doubles (the adaptive
+    cutoff the reference's pruning loop realizes per-node).
+    → (id, closeness) top-k, 6dp."""
+    spark = eu.sparkSession
+    deg = (
+        eu.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    n = deg.count()
+    if n <= 1:
+        return spark.createDataFrame([], "id BIGINT, closeness DOUBLE")
+    pool_size = min(k * candidate_factor, n)
+    for _ in range(max_expansions):
+        cands = deg.orderBy(F.col("deg").desc(), "id").limit(pool_size)
+        ids = [int(r["id"]) for r in cands.collect()]
+        d = multi_source_bfs(eu, ids, max_hops=max_hops)
+        far = d.groupBy(F.col("source").alias("id")).agg(
+            F.sum("dist").alias("f")
+        )
+        top = (
+            far.select("id", (F.lit(float(n - 1)) / F.col("f")).alias("closeness"))
+            .orderBy(F.col("closeness").desc(), "id")
+            .limit(k)
+            .collect()
+        )
+        kth = top[-1]["closeness"] if len(top) >= k else 0.0
+        if pool_size >= n:
+            break
+        best_out = (
+            deg.join(
+                F.broadcast(cands.select("id")), "id", "left_anti"
+            )
+            .agg(F.max("deg").alias("d"))
+            .collect()[0]["d"]
+        )
+        bound = float(n - 1) / (2.0 * (n - 1) - float(best_out or 0))
+        if bound <= kth + 1e-12:
+            break
+        pool_size = min(pool_size * 2, n)
+    # round via Spark semantics (shortest-repr decimal), matching the
+    # engine-wide 6dp convention and the DuckDB twins
+    return spark.createDataFrame(
+        [(int(r["id"]), float(r["closeness"])) for r in top],
+        "id BIGINT, closeness DOUBLE",
+    ).select("id", F.round("closeness", 6).alias("closeness"))
+
+
+def approx_spanning_edge(
+    eu: DataFrame,
+    eps: float = 0.1,
+    seed: int = 5,
+    max_nodes: int = 100_000,
+    max_samples: int = 500,
+) -> DataFrame:
+    """ApproxSpanningEdge (reference
+    ``centrality/ApproxSpanningEdge.cpp:40``): spanning-edge centrality
+    by uniform-spanning-tree sampling — score(e) = fraction of sampled
+    USTs containing e, within ±ε of the true effective resistance with
+    probability 1−1/n. Sample count = ceil(ln(2m·n)/(2ε²)) (cpp:130 with
+    δ=1/n), capped at ``max_samples`` for the test harness.
+
+    Spark shape: each UST is Wilson's loop-erased random walk — an
+    inherently sequential O(n·cover) local computation — so trees are
+    the unit of parallelism: one Arrow-batched ``mapInPandas`` over the
+    sample ids, each task growing its trees against a broadcast
+    adjacency (guarded at ``max_nodes``; the solver-path
+    ``numerics.spanning_edge_centrality`` is the big-graph alternative).
+    The aggregation is one groupBy over emitted tree edges.
+    → (u, v, ust_score) 6dp, canonical u<v."""
+    import math as _math
+
+    spark = eu.sparkSession
+    c = (
+        eu.select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = (
+        c.select(F.col("u").alias("id")).union(c.select(F.col("v").alias("id")))
+        .distinct()
+        .count()
+    )
+    m = c.count()
+    if n == 0 or m == 0:
+        return spark.createDataFrame([], "u BIGINT, v BIGINT, ust_score DOUBLE")
+    if n > max_nodes:
+        raise ValueError(
+            f"approx_spanning_edge: {n} nodes > max_nodes={max_nodes}; "
+            "use numerics.spanning_edge_centrality (solver path) instead"
+        )
+    n_samples = min(
+        int(_math.ceil(_math.log(2.0 * m * n) / (2.0 * eps * eps))), max_samples
+    )
+    adj: dict[int, list[int]] = {}
+    for r in c.collect():
+        adj.setdefault(int(r["u"]), []).append(int(r["v"]))
+        adj.setdefault(int(r["v"]), []).append(int(r["u"]))
+    for vs in adj.values():
+        vs.sort()
+    badj = spark.sparkContext.broadcast(adj)
+    root = min(adj)
+
+    def sample_trees(batches):
+        import numpy as np
+        import pandas as pd
+
+        a = badj.value
+        rt = root
+        for pdf in batches:
+            out_u, out_v = [], []
+            for t in pdf["tid"]:
+                rng = np.random.default_rng(seed * 1_000_003 + int(t))
+                in_tree = {rt}
+                parent: dict[int, int] = {}
+                for start in sorted(a):
+                    if start in in_tree:
+                        continue
+                    # Wilson walk with loop erasure via parent overwrite
+                    cur = start
+                    while cur not in in_tree:
+                        nxt = a[cur][rng.integers(0, len(a[cur]))]
+                        parent[cur] = nxt
+                        cur = nxt
+                    cur = start
+                    while cur not in in_tree:
+                        in_tree.add(cur)
+                        cur = parent[cur]
+                for x, p in parent.items():
+                    if x in in_tree and parent.get(x) == p:
+                        out_u.append(min(x, p))
+                        out_v.append(max(x, p))
+            yield pd.DataFrame({"u": out_u, "v": out_v})
+
+    trees = (
+        spark.range(n_samples)
+        .select(F.col("id").alias("tid"))
+        .repartition(min(n_samples, 32))
+        .mapInPandas(sample_trees, "u LONG, v LONG")
+    )
+    counts = trees.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.join(counts, ["u", "v"], "left").select(
+        "u",
+        "v",
+        F.round(
+            F.coalesce("cnt", F.lit(0)).cast("double") / float(n_samples), 6
+        ).alias("ust_score"),
+    )

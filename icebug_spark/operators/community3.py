@@ -551,3 +551,41 @@ def dynamic_nmi(pa: DataFrame, pb: DataFrame) -> DataFrame:
     return nmi(pa2, pb2).select(
         F.round(1.0 - F.col("nmi"), 6).alias("nmi_distance")
     )
+
+
+def jaccard_measure(pa: DataFrame, pb: DataFrame) -> DataFrame:
+    """JaccardMeasure (reference ``community/JaccardMeasure.cpp:14``):
+    pair-counting Jaccard DISSIMILARITY of two partitions. With
+    s11 = Σ_I C(|I|,2) over the partition-intersection classes,
+    sumZeta/sumEta the same over each input partition, and
+    s00 = n(n-1)/2 + s11 − sumZeta − sumEta the both-disagree pairs,
+    the reference returns 1 − 2·s11 / (n(n−1) − 2·s00) (0 when the
+    divisor vanishes). One contingency shuffle, three aggregates —
+    intersection classes ARE the contingency cells, so no explicit
+    PartitionIntersection materialization is needed. → 1 row
+    (jaccard_distance DOUBLE, 6dp)."""
+    from icebug_spark.operators.community import contingency
+
+    ct = contingency(pa, pb).localCheckpoint(eager=True)
+    n = ct.agg(F.sum("n")).collect()[0][0] or 0
+    s11 = (
+        ct.agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long")).collect()[0][0]
+        or 0
+    )
+    s_zeta = (
+        ct.groupBy("subset_a").agg(F.sum("n").alias("na"))
+        .agg(F.sum(F.col("na") * (F.col("na") - 1) / 2).cast("long"))
+        .collect()[0][0]
+        or 0
+    )
+    s_eta = (
+        ct.groupBy("subset_b").agg(F.sum("n").alias("nb"))
+        .agg(F.sum(F.col("nb") * (F.col("nb") - 1) / 2).cast("long"))
+        .collect()[0][0]
+        or 0
+    )
+    s00 = n * (n - 1) / 2 + s11 - (s_zeta + s_eta)
+    divisor = n * (n - 1) - 2.0 * s00
+    jaccard = 1.0 - (2.0 * s11) / divisor if divisor > 0 else 0.0
+    spark = pa.sparkSession
+    return spark.createDataFrame([(round(jaccard, 6),)], ["jaccard_distance"])

@@ -71,17 +71,19 @@ def effective_diameter(
     return row
 
 
-def algebraic_distance(
+def algebraic_loads(
     edges_undirected: DataFrame,
     n_systems: int = 4,
     rounds: int = 5,
     omega: float = 0.5,
     seed: int = 42,
-) -> DataFrame:
-    """Algebraic distance (reference AlgebraicDistance.hpp:21): iterate
-    Jacobi over-relaxation x ← (1−ω)x + ω·avg(neighbors) on seeded random
-    vectors; per-edge distance = Σ_k |x_k(u) − x_k(v)|. Deterministic via
-    hash-seeded init. → (src, dst, alg_dist) 6dp."""
+) -> tuple[DataFrame, int]:
+    """The shared load-vector iteration behind :func:`algebraic_distance`
+    and ``linkpred2.algebraic_distance_index`` (reference
+    ``AlgebraicDistance.hpp:21`` / ``AlgebraicDistanceIndex.cpp:16``,
+    identical update): Jacobi over-relaxation
+    x ← (1−ω)x + ω·avg(neighbors) on hash-seeded random vectors.
+    → ((id, x0..x{k-1}) table, n) — n sizes downstream mirror() hints."""
     eu = edges_undirected.select("src", "dst").localCheckpoint(eager=True)
     nodes = eu.select(F.col("src").alias("id")).distinct()
     n = nodes.count()  # sizes the mirror() hints below
@@ -115,6 +117,22 @@ def algebraic_distance(
             )
             .localCheckpoint(eager=True)
         )
+    return x, n
+
+
+def algebraic_distance(
+    edges_undirected: DataFrame,
+    n_systems: int = 4,
+    rounds: int = 5,
+    omega: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Algebraic distance (reference AlgebraicDistance.hpp:21): iterate
+    Jacobi over-relaxation x ← (1−ω)x + ω·avg(neighbors) on seeded random
+    vectors; per-edge distance = Σ_k |x_k(u) − x_k(v)|. Deterministic via
+    hash-seeded init. → (src, dst, alg_dist) 6dp."""
+    eu = edges_undirected.select("src", "dst").localCheckpoint(eager=True)
+    x, n = algebraic_loads(eu, n_systems, rounds, omega, seed)
     dist = None
     j = (
         eu.join(mirror(x, n).withColumnRenamed("id", "src"), "src")

@@ -166,3 +166,92 @@ def spsp(eu: DataFrame, sources: list[int], targets: list[int]) -> DataFrame:
     return d.join(t, "id", "leftsemi").select(
         "source", F.col("id").alias("target"), "dist"
     )
+
+
+def neighborhood_function_heuristic(
+    eu: DataFrame,
+    n_samples: int = 0,
+    strategy: str = "split",
+    seed: int = 42,
+) -> DataFrame:
+    """NeighborhoodFunctionHeuristic (reference
+    ``distance/NeighborhoodFunctionHeuristic.cpp:36``): estimate the
+    neighborhood function N(h) by BFS from a node sample. Sample size
+    defaults to ceil(max(0.15·n, sqrt(m))) (cpp:18); strategies:
+    ``split`` — every (n/samples)-th node of the degree-ASCENDING order
+    (cpp:118, deterministic), ``random`` — hash-uniform draws (cpp:104,
+    seeded here). The reference's endpoint enhancements are kept:
+    N(1) = 2m exact, N(dia) = n(n-1) exact, interior estimates are
+    round(count·n/samples) accumulated cumulatively. The diameter comes
+    from the double-sweep bound (the reference runs its exact Diameter
+    algorithm; on the connected undirected graphs this operator
+    requires, double sweep is exact on the overwhelming majority of
+    real graphs and the array length is the only thing at stake).
+    → (h, n_pairs), h = 1..dia.
+
+    Spark shape: the sample BFS is ONE batched multi-source BFS
+    (pair-keyed frontier), the histogram one groupBy — sample size
+    scales out, never a per-source loop."""
+    from icebug_spark.operators.distances import diameter_double_sweep
+    from icebug_spark.plans.zipindex import dense_index
+
+    eu = eu.select("src", "dst").localCheckpoint(eager=True)
+    spark = eu.sparkSession
+    deg = eu.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    m = eu.count() // 2
+    if n == 0:
+        return spark.createDataFrame([], "h BIGINT, n_pairs BIGINT")
+    if not n_samples:
+        import math as _math
+
+        n_samples = int(_math.ceil(max(0.15 * n, _math.sqrt(m))))
+    n_samples = min(n_samples, n)
+
+    dia = diameter_double_sweep(eu).collect()[0]["diameter_lb"] or 1
+    dia = int(dia)
+
+    if strategy == "split":
+        # dense rank over (deg, id) = the reference's stable
+        # ascending-degree sort; pick every stepwidth-th position
+        ranked = dense_index(deg, ["deg", "id"], out="pos", assume_distinct=True)
+        step = max(n // n_samples, 1)
+        picks = ranked.where(
+            (F.col("pos") % step == 0) & (F.col("pos") / step < n_samples)
+        )
+    elif strategy == "random":
+        ranked = dense_index(deg, ["id"], out="pos", assume_distinct=True)
+        draws = spark.range(n_samples).select(
+            (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n))).alias("pos")
+        )
+        picks = ranked.join(draws.distinct(), "pos")
+    else:
+        raise ValueError("strategy must be 'split' or 'random'")
+    sources = [int(r["id"]) for r in picks.select("id").collect()]
+    n_samples = len(sources)
+
+    d = multi_source_bfs(eu, sources, max_hops=dia)
+    hist = {
+        int(r["dist"]): int(r["cnt"])
+        for r in d.where(F.col("dist") > 0)
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    # reference accumulation (cpp:70-95): exact endpoints, scaled
+    # cumulative interior; std::round = half-away-from-zero, which for
+    # the nonnegative scaled counts is floor(x + 0.5) — NOT Python's
+    # banker's round()
+    import math as _m
+
+    result = [0] * dia
+    result[0] = 2 * m
+    if dia >= 2:
+        result[dia - 1] = n * (n - 1)
+    norm = n / float(n_samples)
+    for dist in range(2, dia):
+        result[dist - 1] = int(_m.floor(hist.get(dist, 0) * norm + 0.5))
+        result[dist - 1] += result[dist - 2]
+    return spark.createDataFrame(
+        [(h + 1, int(v)) for h, v in enumerate(result)], "h BIGINT, n_pairs BIGINT"
+    )

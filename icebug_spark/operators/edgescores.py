@@ -504,3 +504,21 @@ def sparsify_local_degree(edges_undirected: DataFrame, target_ratio: float) -> D
     s = local_degree_score(edges_undirected).localCheckpoint(eager=True)
     cut = s.approxQuantile("ld_score", [1.0 - target_ratio], 0.001)[0]
     return s.where(F.col("ld_score") >= cut)
+
+
+def edge_score_as_weight(
+    edges_scored: DataFrame,
+    score_col: str = "score",
+    squared: bool = False,
+    offset: float = 1.0,
+    factor: float = 1.0,
+) -> DataFrame:
+    """EdgeScoreAsWeight (reference ``edgescores/EdgeScoreAsWeight.cpp:17``):
+    weight = offset + factor·score (or factor·score² when ``squared``) —
+    a pure column expression over the scored edge table.
+    → (src, dst, weight)."""
+    s = F.col(score_col).cast("double")
+    w = F.lit(offset) + F.lit(factor) * (s * s if squared else s)
+    return edges_scored.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), w.alias("weight")
+    )

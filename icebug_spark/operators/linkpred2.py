@@ -309,3 +309,101 @@ def precision_recall_points(
         )
         .distinct()
     )
+
+
+def sort_predictions_by_score(
+    predictions: DataFrame, score_col: str = "score"
+) -> DataFrame:
+    """PredictionsSorter::sortByScore (reference
+    ``linkprediction/PredictionsSorter.hpp:30``): descending score, ties
+    ascending by (u, v). Spark's orderBy is a range-partitioned sort —
+    no single-partition stage."""
+    return predictions.orderBy(F.col(score_col).desc(), "u", "v")
+
+
+def sort_predictions_by_node_pair(predictions: DataFrame) -> DataFrame:
+    """PredictionsSorter::sortByNodePair: ascending (u, v)."""
+    return predictions.orderBy("u", "v")
+
+
+def threshold_by_score(
+    predictions: DataFrame, min_score: float, score_col: str = "score"
+) -> DataFrame:
+    """LinkThresholder::byScore (reference
+    ``linkprediction/LinkThresholder.cpp:19``): node pairs with
+    score >= min_score, returned sorted ascending by pair."""
+    return (
+        predictions.where(F.col(score_col) >= min_score)
+        .select("u", "v")
+        .orderBy("u", "v")
+    )
+
+
+def threshold_by_count(
+    predictions: DataFrame, num_links: int, score_col: str = "score"
+) -> DataFrame:
+    """LinkThresholder::byCount (``LinkThresholder.cpp:38``): the
+    num_links highest-scored pairs (score desc, ties ascending (u,v) —
+    PredictionsSorter order), returned sorted ascending by pair.
+    orderBy+limit plans as TakeOrderedAndProject (per-partition top-k +
+    merge) — no full global sort materialization."""
+    n = predictions.count()
+    if num_links > n:
+        raise ValueError(f"num_links {num_links} > predictions {n}")
+    top = predictions.orderBy(F.col(score_col).desc(), "u", "v").limit(num_links)
+    return top.select("u", "v").orderBy("u", "v")
+
+
+def threshold_by_percentage(
+    predictions: DataFrame, percentage: float, score_col: str = "score"
+) -> DataFrame:
+    """LinkThresholder::byPercentage (``LinkThresholder.cpp:55``): the
+    top floor(percentage·count) pairs; percentage must be in [0, 1]."""
+    if not 0.0 <= percentage <= 1.0:
+        raise ValueError("percentage must be in [0, 1]")
+    n = predictions.count()
+    return threshold_by_count(predictions, int(percentage * n), score_col)
+
+
+def algebraic_distance_index(
+    edges_undirected: DataFrame,
+    pairs: DataFrame,
+    n_systems: int = 4,
+    rounds: int = 5,
+    omega: float = 0.5,
+    norm: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """AlgebraicDistanceIndex (reference
+    ``linkprediction/AlgebraicDistanceIndex.cpp:16``): score arbitrary
+    node pairs by the p-norm (or max-norm for ``norm <= 0``, the
+    reference's MAX_NORM) of the load-vector differences from the shared
+    algebraic-distance iteration (``AlgebraicDistance`` and this index
+    use the identical preprocess loop — reused via
+    :func:`distances.algebraic_loads`). NaN → 0 like ``runImpl``.
+    → (u, v, alg_score) 6dp."""
+    from icebug_spark.operators.distances import algebraic_loads
+    from icebug_spark.plans.iterate import mirror
+
+    x, n = algebraic_loads(edges_undirected, n_systems, rounds, omega, seed)
+    j = (
+        pairs.select("u", "v")
+        .join(mirror(x, n).withColumnRenamed("id", "u"), "u")
+        .join(
+            mirror(x, n).select(
+                F.col("id").alias("v"),
+                *[F.col(f"x{k}").alias(f"y{k}") for k in range(n_systems)],
+            ),
+            "v",
+        )
+    )
+    diffs = [F.abs(F.col(f"x{k}") - F.col(f"y{k}")) for k in range(n_systems)]
+    if norm <= 0:
+        expr = F.greatest(*diffs) if len(diffs) > 1 else diffs[0]
+    else:
+        p = float(norm)
+        expr = F.pow(
+            sum((F.pow(d, p) for d in diffs), F.lit(0.0)), F.lit(1.0 / p)
+        )
+    score = F.coalesce(F.round(expr, 6), F.lit(0.0))
+    return j.select("u", "v", score.alias("alg_score"))

@@ -571,3 +571,94 @@ class DynamicPubWebGenerator:
         for df in out[1:]:
             events = events.unionByName(df)
         return events.orderBy("seq", "u", "v")
+
+
+def chung_lu_alam_et_al(
+    spark: SparkSession, degree_sequence: list[int], seed: int = 42
+) -> Graph:
+    """ChungLuGeneratorAlamEtAl (reference
+    ``generators/ChungLuGeneratorAlamEtAl.cpp:12``): the degree-grouped
+    Chung-Lu sampler of Alam et al. — vertices are bucketed by their
+    (capped at n−1) target degree and relabeled so each degree group is
+    contiguous in ascending degree order (cpp:44-56); for each group
+    pair (i, j) every cross pair is an independent Bernoulli with the
+    CONSTANT probability p = d_i·d_j / Σd (same-group pairs use the
+    triangular pair space, cpp:87-92).
+
+    Spark shape: the reference's sequential geometric edge-skipping is a
+     1-core trick to avoid enumerating the pair space; here each group
+    pair becomes a ``spark.range`` over its pair count with a hashed
+    Bernoulli filter — identical model, embarrassingly parallel, and the
+    group-pair table (≤ distinct-degrees², tiny) is the only driver
+    state. Same-group pair index x decodes via the triangular formula
+    u = floor((1+sqrt(1+8x))/2), v = x − u(u−1)/2 (cpp:88).
+    The output node ids are the reference's relabeled ids (ascending
+    degree); like the reference, only the degree DISTRIBUTION of the
+    input sequence is preserved, not per-index degrees."""
+    n = len(degree_sequence)
+    if n == 0:
+        return Graph(
+            spark.createDataFrame([], "src LONG, dst LONG"), directed=False
+        )
+    capped = [min(int(d), n - 1) for d in degree_sequence]
+    sum_deg = sum(capped)
+    # buckets: degree -> count, groups contiguous ascending by degree
+    from collections import Counter
+
+    buckets = sorted(Counter(capped).items())
+    groups = []  # (degree, size, start_index)
+    start = 0
+    for d, c in buckets:
+        groups.append((d, c, start))
+        start += c
+    if sum_deg == 0:
+        return Graph(
+            spark.createDataFrame([], "src LONG, dst LONG"),
+            vertices=spark.range(n).select("id"),
+            directed=False,
+        )
+
+    parts = []
+    for i, (di, ci, si) in enumerate(groups):
+        for j, (dj, cj, sj) in enumerate(groups[: i + 1]):
+            p = min(1.0, (di * dj) / sum_deg)
+            if p <= 0.0:
+                continue
+            space = ci * (ci - 1) // 2 if i == j else ci * cj
+            if space == 0:
+                continue
+            cand = spark.range(space).select(F.col("id").alias("x"))
+            keep = cand.where(
+                (
+                    F.pmod(
+                        F.xxhash64("x", F.lit(i), F.lit(j), F.lit(seed)),
+                        F.lit(1_000_000_007),
+                    ).cast("double")
+                    / 1_000_000_007.0
+                )
+                < p
+            )
+            if i == j:
+                u = F.floor((1.0 + F.sqrt(1.0 + 8.0 * F.col("x"))) / 2.0).cast("long")
+                v = (F.col("x") - u * (u - 1) / 2).cast("long")
+                part = keep.select(
+                    (F.lit(si) + u).alias("a"), (F.lit(si) + v).alias("b")
+                )
+            else:
+                part = keep.select(
+                    (F.lit(si) + F.floor(F.col("x") / cj)).cast("long").alias("a"),
+                    (F.lit(sj) + F.pmod(F.col("x"), F.lit(cj))).cast("long").alias("b"),
+                )
+            parts.append(
+                part.select(
+                    F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+                )
+            )
+    edges = parts[0]
+    for df in parts[1:]:
+        edges = edges.unionByName(df)
+    return Graph(
+        edges.where(F.col("src") != F.col("dst")),
+        vertices=spark.range(n).select("id"),
+        directed=False,
+    )

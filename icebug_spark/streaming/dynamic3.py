@@ -440,3 +440,103 @@ class DynAPSP:
             .localCheckpoint(eager=True)
         )
         return len(aff_ids)
+
+
+class DynApproxBetweenness:
+    """DynApproxBetweenness (reference
+    ``centrality/DynApproxBetweenness.hpp:29``): maintain the
+    Riondato–Kornaropoulos ε-δ betweenness approximation under edge
+    insertions. The sample of r (s,t) pairs (r from the VC bound, shared
+    prologue ``centrality4._rk_sample``) is FIXED; each pair holds one
+    uniformly sampled shortest path; scores are path-through fractions.
+    On insertion the reference re-draws paths only for affected pairs
+    (its DynSSSP change detection); here the detection is the
+    conservative source-tree rule — a pair (s,t) is re-sampled iff
+    |d(s,u) − d(s,v)| ≥ 1, i.e. the insertion creates a shorter OR an
+    additional equal-length path somewhere in s's tree — which is a
+    superset of the truly affected pairs, so every stored path remains
+    a valid uniform draw over the CURRENT shortest-path DAG (for
+    unaffected pairs, distances from s are unchanged and insertions
+    never remove the old path).
+
+    State: the pair table, per-pair sampled path memberships, and the
+    per-distinct-source distance table (one batched multi-source BFS) —
+    all distributed; updates touch only affected slices."""
+
+    def __init__(
+        self,
+        edges_undirected: DataFrame,
+        eps: float = 0.3,
+        delta: float = 0.1,
+        c: float = 0.5,
+        max_samples: int = 50,
+        seed: int = 7,
+    ):
+        from icebug_spark.operators.centrality4 import (
+            _rk_sample,
+            _sampled_path_members,
+        )
+        from icebug_spark.operators.traversal import multi_source_bfs
+
+        eu, nodes, vd, r, pairs = _rk_sample(
+            edges_undirected, eps, delta, c, max_samples, seed
+        )
+        self.eu = eu
+        self.nodes = nodes.localCheckpoint(eager=True)
+        self.vd = vd
+        self.r = r
+        self.seed = seed
+        self.generation = 0
+        self.pairs = pairs
+        self.members = _sampled_path_members(eu, pairs, vd, seed).localCheckpoint(
+            eager=True
+        )
+        self._sources = sorted(
+            int(x["s"]) for x in pairs.select("s").distinct().collect()
+        )
+        self.dist = (
+            multi_source_bfs(self.eu, self._sources, max_hops=vd + 2)
+            .localCheckpoint(eager=True)
+        )
+
+    def scores(self) -> DataFrame:
+        """→ (id, approx_bc) 6dp — visits/r like the static op."""
+        counts = self.members.groupBy("id").agg(F.count(F.lit(1)).alias("cnt"))
+        return self.nodes.join(counts, "id", "left").select(
+            "id",
+            F.round(
+                F.coalesce("cnt", F.lit(0)).cast("double") / float(self.r), 6
+            ).alias("approx_bc"),
+        )
+
+    def insert_edge(self, u: int, v: int) -> int:
+        """Apply the insertion; returns the number of re-sampled pairs."""
+        from icebug_spark.operators.centrality4 import _sampled_path_members
+        from icebug_spark.operators.traversal import multi_source_bfs
+
+        aff = _affected_sources(self.dist, u, v, min_gap=1).collect()
+        aff_ids = sorted(int(r["source"]) for r in aff)
+        self.eu = _with_edge(self.eu, u, v)
+        self.generation += 1
+        if not aff_ids:
+            return 0
+        spark = self.eu.sparkSession
+        aff_src = spark.createDataFrame([(s,) for s in aff_ids], "s BIGINT")
+        aff_pairs = self.pairs.join(F.broadcast(aff_src), "s")
+        n_aff = aff_pairs.count()
+        if n_aff:
+            new_members = _sampled_path_members(
+                self.eu, aff_pairs, self.vd, self.seed + self.generation
+            )
+            keep = self.members.join(
+                F.broadcast(aff_pairs.select("pair")), "pair", "left_anti"
+            )
+            self.members = keep.unionByName(new_members).localCheckpoint(eager=True)
+        aff_df = spark.createDataFrame([(s,) for s in aff_ids], "source BIGINT")
+        new_dist = multi_source_bfs(self.eu, aff_ids, max_hops=self.vd + 2)
+        self.dist = (
+            self.dist.join(F.broadcast(aff_df), "source", "left_anti")
+            .unionByName(new_dist)
+            .localCheckpoint(eager=True)
+        )
+        return int(n_aff)
