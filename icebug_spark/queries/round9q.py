@@ -475,6 +475,50 @@ ORDER BY i.h
 """
 
 
+
+
+# q162 — binary partition sidecar round-trips (BinaryPartitionWriter/
+# Reader + BinaryEdgeListPartitionWriter/Reader, the q152 byte-level
+# certificate pattern): the nation partition (nationkey → regionkey)
+# through both binary formats; the oracle recomputes the expected rows
+# from parquet, so any byte-order/width/offset defect flips the hash.
+def q162(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from icebug_spark.catalog import table
+    from icebug_spark.sources import readers7
+
+    p = table(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.col("n_regionkey").cast("long").alias("subset"),
+    )
+    d = tempfile.mkdtemp(prefix="icebug_q162_")
+    try:
+        readers7.write_binary_partition(p, f"{d}/p.bin", width=4)
+        dense = readers7.read_binary_partition(spark, f"{d}/p.bin", width=4)
+        readers7.write_binary_edge_list_partition(
+            p, f"{d}/elp.bin", first_node=7, width=8
+        )
+        pairs = readers7.read_binary_edge_list_partition(
+            spark, f"{d}/elp.bin", first_node=7, width=8
+        )
+        out = dense.select(F.lit("dense").alias("fmt"), "id", "subset").unionByName(
+            pairs.select(F.lit("pairs").alias("fmt"), "id", "subset")
+        )
+        return out.orderBy("fmt", "id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+Q162_SQL = """
+SELECT fmt, CAST(n_nationkey AS BIGINT) AS id,
+       CAST(n_regionkey AS BIGINT) AS subset
+FROM nation, (VALUES ('dense'), ('pairs')) t(fmt)
+ORDER BY fmt, id
+"""
+
+
 ROUND9 = {
     "q153_jaccard_measure": (q153, Q153_SQL),
     "q154_top_closeness": (q154, Q154_SQL),
@@ -485,4 +529,5 @@ ROUND9 = {
     "q159_link_thresholder": (q159, Q159_SQL),
     "q160_edge_score_as_weight": (q160, Q160_SQL),
     "q161_nf_heuristic": (q161, Q161_SQL),
+    "q162_binary_partition_roundtrip": (q162, Q162_SQL),
 }
