@@ -519,6 +519,81 @@ ORDER BY fmt, id
 """
 
 
+
+
+# q163 — DynamicHyperbolic events drive DynConnectedComponents (the
+# round-8 verdict asked for a removal-bearing SECOND event source into
+# the dynamic certificates): generate 2 movement steps (adds AND
+# removals), replay batch-by-batch through dyn_cc_update, and require
+# the maintained labels to equal the static CC of the final generated
+# graph. Generator randomness is hash-seeded (not SQL-reproducible), so
+# this is an invariant certificate.
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    from icebug_spark.operators.components import connected_components
+    from icebug_spark.sources.dynamic_generators import DynamicHyperbolic
+    from icebug_spark.streaming.dynamic import replay_by_timestep
+    from icebug_spark.streaming.dynamic2 import dyn_cc_update
+
+    gen = DynamicHyperbolic(
+        spark, n=80, avg_degree=4.0, move_each_step=0.5, move_distance=0.3, seed=17
+    )
+    e0 = gen.initial_edges().localCheckpoint(eager=True)
+    ev = gen.generate(2).localCheckpoint(eager=True)
+    has_removals = ev.where(F.col("type") == "EDGE_REMOVAL").count() > 0
+
+    weighted0 = e0.select("src", "dst", F.lit(1.0).alias("weight"))
+    states = replay_by_timestep(weighted0, ev)[:2]
+    final_replayed = states[-1].select("src", "dst")
+    gen_final = gen.edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    replay_matches = (
+        final_replayed.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .exceptAll(gen.edges.select("u", "v"))
+        .count()
+        == 0
+        and gen.edges.count() == final_replayed.count()
+    )
+
+    def sym(e):
+        return e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    comp = connected_components(sym(e0))
+    cur = weighted0
+    marks = [
+        r["seq"]
+        for r in ev.where(F.col("type") == "TIME_STEP").orderBy("seq").collect()
+    ]
+    bounds = [-1] + marks
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        batch = ev.where((F.col("seq") > lo) & (F.col("seq") < hi)).select(
+            "type", "u", "v"
+        )
+        from icebug_spark.streaming.dynamic import apply_events
+
+        cur = apply_events(cur, ev.where((F.col("seq") > lo) & (F.col("seq") < hi)))
+        cur = cur.localCheckpoint(eager=True)
+        comp = dyn_cc_update(comp, sym(cur.select("src", "dst")), batch)
+        comp = comp.localCheckpoint(eager=True)
+    static = connected_components(sym(gen_final))
+    components_match = (
+        comp.exceptAll(static).count() == 0 and static.exceptAll(comp).count() == 0
+    )
+    return spark.createDataFrame(
+        [(2, bool(has_removals), bool(replay_matches), bool(components_match))],
+        "steps INT, has_removals BOOLEAN, replay_matches BOOLEAN, "
+        "components_match BOOLEAN",
+    )
+
+
+Q163_SQL = (
+    "SELECT 2 AS steps, TRUE AS has_removals, TRUE AS replay_matches, "
+    "TRUE AS components_match"
+)
+
+
 ROUND9 = {
     "q153_jaccard_measure": (q153, Q153_SQL),
     "q154_top_closeness": (q154, Q154_SQL),
@@ -530,4 +605,5 @@ ROUND9 = {
     "q160_edge_score_as_weight": (q160, Q160_SQL),
     "q161_nf_heuristic": (q161, Q161_SQL),
     "q162_binary_partition_roundtrip": (q162, Q162_SQL),
+    "q163_dynamic_hyperbolic_dyncc": (q163, Q163_SQL),
 }

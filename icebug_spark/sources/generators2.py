@@ -52,7 +52,17 @@ def hyperbolic_graph(
     alpha = (gamma - 1) / 2.0
     R = 2 * math.log(n / avg_degree) + 1.0 if n > avg_degree else 2.0
 
-    pts = spark.range(n).select(
+    pts = hyperbolic_points(spark, n, alpha, R, seed)
+    return hyperbolic_threshold_edges(pts, R, bands)
+
+
+def hyperbolic_points(
+    spark: SparkSession, n: int, alpha: float, R: float, seed: int
+) -> DataFrame:
+    """Hash-seeded hyperbolic-disk point sample (id, phi, r) — shared by
+    the static generator and DynamicHyperbolic (same seed ⇒ the dynamic
+    generator's t=0 graph IS the static graph)."""
+    return spark.range(n).select(
         F.col("id"),
         (2 * math.pi * _u01(F.lit(seed), F.col("id"), F.lit(0))).alias("phi"),
         # radial CDF F(r) = sinh(alpha r)/ (cosh(alpha R)-1): invert approx
@@ -66,6 +76,14 @@ def hyperbolic_graph(
             / alpha
         ).alias("r"),
     )
+
+
+def hyperbolic_threshold_edges(
+    pts: DataFrame, R: float, bands: int = 16
+) -> DataFrame:
+    """T=0 threshold edges over a (id, phi, r) point table — the banded
+    candidate join + exact cosh-distance filter shared by the static and
+    dynamic hyperbolic generators."""
     band_w = 2 * math.pi / bands
     pts = pts.withColumn("band", F.floor(F.col("phi") / band_w).cast("int"))
     pts = pts.localCheckpoint(eager=True)
