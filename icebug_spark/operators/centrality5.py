@@ -90,51 +90,72 @@ def _swap_local_search(
 
     cur = farness_of(group)
     n_swaps = 0
-    cands = spark.createDataFrame([(c,) for c in pool], "s BIGINT")
+    universe = d.select("v").distinct().localCheckpoint(eager=True)
     for _ in range(max_swaps):
-        best_swap = None  # (farness, out, in)
-        for m_out in group:
-            kept = [m for m in group if m != m_out]
-            kdf = spark.createDataFrame([(x,) for x in kept], "s BIGINT")
-            dkept = (
-                d.join(F.broadcast(kdf), "s")
-                .groupBy("v")
-                .agg(F.min("dist").alias("dk"))
-            )
-            dc = d.join(F.broadcast(cands), "s").select(
-                F.col("s").alias("cand"), "v", F.col("dist").alias("dc")
-            )
-            # candidate × kept-reached grid first so nodes reached only
-            # by kept members still contribute to every candidate
-            grid = dkept.crossJoin(
-                F.broadcast(cands.select(F.col("s").alias("cand")))
-            )
-            sc = (
-                grid.join(dc, ["cand", "v"], "full")
-                .select(
-                    "cand",
-                    F.least(
-                        F.coalesce("dk", F.lit(_INF)),
-                        F.coalesce("dc", F.lit(_INF)),
-                    ).alias("db"),
-                )
-                .where(F.col("db") < _INF)
-                .groupBy("cand")
-                .agg(F.sum("db").alias("f"))
-                .orderBy("f", "cand")
-                .limit(1)
-                .collect()
-            )
-            if sc:
-                f_new = float(sc[0]["f"])
-                if best_swap is None or f_new < best_swap[0]:
-                    best_swap = (f_new, m_out, int(sc[0]["cand"]))
-        if best_swap is None or best_swap[0] >= cur:
-            break
-        cur = best_swap[0]
-        group = [m for m in group if m != best_swap[1]] + [best_swap[2]]
-        pool = [c for c in pool if c != best_swap[2]] + [best_swap[1]]
+        # ALL k·|pool| swaps in ONE aggregation: per node v precompute
+        # the min and second-min member distance — removing member o
+        # leaves dk(o,v) = min2 when o is the argmin, else min1 — then
+        # join candidate distances on v and take the global best
+        # (farness asc, out, in) in a single orderBy/limit collect.
+        mdf = spark.createDataFrame([(x,) for x in group], "s BIGINT")
         cands = spark.createDataFrame([(c,) for c in pool], "s BIGINT")
+        stats = (
+            d.join(F.broadcast(mdf), "s")
+            .groupBy("v")
+            .agg(F.slice(F.sort_array(F.collect_list(F.struct("dist", "s"))), 1, 2).alias("top2"))
+            .select(
+                "v",
+                # F.get returns NULL out of bounds (ANSI-safe for k=1)
+                F.get("top2", 0)["dist"].alias("min1"),
+                F.get("top2", 0)["s"].alias("arg1"),
+                F.coalesce(F.get("top2", 1)["dist"], F.lit(_INF)).alias("min2"),
+            )
+        )
+        outs = mdf.select(F.col("s").alias("o"))
+        base = (
+            universe.join(stats, "v", "left")
+            .crossJoin(F.broadcast(outs))
+            .select(
+                "v",
+                "o",
+                F.when(F.col("arg1").isNull(), F.lit(_INF))
+                .when(F.col("arg1") == F.col("o"), F.col("min2"))
+                .otherwise(F.col("min1"))
+                .alias("dk"),
+            )
+        )
+        # dense candidate distances over the whole reached universe so a
+        # node a candidate does NOT reach still contributes its kept
+        # distance to that candidate's objective
+        dc = (
+            universe.crossJoin(F.broadcast(cands.select(F.col("s").alias("cand"))))
+            .join(
+                d.join(F.broadcast(cands), "s").select(
+                    F.col("s").alias("cand"), "v", F.col("dist").alias("dc")
+                ),
+                ["cand", "v"],
+                "left",
+            )
+            .select("cand", "v", F.coalesce("dc", F.lit(_INF)).alias("dc"))
+        )
+        best = (
+            base.join(dc, "v")
+            .select(
+                "o", "cand", F.least(F.col("dk"), F.col("dc")).alias("db")
+            )
+            .where(F.col("db") < _INF)
+            .groupBy("o", "cand")
+            .agg(F.sum("db").alias("f"))
+            .orderBy("f", "o", "cand")
+            .limit(1)
+            .collect()
+        )
+        if not best or float(best[0]["f"]) >= cur:
+            break
+        cur = float(best[0]["f"])
+        m_out, m_in = int(best[0]["o"]), int(best[0]["cand"])
+        group = [m for m in group if m != m_out] + [m_in]
+        pool = [c for c in pool if c != m_in] + [m_out]
         n_swaps += 1
     return sorted(group), cur, n_swaps
 

@@ -11,7 +11,6 @@ reproduce (q155, q157, q158)."""
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -103,21 +102,21 @@ _GC_K = 4
 
 
 def q155(spark: SparkSession, sf: str) -> DataFrame:
-    from icebug_spark.operators.centrality5 import (
-        group_closeness_local_search,
-        group_closeness_local_swaps,
-    )
+    from icebug_spark.operators.centrality5 import group_closeness_local_search
 
     eu = _eu(spark, sf)
     seed_group = [
         int(r["id"]) for r in _nodes(eu).orderBy("id").limit(_GC_K).collect()
     ]
-    res = group_closeness_local_search(eu, seed_group).localCheckpoint(eager=True)
-    swaps = group_closeness_local_swaps(eu, seed_group).localCheckpoint(eager=True)
-    # seed-group farness, computed independently of the operator
+    res = group_closeness_local_search(
+        eu, seed_group, candidate_factor=3, max_hops=8
+    ).localCheckpoint(eager=True)
+    # seed-group farness, computed independently of the operator (same
+    # hop bound); the LocalSwaps variant shares this kernel verbatim and
+    # is covered by its golden (tests/test_round9_ops.py)
     from icebug_spark.operators.traversal import multi_source_bfs
 
-    d = multi_source_bfs(eu, seed_group, max_hops=16)
+    d = multi_source_bfs(eu, seed_group, max_hops=8)
     init_far = (
         d.groupBy("id").agg(F.min("dist").alias("db")).agg(F.sum("db")).collect()[0][0]
     )
@@ -125,20 +124,17 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("k_members"),
         (F.max("farness") <= float(init_far)).alias("improved_or_equal"),
         F.min(F.col("n_swaps") >= 0).alias("swaps_nonneg"),
-    ).crossJoin(
-        swaps.agg(
-            (F.count(F.lit(1)) == _GC_K).alias("swaps_k_members"),
-        )
     )
 
 
 Q155_SQL = (
     f"SELECT {_GC_K} AS k_members, TRUE AS improved_or_equal, "
-    "TRUE AS swaps_nonneg, TRUE AS swaps_k_members"
+    "TRUE AS swaps_nonneg"
 )
 
 
-# q156 — ApproxCloseness with SQL-pinned pivots (id % 5 = 0) and ε=0:
+# q156 — ApproxCloseness with SQL-pinned pivots (id % 97 = 0 — the
+# mod keeps the pivot set sweep-budget-sized at every SF) and ε=0:
 # the estimator collapses to the Eppstein-Wang form — sampled nodes
 # exact 1/Σd, others 1/((n−1)/k·Σ_i d(s_i,u)) with the variance
 # estimate (n−1)/k·(Σd²/k − (Σd/k)²)·k/k — a FULL-VALUE oracle for the
@@ -149,7 +145,7 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     eu = _eu(spark, sf)
     pivots = [
         int(r["id"])
-        for r in _nodes(eu).where(F.col("id") % 5 == 0).collect()
+        for r in _nodes(eu).where(F.col("id") % 97 == 0).collect()
     ]
     return approx_closeness(
         eu, epsilon=0.0, max_hops=12, samples=pivots
@@ -160,7 +156,7 @@ Q156_SQL = f"""
 WITH RECURSIVE eu AS ({EU_SQL}),
 nodes AS (SELECT DISTINCT src AS id FROM eu),
 nn AS (SELECT COUNT(*) AS n FROM nodes),
-piv AS (SELECT id FROM nodes WHERE id % 5 = 0),
+piv AS (SELECT id FROM nodes WHERE id % 97 = 0),
 kk AS (SELECT COUNT(*) AS k FROM piv),
 bfs(source, node, dist) AS (
   SELECT id, id, 0 FROM piv
@@ -297,7 +293,7 @@ FROM sub
 # exact; after an insertion every stored sampled path is STILL a
 # shortest path of the updated graph (interior+1 == d(s,t)); scores
 # stay in [0, 1].
-_DAB_SAMPLES = 20
+_DAB_SAMPLES = 6
 
 
 def q158(spark: SparkSession, sf: str) -> DataFrame:
@@ -305,7 +301,7 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
     from icebug_spark.streaming.dynamic3 import DynApproxBetweenness
 
     eu = _eu(spark, sf)
-    dyn = DynApproxBetweenness(eu, eps=0.3, max_samples=_DAB_SAMPLES)
+    dyn = DynApproxBetweenness(eu, eps=0.5, max_samples=_DAB_SAMPLES)
     ids = _nodes(eu).agg(F.min("id"), F.max("id")).collect()[0]
     dyn.insert_edge(int(ids[0]), int(ids[1]))
 
