@@ -17,21 +17,25 @@ from pyspark.sql import functions as F
 
 
 def k_core(edges_undirected: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
-    """Node set of the k-core → (id). Input must be symmetrized."""
+    """Node set of the k-core → (id). Input must be symmetrized.
+
+    Convergence is detected on the PEEL side — one count over the
+    vertex-sized degree frame per round ("did any node fall below k?")
+    instead of two edge-table counts; rounds that peel nothing never
+    rebuild the edge table at all."""
     eu = edges_undirected.select("src", "dst").localCheckpoint(eager=True)
     for _ in range(max_iter):
         deg = eu.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        peel = deg.where(F.col("deg") < k).select("src")
+        if peel.limit(1).count() == 0:
+            break
         keep = deg.where(F.col("deg") >= k).select("src")
-        filtered = (
+        eu = (
             eu.join(keep, "src", "leftsemi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "leftsemi")
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
-        if filtered.count() == eu.count():
-            eu = filtered
-            break
-        eu = filtered
     return eu.select(F.col("src").alias("id")).distinct()
 
 

@@ -18,10 +18,11 @@ bucketed shuffle-hash tracks it within a small constant — evidence the
 1e9-node path, where broadcast is impossible, has sane constants.
 Writes BENCH_SCALEUP.json at the repo root.
 
-Runtime control: single rep per (size, mode, kernel) — at 2^25 edges a
-rep is tens of seconds and a GC pause cannot flip the ordering the
-artifact exists to show; k-core uses k = 2·edge_factor so the peel
-converges in a handful of rounds at every size.
+Runtime control: best-of-2 for the short kernels (single-rep iterative
+timings proved noisy across identical runs — GC + AQE variance flipped
+a 3x on BFS), single rep for k-core (the longest kernel; its ordering
+is decided by minutes, not noise); k-core uses k = 2·edge_factor so
+the peel converges in a handful of rounds at every size.
 """
 
 from __future__ import annotations
@@ -85,6 +86,16 @@ def main() -> None:
         size_res: dict = {"n_nodes": n_nodes, "m_edges": m_edges, "buckets": buckets, "modes": {}}
         try:
             for mode in MODES:
+                # drop lingering localCheckpoint blocks from the previous
+                # mode: releasing the Python-side DataFrame refs lets the
+                # ContextCleaner evict their RDD blocks, so mode N+1 does
+                # not pay mode N's storage pressure (observed: identical
+                # kernels 3-4x slower late in a session without this)
+                import gc as _gc
+
+                _gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(2)
                 spark.conf.set(
                     "spark.icebug.vertexBroadcastRows",
                     "0" if mode != "broadcast" else str(1 << 27),
@@ -93,20 +104,25 @@ def main() -> None:
                 et = spark.table(f"scaleup_e_{suffix}")
                 eut = spark.table(f"scaleup_eu_{suffix}")
                 times: dict[str, float] = {}
-                for qname, fn in (
-                    ("bfs", lambda: bfs_distances(eut, 0, max_hops=8)),
-                    ("cc", lambda: connected_components(eut)),
+                for qname, fn, reps in (
+                    ("bfs", lambda: bfs_distances(eut, 0, max_hops=8), 2),
+                    ("cc", lambda: connected_components(eut), 2),
                     (
                         "pagerank",
                         lambda: pagerank(
                             et, damping=0.85, max_iter=8, distribute_sinks=False
                         ),
+                        2,
                     ),
-                    ("kcore", lambda: k_core(eut, k=2 * EDGE_FACTOR)),
+                    ("kcore", lambda: k_core(eut, k=2 * EDGE_FACTOR), 1),
                 ):
-                    t0 = time.time()
-                    rows = fn().count()
-                    times[qname] = round(time.time() - t0, 2)
+                    best = None
+                    for _rep in range(reps):
+                        t0 = time.time()
+                        rows = fn().count()
+                        dt = time.time() - t0
+                        best = dt if best is None else min(best, dt)
+                    times[qname] = round(best, 2)
                     print(
                         f"# scale {scale} {mode}/{qname}: {times[qname]}s"
                         f" ({rows} rows)",
