@@ -471,16 +471,40 @@ class DynApproxBetweenness:
         c: float = 0.5,
         max_samples: int = 50,
         seed: int = 7,
+        vd: int | None = None,
     ):
+        """``vd``: optional vertex-diameter UPPER bound. The RK sample
+        bound is valid for any overestimate (a larger vd only grows r);
+        passing one skips the double-sweep estimate (two full BFS)."""
         from icebug_spark.operators.centrality4 import (
+            _rk_pairs,
             _rk_sample,
             _sampled_path_members,
         )
         from icebug_spark.operators.traversal import multi_source_bfs
 
-        eu, nodes, vd, r, pairs = _rk_sample(
-            edges_undirected, eps, delta, c, max_samples, seed
-        )
+        if vd is None:
+            eu, nodes, vd, r, pairs = _rk_sample(
+                edges_undirected, eps, delta, c, max_samples, seed
+            )
+        else:
+            import math as _math
+
+            eu = edges_undirected.select("src", "dst")
+            eu = eu.union(
+                eu.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).distinct().localCheckpoint(eager=True)
+            nodes = eu.select(F.col("src").alias("id")).distinct()
+            n = nodes.count()
+            vd = max(int(vd), 2)
+            r = int(
+                _math.ceil(
+                    (c / eps**2)
+                    * (_math.floor(_math.log2(max(vd - 2, 1))) + 1 + _math.log(1 / delta))
+                )
+            )
+            r = max(1, min(r, max_samples))
+            pairs = _rk_pairs(nodes, n, r, seed)
         self.eu = eu
         self.nodes = nodes.localCheckpoint(eager=True)
         self.vd = vd
