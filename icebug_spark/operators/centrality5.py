@@ -80,84 +80,110 @@ def _swap_local_search(
     ][: k * candidate_factor]
     d = _distance_table(eu, group + pool, max_hops)
 
-    def farness_of(members: list[int]) -> float:
-        m = spark.createDataFrame([(x,) for x in members], "s BIGINT")
-        best = (
-            d.join(F.broadcast(m), "s").groupBy("v").agg(F.min("dist").alias("db"))
-        )
-        row = best.agg(F.sum("db").alias("f")).collect()[0]
-        return float(row["f"] if row["f"] is not None else 0.0)
-
-    cur = farness_of(group)
     n_swaps = 0
     universe = d.select("v").distinct().localCheckpoint(eager=True)
-    for _ in range(max_swaps):
-        # ALL k·|pool| swaps in ONE aggregation: per node v precompute
-        # the min and second-min member distance — removing member o
-        # leaves dk(o,v) = min2 when o is the argmin, else min1 — then
-        # join candidate distances on v and take the global best
-        # (farness asc, out, in) in a single orderBy/limit collect.
+    for _ in range(max(0, max_swaps)):
+        # Delta-restricted swap evaluation — ONE Spark job per round.
+        # Removing member o and adding candidate c only changes the
+        # contribution of nodes where o is the ARGMIN member distance or
+        # where c reaches the node, so the farness CHANGE decomposes as
+        #   Δ(o,c) = A(o) + Bc(c) + C(c,o)
+        # with A(o)  = Σ_{v: arg1=o} (min2 − min1)           (o's loss),
+        #      Bc(c) = Σ_{v: c reaches} min(0, dc − min1)    (c's gain),
+        #      C(c,o)= Σ_{v: c reaches, arg1=o}
+        #                min(0, dc − min2) − min(0, dc − min1)
+        # (the correction where both effects overlap). Nodes in the
+        # universe a group does NOT reach within max_hops count as a
+        # fixed _INF penalty on BOTH sides, so a swap that loses coverage
+        # of far nodes can never read as a spurious improvement
+        # (connected-graph / sufficient-max_hops contract documented on
+        # the public wrappers). All arithmetic is exact longs — the
+        # (Δ, o, c) argmin and the strict-decrease acceptance are
+        # bit-identical to the dense universe×swaps grid it replaces
+        # (the objective is Δ plus a per-round constant).
         mdf = spark.createDataFrame([(x,) for x in group], "s BIGINT")
         cands = spark.createDataFrame([(c,) for c in pool], "s BIGINT")
         stats = (
-            d.join(F.broadcast(mdf), "s")
-            .groupBy("v")
-            .agg(F.slice(F.sort_array(F.collect_list(F.struct("dist", "s"))), 1, 2).alias("top2"))
+            universe.join(
+                d.join(F.broadcast(mdf), "s")
+                .groupBy("v")
+                .agg(
+                    F.slice(
+                        F.sort_array(F.collect_list(F.struct("dist", "s"))), 1, 2
+                    ).alias("top2")
+                ),
+                "v",
+                "left",
+            )
             .select(
                 "v",
                 # F.get returns NULL out of bounds (ANSI-safe for k=1)
-                F.get("top2", 0)["dist"].alias("min1"),
+                F.coalesce(F.get("top2", 0)["dist"], F.lit(_INF)).alias("min1"),
                 F.get("top2", 0)["s"].alias("arg1"),
                 F.coalesce(F.get("top2", 1)["dist"], F.lit(_INF)).alias("min2"),
             )
+            .localCheckpoint(eager=True)
         )
-        outs = mdf.select(F.col("s").alias("o"))
-        base = (
-            universe.join(stats, "v", "left")
-            .crossJoin(F.broadcast(outs))
-            .select(
-                "v",
-                "o",
-                F.when(F.col("arg1").isNull(), F.lit(_INF))
-                .when(F.col("arg1") == F.col("o"), F.col("min2"))
-                .otherwise(F.col("min1"))
-                .alias("dk"),
-            )
-        )
-        # dense candidate distances over the whole reached universe so a
-        # node a candidate does NOT reach still contributes its kept
-        # distance to that candidate's objective
-        dc = (
-            universe.crossJoin(F.broadcast(cands.select(F.col("s").alias("cand"))))
-            .join(
-                d.join(F.broadcast(cands), "s").select(
-                    F.col("s").alias("cand"), "v", F.col("dist").alias("dc")
-                ),
-                ["cand", "v"],
-                "left",
-            )
-            .select("cand", "v", F.coalesce("dc", F.lit(_INF)).alias("dc"))
-        )
-        best = (
-            base.join(dc, "v")
-            .select(
-                "o", "cand", F.least(F.col("dk"), F.col("dc")).alias("db")
-            )
-            .where(F.col("db") < _INF)
-            .groupBy("o", "cand")
-            .agg(F.sum("db").alias("f"))
-            .orderBy("f", "o", "cand")
-            .limit(1)
+        a_rows = (
+            stats.where(F.col("arg1").isNotNull())
+            .groupBy(F.col("arg1").alias("o"))
+            .agg(F.sum(F.col("min2") - F.col("min1")).alias("a"))
             .collect()
         )
-        if not best or float(best[0]["f"]) >= cur:
+        # candidate-reached rows only — no dense universe×cands grid;
+        # one aggregation yields both the per-candidate gain (summed over
+        # arg1) and the per-(candidate, arg1) overlap correction
+        dcr = (
+            d.join(F.broadcast(cands), "s")
+            .select(F.col("s").alias("cand"), "v", F.col("dist").alias("dc"))
+            .join(stats, "v")
+        )
+        gain1 = F.least(F.lit(0), F.col("dc") - F.col("min1"))
+        gain2 = F.least(F.lit(0), F.col("dc") - F.col("min2"))
+        bc_rows = (
+            dcr.groupBy("cand", "arg1")
+            .agg(F.sum(gain1).alias("g1"), F.sum(gain2 - gain1).alias("g2c"))
+            .collect()
+        )
+        # combine on the driver: the grid is only k·|pool| cells
+        a_map = {int(r["o"]): int(r["a"]) for r in a_rows}
+        b_map: dict[int, int] = {}
+        c_map: dict[tuple[int, int], int] = {}
+        for r in bc_rows:
+            cnd = int(r["cand"])
+            b_map[cnd] = b_map.get(cnd, 0) + int(r["g1"])
+            if r["arg1"] is not None:
+                c_map[(cnd, int(r["arg1"]))] = int(r["g2c"])
+        best = min(
+            (
+                (
+                    a_map.get(o, 0) + b_map.get(cnd, 0) + c_map.get((cnd, o), 0),
+                    o,
+                    cnd,
+                )
+                for o in group
+                for cnd in pool
+            ),
+            default=None,
+        )
+        if best is None or best[0] >= 0:
             break
-        cur = float(best[0]["f"])
-        m_out, m_in = int(best[0]["o"]), int(best[0]["cand"])
+        _, m_out, m_in = best
         group = [m for m in group if m != m_out] + [m_in]
         pool = [c for c in pool if c != m_in] + [m_out]
         n_swaps += 1
-    return sorted(group), cur, n_swaps
+    # final farness (one job): penalized sum over the reached universe
+    mdf = spark.createDataFrame([(x,) for x in group], "s BIGINT")
+    row = (
+        universe.join(
+            d.join(F.broadcast(mdf), "s").groupBy("v").agg(F.min("dist").alias("db")),
+            "v",
+            "left",
+        )
+        .agg(F.sum(F.coalesce("db", F.lit(_INF))).alias("f"))
+        .collect()[0]
+    )
+    return sorted(group), float(row["f"] or 0), n_swaps
 
 
 def group_closeness_local_search(
@@ -175,6 +201,13 @@ def group_closeness_local_search(
     outsiders (the documented scale contract — the reference scans all
     outsiders; at cluster scale the pool bounds the swap grid while the
     distance table stays one batched multi-source BFS).
+
+    Contract (like the reference): the graph should be connected and
+    ``max_hops`` at least its radius from the group; nodes the group
+    cannot reach within ``max_hops`` count as a fixed 2^30 penalty in
+    the farness objective (so a swap can never "improve" by dropping
+    coverage of far nodes), and that penalty is included in the
+    reported farness.
     → (id, farness, n_swaps): one row per final member, objective and
     swap count replicated."""
     group, far, n_swaps = _swap_local_search(
@@ -201,7 +234,9 @@ def group_closeness_local_swaps(
     RANDOMIZED farness-decrease estimate clears (1−ε); this exact
     evaluation accepts the subset of those swaps that truly decrease
     farness (documented determinism divergence, same local-optimum
-    guarantee). → (id, n_swaps)."""
+    guarantee). Same connected-graph / ``max_hops``-radius contract and
+    unreached-node penalty as :func:`group_closeness_local_search`.
+    → (id, n_swaps)."""
     group, _far, n_swaps = _swap_local_search(
         eu, initial_group, max_swaps, candidate_factor, max_hops
     )
@@ -353,9 +388,19 @@ def approx_closeness(
     var_term = F.try_divide(F.lit(1.0), F.col("lc_num")) * (
         F.try_divide(F.col("lc_sumsq"), F.col("lc_num")) - lc_sq_avg
     ) * l_num
+    # coalesce wraps ONLY the HC term: when hc_num > 0 but h_num == 0 the
+    # try_divide is NULL and would otherwise null out (then zero via the
+    # outer coalesce) the LC variance term too — the reference divides by
+    # zero only inside the HC term itself (cpp:101-109)
     err = F.when(
         hc_num > 0,
-        var_term + F.try_divide(F.col("hc_sqerr"), (hc_num * F.col("h_num")).cast("double")),
+        var_term
+        + F.coalesce(
+            F.try_divide(
+                F.col("hc_sqerr"), (hc_num * F.col("h_num")).cast("double")
+            ),
+            F.lit(0.0),
+        ),
     ).otherwise(var_term)
     score = F.when(
         F.lit(normalized), F.lit(float(n - 1)) / farness
@@ -496,8 +541,28 @@ def approx_spanning_edge(
         adj.setdefault(int(r["v"]), []).append(int(r["u"]))
     for vs in adj.values():
         vs.sort()
-    badj = spark.sparkContext.broadcast(adj)
     root = min(adj)
+    # connectivity guard BEFORE broadcasting: a Wilson walk started in a
+    # component that does not contain the root can never hit the tree, so
+    # on disconnected input the executor task would spin forever (a hang,
+    # not an error). USTs are only defined on connected graphs anyway
+    # (reference ApproxSpanningEdge.cpp assumes connectivity).
+    seen = {root}
+    frontier = [root]
+    while frontier:
+        nxt = []
+        for x in frontier:
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    nxt.append(y)
+        frontier = nxt
+    if len(seen) != len(adj):
+        raise ValueError(
+            f"approx_spanning_edge requires a connected graph: only "
+            f"{len(seen)} of {len(adj)} nodes reachable from {root}"
+        )
+    badj = spark.sparkContext.broadcast(adj)
 
     def sample_trees(batches):
         import numpy as np

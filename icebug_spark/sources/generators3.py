@@ -654,6 +654,15 @@ def chung_lu_alam_et_al(
                     F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
                 )
             )
+    if not parts:
+        # sum_deg > 0 but no group pair has both positive probability and
+        # a non-empty pair space (e.g. degree_sequence=[1, 0]): the model
+        # can emit no edge — mirror the sum_deg==0 empty-graph branch
+        return Graph(
+            spark.createDataFrame([], "src LONG, dst LONG"),
+            vertices=spark.range(n).select("id"),
+            directed=False,
+        )
     edges = parts[0]
     for df in parts[1:]:
         edges = edges.unionByName(df)

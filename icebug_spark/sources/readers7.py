@@ -42,10 +42,11 @@ def _check_width(width: int) -> None:
         raise ValueError("only widths 4 and 8 are supported")
 
 
-def write_binary_partition(partition: DataFrame, path: str, width: int = 8) -> None:
+def write_binary_partition(partition: DataFrame, path: str, width: int = 4) -> None:
     """Subsets in node-id order, fixed-width little-endian. Node ids must
     be dense 0..n−1 (the format has no id column — the reference's
-    Partition is a dense vector)."""
+    Partition is a dense vector). Default ``width=4`` matches the
+    reference (``graphio.pyx:717`` BinaryPartitionWriter(width=4))."""
     _check_width(width)
     rows = partition.orderBy("id").select("id", "subset").collect()
     n = len(rows)
@@ -59,7 +60,7 @@ def write_binary_partition(partition: DataFrame, path: str, width: int = 8) -> N
         f.write(subs.astype(_DTYPES[width]).tobytes())
 
 
-def read_binary_partition(spark: SparkSession, path: str, width: int = 8) -> DataFrame:
+def read_binary_partition(spark: SparkSession, path: str, width: int = 4) -> DataFrame:
     _check_width(width)
     with open(path, "rb") as f:
         raw = f.read()
@@ -75,7 +76,7 @@ def read_binary_partition(spark: SparkSession, path: str, width: int = 8) -> Dat
 
 
 def write_binary_edge_list_partition(
-    partition: DataFrame, path: str, first_node: int = 0, width: int = 8
+    partition: DataFrame, path: str, first_node: int = 0, width: int = 4
 ) -> None:
     """(node+firstNode, subset) little-endian pairs in node-id order."""
     _check_width(width)
@@ -96,7 +97,7 @@ def read_binary_edge_list_partition(
     spark: SparkSession,
     paths: str | list[str],
     first_node: int = 0,
-    width: int = 8,
+    width: int = 4,
 ) -> DataFrame:
     _check_width(width)
     if isinstance(paths, str):
