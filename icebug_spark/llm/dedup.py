@@ -73,7 +73,7 @@ def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs above threshold, jaccard on
     distinct word-n-gram sets, rounded 6dp. Exact (no sketch) — the
@@ -84,7 +84,11 @@ def ngram_jaccard_pairs(
     non-boilerplate shingles"). The standard cap: a single hot
     boilerplate n-gram makes the self-join quadratic in its document
     frequency, so at scale the cap bounds the join's skew; semantics
-    stay well-defined and SQL-expressible.
+    stay well-defined and SQL-expressible. The DEFAULT is capped at
+    1000 — the uncapped self-join is quadratic in the hottest shingle's
+    document frequency, which is the one shape that cannot ship at
+    100 TB; pass ``max_doc_freq=None`` explicitly for the fully exact
+    small-corpus baseline (the oracle twins do).
 
     The shingle table feeds three consumers (sizes + both join sides), so
     it is materialized once instead of re-tokenizing the corpus per branch."""

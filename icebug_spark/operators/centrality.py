@@ -27,19 +27,28 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 15,
     distribute_sinks: bool = True,
+    tol: float = 0.0,
+    norm: str = "l1",
 ) -> DataFrame:
     """PageRank over a directed edge DataFrame → ``(id, pagerank)``.
 
     Semantics follow reference ``centrality/PageRank.hpp:49``
     SinkHandling::DISTRIBUTE_SINKS: each iteration the aggregate rank held
     by out-degree-0 nodes is spread uniformly, so total rank stays 1.
+    ``tol`` > 0 enables the reference's early stop (PageRank.hpp:38-90
+    tolerance + norm): iteration ends once ‖rank − rank_prev‖ ≤ tol under
+    ``norm`` ∈ {"l1", "l2", "max"}. The default ``tol=0`` runs exactly
+    ``max_iter`` rounds (fixed rounds keep the DuckDB oracle expressible).
 
     Scale notes: per-iteration cost is one join (ranks ⋈ edges, both
     pre-partitioned on the join key by the shuffle of the previous round)
     + one groupBy(dst) with partial aggregation. The edges side is loop
     invariant — on a cluster, persist it partitioned by ``src`` so only the
-    (small) rank vector reshuffles each round. Sink sum + convergence are
-    scalar aggregations (no collect of per-node state to the driver).
+    (small) rank vector reshuffles each round. Sink sum is folded into the
+    update plan (broadcast 1-row cross join); the tolerance check runs only
+    at checkpoint boundaries where BOTH rank vectors are already
+    materialized, so it costs one n-row scan-and-sum — never a recompute
+    of the update and never an extra job on the non-checkpoint rounds.
     """
     e = edges.select("src", "dst")
     nodes = (
@@ -55,7 +64,9 @@ def pagerank(
     # loop-invariant: node → outdeg (null ⇒ sink)
     base = nodes.join(outdeg, "id", "left").localCheckpoint(eager=True)
 
-    ranks = base.withColumn("rank", F.lit(1.0 / n))
+    ranks = base.withColumn("rank", F.lit(1.0 / n)).withColumn(
+        "prev", F.lit(0.0)
+    )
 
     def step(r: DataFrame, _i: int) -> DataFrame:
         contribs = (
@@ -68,7 +79,12 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
         )
-        out = base.join(contribs, "id", "left")
+        # join contribs back onto the STATE (id-keyed) rather than the
+        # static base so the previous rank rides along as `prev` — the
+        # tolerance check then reads the checkpointed state alone
+        out = r.select("id", "outdeg", F.col("rank").alias("prev")).join(
+            contribs, "id", "left"
+        )
         if distribute_sinks:
             # Fold the sink aggregate into the plan (broadcast 1-row cross
             # join) instead of collect()ing it — one Spark action per
@@ -89,9 +105,33 @@ def pagerank(
                 + F.lit(damping)
                 * (F.coalesce(F.col("contrib"), F.lit(0.0)) + sink_term)
             ).alias("rank"),
+            "prev",
         )
 
-    final = iterate(ranks, step, max_iter, converged=None, checkpoint_every=2)
+    converged = None
+    if tol > 0.0:
+        if norm not in ("l1", "l2", "max"):
+            raise ValueError("norm must be one of l1, l2, max")
+        _round = {"i": 0}
+
+        def converged(old: DataFrame, new: DataFrame) -> bool:
+            # only test at checkpoint boundaries: there `new` is a
+            # materialized RDD carrying (rank, prev), so the delta norm
+            # is one scan of the checkpointed vector — not a
+            # re-execution of the (lazy) update rounds in between
+            _round["i"] += 1
+            if _round["i"] % 2:
+                return False
+            diff = F.col("rank") - F.col("prev")
+            agg = {
+                "l1": F.sum(F.abs(diff)),
+                "l2": F.sqrt(F.sum(diff * diff)),
+                "max": F.max(F.abs(diff)),
+            }[norm]
+            val = new.agg(agg.alias("d")).collect()[0]["d"]
+            return val is not None and float(val) <= tol
+
+    final = iterate(ranks, step, max_iter, converged=converged, checkpoint_every=2)
     return final.select("id", F.col("rank").alias("pagerank"))
 
 

@@ -139,6 +139,43 @@ WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.2
 """
 
 
+def ngram_jaccard_uncapped_q(spark: SparkSession, sf: str) -> DataFrame:
+    # max_doc_freq=None: the fully exact small-corpus baseline (every
+    # shingle kept) — full-value twin of the capped at-scale default
+    return dedup.ngram_jaccard_pairs(
+        table(spark, sf, "documents"), n=3, threshold=0.2, max_doc_freq=None
+    )
+
+
+# identical to NGRAM_JACCARD_SQL minus the document-frequency cap CTE
+NGRAM_JACCARD_UNCAPPED_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(t) - 2),
+                  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
+    FROM toks WHERE len(t) >= 3
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6)
+           AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.2
+"""
+
+
 def embedding_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk(
         table(spark, sf, "embeddings"), query_filter=lambda c: c < 10, k=10
@@ -179,9 +216,11 @@ def minhash_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
     got = dedup.minhash_lsh_duplicates(
         docs, n=3, num_hashes=16, bands=4, threshold=0.2
     ).localCheckpoint(eager=True)
-    exact = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).localCheckpoint(
-        eager=True
-    )
+    # max_doc_freq=None: the certificate's ground truth must be the fully
+    # exact pair set, not the capped at-scale default
+    exact = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_doc_freq=None
+    ).localCheckpoint(eager=True)
     joined = got.join(
         exact.withColumnRenamed("jaccard", "exact_j"), ["doc_a", "doc_b"], "left"
     )
@@ -625,6 +664,7 @@ LLM = {
     "llm_token_count_by_source": (token_count_q, TOKEN_COUNT_SQL),
     "llm_lang_id": (lang_id_q, _lang_sql()),
     "llm_ngram_jaccard_pairs": (ngram_jaccard_q, NGRAM_JACCARD_SQL),
+    "llm_ngram_jaccard_uncapped": (ngram_jaccard_uncapped_q, NGRAM_JACCARD_UNCAPPED_SQL),
     "llm_embedding_topk": (embedding_topk_q, EMBEDDING_TOPK_SQL),
     # sketch-based: certificates vs independent exact witness sets
     "llm_quality_score": (quality_score_q, QUALITY_SCORE_SQL),

@@ -88,6 +88,24 @@ def test_pagerank_sums_to_one(g):
     assert total == pytest.approx(1.0, abs=1e-6)
 
 
+def test_pagerank_tol_early_stop_matches_converged_fixed_run(g):
+    from icebug_spark.operators.centrality import pagerank
+
+    eu = g.symmetrized()
+    # tol path: stops once the L1 delta between consecutive rank vectors
+    # is tiny; must agree with a long fixed run to well past that tol
+    fixed = {r["id"]: r["pagerank"] for r in pagerank(eu, max_iter=60).collect()}
+    early = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(eu, max_iter=60, tol=1e-10, norm="l1").collect()
+    }
+    assert early.keys() == fixed.keys()
+    for k in fixed:
+        assert early[k] == pytest.approx(fixed[k], abs=1e-8)
+    with pytest.raises(ValueError):
+        pagerank(eu, tol=1e-6, norm="bogus")
+
+
 def test_kcore(g):
     from icebug_spark.operators.kcore import k_core
 
