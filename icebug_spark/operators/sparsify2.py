@@ -243,3 +243,200 @@ def random_sparsifier(
     """RandomSparsifier: uniform random score, keep score >= ratio."""
     rs = random_edge_score(edges_undirected, seed=seed)
     return global_threshold_filter(rs, "rand_score", ratio, above=True)
+
+
+# --- getSparsifiedGraphOfSize / parameterization search -------------------
+# (reference networkit/sparsification.pyx:762 getSparsifiedGraphOfSize,
+#  :795 getParameter, :818 SimpleParameterization,
+#  :845 BinarySearchParameterization, :919 CompleteSearchParameterization)
+
+
+def parameter_for_edge_ratio(
+    edges_scored: DataFrame,
+    score_col: str,
+    edge_ratio: float,
+    above: bool = True,
+    int_domain: tuple[int, int] | None = None,
+    small_threshold: int = 65536,
+) -> float:
+    """The parameter value whose global-threshold filter keeps the edge
+    ratio CLOSEST to ``edge_ratio`` — the exact form of the reference's
+    parameterization search (``sparsification.pyx:845,919``).
+
+    Every packaged sparsifier's ``_getSparsifiedGraph`` is a
+    GlobalThresholdFilter over a STATIC score table, so the kept-ratio
+    as a function of the parameter is the score distribution's CDF; the
+    reference inverts it by re-running the filter 20 times (binary
+    search) or |domain| times (complete search). Here the inversion is
+    ONE pass: per-score counts, a distributed running sum in threshold
+    order (``plans.zipindex.running_sums`` — no single-partition
+    window), then argmin |kept/m − target| over the candidate
+    thresholds. Exact where the reference's 20-step bisection is
+    approximate (documented divergence — the reference converges toward
+    the same argmin); like the reference, candidates keeping zero edges
+    are excluded (pyx:900 ``abs(currentEdgeRatio) > _ABS_ZERO``). Ties
+    on distance prefer the larger kept set, then the smaller parameter
+    (deterministic; the reference's tie outcome is search-order
+    dependent).
+
+    ``int_domain=(lo, hi)`` restricts candidates to the integers lo..hi
+    (CompleteSearchParameterization, e.g. Simmelian max-rank overlap);
+    evaluated as one conditional aggregation — |domain| counters, one
+    job.
+
+    ``small_threshold``: when the per-score histogram has at most this
+    many distinct values it is collected (one job, LIMIT-sentinel probe)
+    and inverted on the driver; past it the inversion stays fully
+    distributed via ``running_sums``. Continuous scores at 100 TB hit
+    the distributed path; every rank-style score (prefix-Jaccard,
+    overlap counts, disparity p-values rounded 6dp) has a tiny value
+    set and takes the 2-job path."""
+    from icebug_spark.plans.zipindex import running_sums
+    if int_domain is not None:
+        lo, hi = int(int_domain[0]), int(int_domain[1])
+        m = edges_scored.count()
+        if m == 0:
+            raise ValueError("parameter search on an empty edge table")
+        cmp = (
+            (lambda i: F.col(score_col) >= i)
+            if above
+            else (lambda i: F.col(score_col) <= i)
+        )
+        row = edges_scored.agg(
+            *[
+                F.count(F.when(cmp(i), F.lit(1))).alias(f"k_{i}")
+                for i in range(lo, hi + 1)
+            ]
+        ).collect()[0]
+        best = None
+        for i in range(lo, hi + 1):
+            kept = int(row[f"k_{i}"])
+            if kept == 0:
+                continue
+            d = abs(kept / m - edge_ratio)
+            key = (d, -kept, i)
+            if best is None or key < best[0]:
+                best = (key, i)
+        if best is None:
+            raise ValueError("no parameter in the domain keeps any edge")
+        return float(best[1])
+    per = edges_scored.groupBy(score_col).agg(F.count(F.lit(1)).alias("cnt"))
+    # LIMIT-sentinel probe: if the histogram fits, this single collect IS
+    # the complete value set and the inversion finishes on the driver
+    hist = per.limit(small_threshold + 1).collect()
+    if len(hist) <= small_threshold:
+        if not hist:
+            raise ValueError("parameter search on an empty edge table")
+        vals = sorted(
+            ((float(r[score_col]), int(r["cnt"])) for r in hist),
+            reverse=above,
+        )
+        m = sum(c for _v, c in vals)
+        best = None
+        kept = 0
+        for v, c in vals:  # cumulative kept in threshold order
+            kept += c
+            key = (abs(kept / m - edge_ratio), -kept, v if above else -v)
+            if best is None or key < best[0]:
+                best = (key, v)
+        return float(best[1])
+    m = edges_scored.count()
+    cum = running_sums(
+        per.withColumnRenamed("cnt", "kept"),
+        [score_col],
+        ["kept"],
+        descending=above,
+    )
+    cand = (
+        cum.where(F.col("kept") > 0)
+        .select(
+            score_col,
+            F.abs(F.col("kept").cast("double") / m - F.lit(edge_ratio)).alias(
+                "dist"
+            ),
+            "kept",
+        )
+        .orderBy("dist", F.col("kept").desc(), F.col(score_col).asc())
+        .limit(1)
+        .collect()
+    )
+    return float(cand[0][score_col])
+
+
+def sparsify_to_size(
+    edges_scored: DataFrame,
+    score_col: str,
+    edge_ratio: float,
+    above: bool = True,
+    int_domain: tuple[int, int] | None = None,
+) -> DataFrame:
+    """getSparsifiedGraphOfSize on a pre-scored edge table: invert the
+    score CDF for the threshold (``parameter_for_edge_ratio``) and apply
+    the global threshold filter — the score table is computed ONCE and
+    scanned twice, vs the reference's 20 filter re-runs."""
+    p = parameter_for_edge_ratio(
+        edges_scored, score_col, edge_ratio, above, int_domain
+    )
+    return global_threshold_filter(edges_scored, score_col, p, above)
+
+
+def get_sparsified_graph_of_size(
+    edges_undirected: DataFrame,
+    method: str,
+    edge_ratio: float,
+    max_rank: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Convenience dispatcher over the packaged sparsifiers
+    (reference ``sparsification.pyx:1005-1560`` — each class pairs a
+    score with a parameterization strategy):
+
+    - ``simmelian_nonparametric`` — prefix-Jaccard over triangle counts
+      (BinarySearch(0,1) in the reference → exact CDF inversion here)
+    - ``simmelian_parametric`` — top-``max_rank`` overlap
+      (CompleteSearch(0, max_rank) → integer-domain inversion)
+    - ``simmelian_multiscale`` — disparity filter on triangle counts
+    - ``local_similarity`` — local-similarity exponent
+    - ``local_degree`` — local-degree score
+    - ``random`` — RandomEdgeSparsifier's uniform score
+
+    → the kept canonical edge subset (u, v, <score>)."""
+    from icebug_spark.operators.edgescores import (
+        edge_triangle_count,
+        local_degree_score,
+        multiscale_score,
+        prefix_jaccard_score,
+        random_edge_score,
+        simmelian_overlap_score,
+    )
+
+    if method == "simmelian_nonparametric":
+        s = prefix_jaccard_score(
+            edge_triangle_count(edges_undirected), score_col="n_tri", k=max_rank
+        )
+        return sparsify_to_size(s, "pj_score", edge_ratio, above=True)
+    if method == "simmelian_parametric":
+        s = simmelian_overlap_score(edges_undirected, max_rank=max_rank)
+        return sparsify_to_size(
+            s, "overlap", edge_ratio, above=True, int_domain=(0, max_rank)
+        )
+    if method == "simmelian_multiscale":
+        te = edge_triangle_count(edges_undirected)
+        s = multiscale_score(
+            te.select(
+                F.col("u").alias("src"),
+                F.col("v").alias("dst"),
+                F.col("n_tri").cast("double").alias("weight"),
+            )
+        )
+        return sparsify_to_size(s, "ms_score", edge_ratio, above=True)
+    if method == "local_similarity":
+        s = local_similarity_score(edges_undirected)
+        return sparsify_to_size(s, "ls_score", edge_ratio, above=True)
+    if method == "local_degree":
+        s = local_degree_score(edges_undirected)
+        return sparsify_to_size(s, "ld_score", edge_ratio, above=True)
+    if method == "random":
+        s = random_edge_score(edges_undirected, seed=seed)
+        return sparsify_to_size(s, "rand_score", edge_ratio, above=True)
+    raise ValueError(f"unknown sparsifier method: {method}")

@@ -246,3 +246,147 @@ def laplacian_eigenvectors_power(
         "id", F.array(*[F.col(f"_c{p}") for p in range(len(order))]).alias("vec")
     )
     return vals, out
+
+
+def spectral_partition(
+    edges_undirected: DataFrame,
+    count: int,
+    balanced: bool = True,
+    max_nodes: int = 4096,
+    weighted: bool = False,
+    eigenvectors: tuple[list[float], DataFrame] | None = None,
+) -> DataFrame:
+    """SpectralPartitioner (reference ``networkit/community.pyx:2083``):
+    recursive spectral bisection of an undirected graph into ``count``
+    parts over the smallest Laplacian eigenvectors
+    (``laplacianEigenvectors(cutoff=ceil(log2(count))+1, reverse=True)``,
+    community.pyx:2107).
+
+    Reference recursion, reproduced exactly (community.pyx:2163-2213):
+    a part with target t splits by the value of eigenvector[iteration]
+    (depth starts at 1 — vector 0 is the constant vector) at the exact
+    order statistic ``values[floor(len/2)]`` when ``balanced`` else at
+    the mean (strictly-< goes left); t == 3 trisects at the 1/3 and 2/3
+    order statistics using eigenvector[1] ALWAYS (the reference's
+    ``_trisect`` never forwards ``iteration`` — quirk kept); even t
+    recurses (t/2, t/2), odd t recurses ((t−1)/2, (t+1)/2).
+
+    Spark shape: the recursion tree (O(count) entries) lives on the
+    driver; vertex membership never does. All parts at the same depth
+    split in ONE pass — a per-part window ranks the eigenvector values,
+    a conditional aggregation picks each part's order statistics, and a
+    broadcast join assigns children — so the whole partitioner is
+    O(log count) shuffles over (id, part) rows regardless of count.
+    Eigenvectors come from the guarded dense path by default; pass
+    ``eigenvectors=laplacian_eigenvectors_power(...)`` (k ≤ 3 ⇒
+    count ≤ 4) to stay fully distributed past the guard.
+
+    → (id, subset): subset ids are dense and deterministic but
+    level-ordered, not the reference's DFS counter — partitions are
+    equal as groupings (pinned by the pytest golden vs a numpy
+    transcription of the reference recursion)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from icebug_spark.plans.iterate import checkpoint
+
+    if count < 1:
+        raise ValueError("count must be >= 1")
+    spark = edges_undirected.sparkSession
+    if eigenvectors is None:
+        cutoff = (int(math.ceil(math.log2(count))) + 1) if count > 1 else 1
+        eigenvectors = laplacian_eigenvectors(
+            edges_undirected, cutoff=cutoff, reverse=True,
+            max_nodes=max_nodes, weighted=weighted,
+        )
+    vals, vecs = eigenvectors
+    k_avail = len(vals)
+    state = vecs.select("id", "vec", F.lit(0).cast("long").alias("part"))
+    if count == 1 or k_avail < 2:
+        return state.select("id", F.col("part").alias("subset"))
+    state = checkpoint(state)
+    active: dict[int, tuple[int, int]] = {0: (int(count), 1)}
+    next_part = 1
+    while any(t > 1 for t, _ in active.values()):
+        metas: list[tuple[int, int, str, int, int, int]] = []
+        new_active: dict[int, tuple[int, int]] = {}
+        for p, (t, it) in sorted(active.items()):
+            if t == 1:
+                new_active[p] = (1, it)
+                continue
+            if t == 3:
+                a, b, c = next_part, next_part + 1, next_part + 2
+                next_part += 3
+                metas.append((p, min(1, k_avail - 1), "tri", a, b, c))
+                for ch in (a, b, c):
+                    new_active[ch] = (1, it + 1)
+            else:
+                a, b = next_part, next_part + 1
+                next_part += 2
+                metas.append((p, min(it, k_avail - 1), "bi", a, b, -1))
+                if t % 2 == 0:
+                    ta = tb = t // 2
+                else:
+                    ta = (t - 1) // 2
+                    tb = ta + 1
+                new_active[a] = (ta, it + 1)
+                new_active[b] = (tb, it + 1)
+        active = new_active
+        meta = spark.createDataFrame(
+            metas, "part BIGINT, iu INT, mode STRING, pa BIGINT, pb BIGINT, pc BIGINT"
+        )
+        cur = state.join(F.broadcast(meta), "part", "left")
+        keep = cur.where(F.col("mode").isNull()).select("id", "vec", "part")
+        split = cur.where(F.col("mode").isNotNull()).withColumn(
+            "x", F.get("vec", F.col("iu"))
+        )
+        wr = Window.partitionBy("part").orderBy("x", "id")
+        ws = Window.partitionBy("part")
+        ranked = (
+            split.withColumn("rn", F.row_number().over(wr))
+            .withColumn("cnt", F.count(F.lit(1)).over(ws))
+        )
+        # exact order statistics values[floor(len*i/sections)] per part
+        # (community.pyx:2119) + the mean for the unbalanced bisect
+        qs = ranked.groupBy("part").agg(
+            F.min(
+                F.when(F.col("rn") == F.floor(F.col("cnt") / 2) + 1, F.col("x"))
+            ).alias("qb"),
+            F.min(
+                F.when(F.col("rn") == F.floor(F.col("cnt") / 3) + 1, F.col("x"))
+            ).alias("q1"),
+            F.min(
+                F.when(
+                    F.col("rn") == F.floor(F.col("cnt") * 2 / 3) + 1, F.col("x")
+                )
+            ).alias("q2"),
+            F.avg("x").alias("mx"),
+        )
+        bi_split = F.col("qb") if balanced else F.col("mx")
+        assigned = (
+            ranked.join(F.broadcast(qs), "part")
+            .withColumn(
+                "part",
+                F.when(
+                    F.col("mode") == "tri",
+                    F.when(F.col("x") < F.col("q1"), F.col("pa"))
+                    .when(F.col("x") < F.col("q2"), F.col("pb"))
+                    .otherwise(F.col("pc")),
+                ).otherwise(
+                    F.when(F.col("x") < bi_split, F.col("pa")).otherwise(
+                        F.col("pb")
+                    )
+                ),
+            )
+            .select("id", "vec", "part")
+        )
+        state = checkpoint(keep.unionByName(assigned))
+    # dense-relabel in part order so subset ids are 0..p-1 like the
+    # reference's _generatePartition compaction; the leaf list is driver
+    # state already, so the map is a broadcast literal (no window)
+    lab = spark.createDataFrame(
+        [(p, i) for i, p in enumerate(sorted(active))],
+        "part BIGINT, subset BIGINT",
+    )
+    return state.join(F.broadcast(lab), "part").select("id", "subset")

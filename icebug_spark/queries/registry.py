@@ -17,6 +17,7 @@ from icebug_spark.queries.pointq import POINT
 from icebug_spark.queries.qualityq import QUALITY
 from icebug_spark.queries.relational import RELATIONAL
 from icebug_spark.queries.round9q import ROUND9
+from icebug_spark.queries.round10q import ROUND10
 from icebug_spark.queries.scdq import SCD
 from icebug_spark.queries.sparsifyq import SPARSIFY2
 from icebug_spark.queries.structuralq import STRUCTURAL
@@ -30,7 +31,7 @@ from icebug_spark.queries.structuralq import STRUCTURAL
 # randomization q98-q105 block — then the leading r06 half), so the r09
 # gate re-verifies them at HEAD. The full registry is still swept
 # locally every round (tools/check_oracle.py → CORRECTNESS_LOCAL.json).
-_MERGED = {**DYN, **IO, **COVER, **CENTRAL, **LLM, **EDGESCORE, **SCD, **ALGEBRAIC, **QUALITY, **DISTANCE2, **POINT, **SPARSIFY2, **STRUCTURAL, **RELATIONAL, **GRAPH, **COMMUNITY, **COMMUNITY3, **ROUND9}
+_MERGED = {**DYN, **IO, **COVER, **CENTRAL, **LLM, **EDGESCORE, **SCD, **ALGEBRAIC, **QUALITY, **DISTANCE2, **POINT, **SPARSIFY2, **STRUCTURAL, **RELATIONAL, **GRAPH, **COMMUNITY, **COMMUNITY3, **ROUND9, **ROUND10}
 
 _STALEST_DRIVER_CHECKED = [
     "q100_rand_node_sampled", "q101_rand_graph_sampled",

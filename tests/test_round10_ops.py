@@ -1,0 +1,207 @@
+"""Round-10 operators: SpectralPartitioner golden vs a direct numpy
+transcription of the reference recursion (community.pyx:2083), and the
+getSparsifiedGraphOfSize parameterization search
+(sparsification.pyx:762,845,919)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import spark  # noqa: F401
+
+
+def _ref_spectral_partition(a: np.ndarray, count: int, balanced: bool):
+    """Line-by-line numpy transcription of the reference
+    SpectralPartitioner (community.pyx:2107-2244): eigh on L = D − A,
+    smallest ceil(log2(count))+2 eigenvectors ascending, recursive
+    bisection with exact order-statistic quantiles / means, _trisect
+    always on eigenvector[1]. Returns the partition as a list of sorted
+    vertex lists (labels dropped — groupings are compared)."""
+    lap = np.diag(a.sum(axis=1)) - a
+    _vals, vecs = np.linalg.eigh(lap)
+    cutoff = math.ceil(math.log2(count)) + 1
+    k = min(cutoff + 1, a.shape[0])
+    eig = [vecs[:, i] for i in range(k)]
+    parts: dict[int, list[int]] = {}
+    nxt = {"n": 0}
+
+    def quantiles(eigv, vertices, cnt):
+        values = sorted(eigv[i] for i in vertices)
+        sections = cnt + 1
+        return [
+            values[math.floor(len(values) * i / sections)]
+            for i in range(1, sections)
+        ]
+
+    def vertices_of(part):
+        if part is None:
+            return list(range(a.shape[0]))
+        return parts.pop(part)
+
+    def trisect(part=None):
+        vs = vertices_of(part)
+        eigv = eig[min(1, k - 1)]
+        q = quantiles(eigv, vs, 2)
+        pa, pb, pc = nxt["n"], nxt["n"] + 1, nxt["n"] + 2
+        nxt["n"] += 3
+        parts[pa], parts[pb], parts[pc] = [], [], []
+        for v in vs:
+            if eigv[v] < q[0]:
+                parts[pa].append(v)
+            elif eigv[v] < q[1]:
+                parts[pb].append(v)
+            else:
+                parts[pc].append(v)
+
+    def bisect(cnt, part=None, iteration=1):
+        if cnt == 1:
+            if part is None:
+                parts[nxt["n"]] = list(range(a.shape[0]))
+                nxt["n"] += 1
+            return
+        if cnt == 3:
+            trisect(part)
+            return
+        vs = vertices_of(part)
+        eigv = eig[min(iteration, k - 1)]
+        if balanced:
+            split = quantiles(eigv, vs, 1)[0]
+        else:
+            split = float(np.mean([eigv[i] for i in vs]))
+        pa, pb = nxt["n"], nxt["n"] + 1
+        nxt["n"] += 2
+        parts[pa] = [v for v in vs if eigv[v] < split]
+        parts[pb] = [v for v in vs if not (eigv[v] < split)]
+        if cnt > 2:
+            if cnt % 2 == 0:
+                bisect(cnt // 2, pa, iteration + 1)
+                bisect(cnt // 2, pb, iteration + 1)
+            else:
+                nc = (cnt - 1) // 2
+                if nc > 2:
+                    bisect(nc, pa, iteration + 1)
+                    bisect(nc + 1, pb, iteration + 1)
+                else:
+                    bisect(nc, pa, iteration + 1)
+                    trisect(pb)
+
+    bisect(count)
+    return sorted(
+        tuple(sorted(v)) for v in parts.values() if v
+    )
+
+
+# deterministic irregular 20-node graph (no automorphism → effectively
+# tie-free eigenvectors, so quantile splits are positional)
+_EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),
+    (8, 9), (9, 10), (10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+    (15, 16), (16, 17), (17, 18), (18, 19),
+    (0, 5), (2, 9), (4, 13), (7, 16), (1, 11), (6, 19), (3, 17), (8, 14),
+]
+
+
+def _adj(n=20):
+    a = np.zeros((n, n))
+    for u, v in _EDGES:
+        a[u, v] = a[v, u] = 1.0
+    return a
+
+
+def _spark_edges(spark):
+    rows = [(u, v) for u, v in _EDGES] + [(v, u) for u, v in _EDGES]
+    return spark.createDataFrame(rows, "src LONG, dst LONG")
+
+
+@pytest.mark.parametrize("count,balanced", [
+    (2, True), (3, True), (4, True), (5, True), (6, True), (7, True),
+    (2, False), (4, False),
+])
+def test_spectral_partition_matches_reference_transcription(
+    spark, count, balanced
+):
+    from icebug_spark.operators.spectrum import spectral_partition
+
+    eu = _spark_edges(spark)
+    got = spectral_partition(eu, count, balanced=balanced).collect()
+    groups: dict[int, list[int]] = {}
+    for r in got:
+        groups.setdefault(r["subset"], []).append(int(r["id"]))
+    got_sets = sorted(tuple(sorted(v)) for v in groups.values())
+    want = _ref_spectral_partition(_adj(), count, balanced)
+    assert got_sets == want
+    # coverage: every node exactly once
+    assert sum(len(g) for g in got_sets) == 20
+    assert len({x for g in got_sets for x in g}) == 20
+
+
+def test_spectral_partition_count_one_and_guard(spark):
+    from icebug_spark.operators.spectrum import spectral_partition
+
+    eu = _spark_edges(spark)
+    one = spectral_partition(eu, 1).collect()
+    assert {r["subset"] for r in one} == {0} and len(one) == 20
+    with pytest.raises(ValueError):
+        spectral_partition(eu, 0)
+
+
+def test_parameter_for_edge_ratio_is_argmin_over_thresholds(spark):
+    from icebug_spark.operators.edgescores import random_edge_score
+    from icebug_spark.operators.sparsify2 import (
+        parameter_for_edge_ratio,
+        sparsify_to_size,
+    )
+
+    eu = _spark_edges(spark)
+    s = random_edge_score(eu).localCheckpoint(eager=True)
+    m = s.count()
+    target = 0.4
+    p = parameter_for_edge_ratio(s, "rand_score", target, above=True)
+    kept = sparsify_to_size(s, "rand_score", target, above=True).count()
+    # brute force over every distinct threshold
+    vals = [r["rand_score"] for r in s.select("rand_score").distinct().collect()]
+    best = min(
+        abs(sum(1 for v in vals2 if v >= t) / m - target)
+        for t in vals
+        for vals2 in [[r["rand_score"] for r in s.collect()]]
+        if sum(1 for v in vals2 if v >= t) > 0
+    )
+    assert abs(kept / m - target) == pytest.approx(best, abs=1e-12)
+    assert kept == sum(
+        1 for r in s.collect() if r["rand_score"] >= p
+    )
+
+
+def test_parameter_for_edge_ratio_int_domain_rules(spark):
+    from icebug_spark.operators.sparsify2 import parameter_for_edge_ratio
+
+    # scores 0..3 with counts 4,3,2,1 (m=10); kept(i)=#{score>=i}
+    rows = [(i, i, float(s)) for i, s in enumerate([0] * 4 + [1] * 3 + [2] * 2 + [3])]
+    s = spark.createDataFrame(rows, "u LONG, v LONG, sc DOUBLE")
+    # kept ratios: i=0→1.0, 1→0.6, 2→0.3, 3→0.1
+    assert parameter_for_edge_ratio(s, "sc", 0.3, int_domain=(0, 3)) == 2.0
+    # tie on distance (0.45: i=1 dist .15, i=2 dist .15) → larger kept set
+    assert parameter_for_edge_ratio(s, "sc", 0.45, int_domain=(0, 3)) == 1.0
+    # zero-keep candidates excluded
+    assert parameter_for_edge_ratio(s, "sc", 0.0, int_domain=(0, 9)) == 3.0
+
+
+def test_get_sparsified_graph_of_size_methods(spark):
+    from icebug_spark.operators.edgescores import edge_triangle_count
+    from icebug_spark.operators.sparsify2 import get_sparsified_graph_of_size
+
+    eu = _spark_edges(spark)
+    m = edge_triangle_count(eu).count()
+    for meth in ("random", "local_degree", "local_similarity",
+                 "simmelian_parametric"):
+        kept = get_sparsified_graph_of_size(eu, meth, 0.5).count()
+        assert 0 < kept <= m
+    # unique-score method lands within CDF granularity of the target
+    kept = get_sparsified_graph_of_size(eu, "random", 0.5).count()
+    assert abs(kept / m - 0.5) <= 2.0 / m
+    with pytest.raises(ValueError):
+        get_sparsified_graph_of_size(eu, "bogus", 0.5)
