@@ -206,6 +206,28 @@ def dyn_cc_update(
     )
 
 
+def dyn_weakly_cc_update(
+    comp: DataFrame, edges_new_directed: DataFrame, batch: DataFrame,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """DynWeaklyConnectedComponents (reference
+    ``components/DynWeaklyConnectedComponents.hpp`` via
+    ``components.pyx:336``): maintain the WEAK components of a DIRECTED
+    graph under an edge-event batch. Weak components are exactly the
+    connected components of the symmetrized graph, so this is the named
+    wrapper over :func:`dyn_cc_update` with both the updated edge table
+    and the event batch symmetrized — direction never matters to the
+    label propagation, and edge events touch the same endpoint set in
+    either orientation. :func:`dyn_cc_update` already symmetrizes its
+    edge table (``_sym``) and reads BOTH event endpoints for the touched
+    set, so the directed case needs no extra transformation — this
+    wrapper pins the reference name and the directed-input contract.
+    → (id, component), min-id labels."""
+    return dyn_cc_update(
+        comp, edges_new_directed, batch, max_rounds=max_rounds
+    )
+
+
 def dyn_katz_update(
     edges_new: DataFrame,
     alpha: float = 0.05,

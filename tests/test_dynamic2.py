@@ -18,6 +18,7 @@ from icebug_spark.streaming.dynamic2 import (
     apply_edge_events,
     dyn_bfs_update,
     dyn_cc_update,
+    dyn_weakly_cc_update,
 )
 
 
@@ -86,6 +87,29 @@ def test_dyn_cc_mixed_batch_merge_and_split(spark):
     assert got == want
     # triangle {0,1,2} alone; {10,11,12} merged with {20,21,22}
     assert got[0] == 0 and got[20] == 10 and got[12] == 10
+
+
+def test_dyn_weakly_cc_directed_matches_static_symmetrized(spark):
+    # DIRECTED input (one orientation only): two directed 3-cycles, a
+    # one-way bridge, directed events. The maintained weak components
+    # must equal a static CC of the symmetrized final graph.
+    pairs = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10)]
+    old = spark.createDataFrame(pairs, "src LONG, dst LONG")
+    comp0 = connected_components(_sym_df(spark, pairs))
+    batch = _batch(
+        spark,
+        [("EDGE_REMOVAL", 2, 10), ("EDGE_ADDITION", 12, 20)],
+    )
+    new = apply_edge_events(old, batch)
+    got = _comps(dyn_weakly_cc_update(comp0, new, batch))
+    want = _comps(
+        connected_components(
+            new.union(new.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        )
+    )
+    assert got == want
+    # split at the bridge, merge with the fresh node 20
+    assert got[0] == 0 and got[10] == 10 and got[20] == 10
 
 
 def test_dyn_cc_addition_introduces_new_node(spark):
