@@ -95,15 +95,18 @@ def _rk_pairs(nodes: DataFrame, n: int, r: int, seed: int) -> DataFrame:
     implementation (which paired with the LARGEST hashes); both are
     deterministic uniform samples — consumers certify distribution-
     level properties (ε-bounds vs exact), not specific pairs."""
+    from icebug_spark.plans.zipindex import dense_index
+
     k = int(min(2 * r + 1, n))
     top = (
         nodes.withColumn("h", F.xxhash64(F.lit(seed), "id"))
         .orderBy("h", "id")
         .limit(k)
     )
-    ranked = top.withColumn(
-        "rn", F.row_number().over(Window.orderBy("h", "id")) - 1
-    )
+    # two-pass zipindex rank: sample-bounded rows, but no unpartitioned
+    # window — sweep logs stay free of WindowExec warnings so a REAL
+    # single-partition window regression would stand out
+    ranked = dense_index(top, ["h", "id"], out="rn", assume_distinct=True)
     s_side = ranked.where(F.col("rn") < r).select(
         F.col("rn").alias("pair"), F.col("id").alias("s")
     )
@@ -302,9 +305,11 @@ def kadabra_betweenness(
             .orderBy("h", "id")
             .limit(k)
         )
-        ranked = top.withColumn(
-            "rn", F.row_number().over(Window.orderBy("h", "id")) - 1
-        )
+        from icebug_spark.plans.zipindex import dense_index
+
+        # two-pass zipindex rank over the O(batch) sampled rows — no
+        # unpartitioned window (see _rk_pairs)
+        ranked = dense_index(top, ["h", "id"], out="rn", assume_distinct=True)
         s_side = ranked.where(F.col("rn") < batch).select(
             F.col("rn").alias("pair"), F.col("id").alias("s")
         )

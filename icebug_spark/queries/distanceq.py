@@ -95,16 +95,14 @@ _ANF_H = 6
 def q82(spark: SparkSession, sf: str) -> DataFrame:
     nf = anf_sketch_iteration(_eu(spark, sf), k=32, max_h=_ANF_H, seed=42
                               ).localCheckpoint(eager=True)
-    from pyspark.sql import Window
-
-    w = Window.orderBy("h")
-    flags = nf.select(
+    # h−1 self-join instead of an unpartitioned lag window: same
+    # monotonicity check, hop-bounded rows, zero WindowExec warnings in
+    # sweep logs (a REAL single-partition window would stand out)
+    prev = nf.select((F.col("h") + 1).alias("h"), F.col("n_pairs_est").alias("pe"))
+    flags = nf.join(prev, "h", "left").select(
         "h",
         (F.col("n_pairs_est") > 0).alias("pos"),
-        (
-            F.col("n_pairs_est")
-            >= F.coalesce(F.lag("n_pairs_est").over(w), F.col("n_pairs_est"))
-        ).alias("mono"),
+        (F.col("n_pairs_est") >= F.coalesce("pe", F.col("n_pairs_est"))).alias("mono"),
     )
     return flags.agg(
         F.count(F.lit(1)).alias("n_hops"),
@@ -120,16 +118,12 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
     hp = hop_plot(_eu(spark, sf), k=32, max_h=_ANF_H, seed=42).localCheckpoint(
         eager=True
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("h")
-    flags = hp.select(
+    # h−1 self-join instead of an unpartitioned lag window (see q82)
+    prev = hp.select((F.col("h") + 1).alias("h"), F.col("fraction").alias("pf"))
+    flags = hp.join(prev, "h", "left").select(
         "h",
         ((F.col("fraction") >= 0) & (F.col("fraction") <= 1)).alias("in01"),
-        (
-            F.col("fraction")
-            >= F.coalesce(F.lag("fraction").over(w), F.col("fraction"))
-        ).alias("mono"),
+        (F.col("fraction") >= F.coalesce("pf", F.col("fraction"))).alias("mono"),
     )
     last = hp.orderBy(F.desc("h")).limit(1).collect()[0]["fraction"]
     return flags.agg(

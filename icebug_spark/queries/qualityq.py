@@ -261,14 +261,18 @@ def q79(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_susceptible") + F.col("n_exposed")
         + F.col("n_infectious") + F.col("n_recovered")
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("step")
-    flags = census.select(
+    # step−1 self-join instead of an unpartitioned lag window: same
+    # monotonicity flags, step-bounded rows, no WindowExec warnings
+    prev = census.select(
+        (F.col("step") + 1).alias("step"),
+        F.col("n_susceptible").alias("ps"),
+        F.col("n_recovered").alias("pr"),
+    )
+    flags = census.join(prev, "step", "left").select(
         "step",
         (total == n).alias("conserved"),
-        (F.col("n_susceptible") <= F.coalesce(F.lag("n_susceptible").over(w), F.col("n_susceptible"))).alias("s_dec"),
-        (F.col("n_recovered") >= F.coalesce(F.lag("n_recovered").over(w), F.col("n_recovered"))).alias("r_inc"),
+        (F.col("n_susceptible") <= F.coalesce("ps", F.col("n_susceptible"))).alias("s_dec"),
+        (F.col("n_recovered") >= F.coalesce("pr", F.col("n_recovered"))).alias("r_inc"),
     )
     return flags.agg(
         F.count(F.lit(1)).alias("n_steps"),
