@@ -188,3 +188,14 @@ def write_dot_partition(
         for u, v in edges:
             f.write(f"{u} -- {v};\n")
         f.write("}\n")
+
+
+def read_line_file(spark: SparkSession, path: str) -> DataFrame:
+    """LineFileReader (reference ``graphio.pyx`` debug reader: returns the
+    file's raw lines). → (line_no BIGINT, line STRING) in file order —
+    the line number makes the DataFrame form order-faithful where the
+    reference returns a Python list."""
+    rdd = spark.sparkContext.textFile(path).zipWithIndex().map(
+        lambda si: (si[1], si[0])
+    )
+    return spark.createDataFrame(rdd, "line_no LONG, line STRING")

@@ -91,3 +91,13 @@ def test_dot_partition_writer(spark, tmp_path):
     assert '1 [style=filled, color="0.0,0.99,0.99", label=3];' in txt
     assert '0 [style=filled, color="0.5,0.99,0.99", label=7];' in txt
     assert "0 -- 1;" in txt and "1 -- 2;" in txt and "2 -- 1;" not in txt
+
+
+def test_line_file_reader(spark, tmp_path):
+    f = str(tmp_path / "lines.txt")
+    with open(f, "w") as fh:
+        fh.write("alpha\n# comment stays verbatim\n\nbeta\n")
+    rows = sorted(
+        (r["line_no"], r["line"]) for r in r7.read_line_file(spark, f).collect()
+    )
+    assert rows == [(0, "alpha"), (1, "# comment stays verbatim"), (2, ""), (3, "beta")]
