@@ -26,39 +26,39 @@ from icebug_spark.queries.structuralq import STRUCTURAL
 # rotates (proven in r06/r07: the gate took exactly the then-leading
 # prefix). Every registry query has been driver-checked at least once
 # (cross-round union), so the rotation policy is STALEST-checked: the
-# prefix is the 50 queries whose last driver check is oldest (after r08
-# that's the r04-r05 cohort — the LLM pipeline battery, the community/
-# randomization q98-q105 block — then the leading r06 half), so the r09
-# gate re-verifies them at HEAD. The full registry is still swept
+# prefix is the 50 queries whose last driver check is oldest (after r09
+# that's the never-gated tail — q150-q165 incl. the three round-10
+# additions — then the r06 cohort q68-q96/q106-q109), so the r10 gate
+# re-verifies them at HEAD. The full registry is still swept
 # locally every round (tools/check_oracle.py → CORRECTNESS_LOCAL.json).
 _MERGED = {**DYN, **IO, **COVER, **CENTRAL, **LLM, **EDGESCORE, **SCD, **ALGEBRAIC, **QUALITY, **DISTANCE2, **POINT, **SPARSIFY2, **STRUCTURAL, **RELATIONAL, **GRAPH, **COMMUNITY, **COMMUNITY3, **ROUND9, **ROUND10}
 
 _STALEST_DRIVER_CHECKED = [
-    "q100_rand_node_sampled", "q101_rand_graph_sampled",
-    "q102_dynamic_nmi", "q103_lp_degree_ordered",
-    "q104_parallel_agglomerative", "q105_cut_clustering",
-    "q111_planarity_check", "q98_modularity_scoring",
-    "q99_overlapping_nmi", "llm_ann_candidates",
-    "llm_audio_features", "llm_dedup_clusters",
-    "llm_dedup_exact", "llm_embedding_topk",
-    "llm_fingerprint", "llm_frame_sample",
-    "llm_image_decode", "llm_ivf_topk",
-    "llm_lang_id", "llm_media_summary",
-    "llm_minhash_lsh_dups", "llm_near_dup_embeddings",
-    "llm_ngram_jaccard_pairs", "llm_pii_scrub",
-    "llm_quality_score", "llm_simhash",
-    "llm_text_stats", "llm_token_count_by_source",
-    "q112_approx_group_betweenness", "llm_contamination",
-    "llm_repetition_filter", "q110_pll_exact_distances",
-    "q113_maxent_layout", "q114_commute_time_lamg",
-    "q52_scan_similarity", "q53_local_degree_score",
-    "q54_resource_allocation", "q55_total_nd_neighbors",
-    "q56_neighbors_measure", "q57_adjusted_rand_index",
-    "q58_chance_corrected_tri", "q59_multiscale_score",
-    "q60_katz_index", "q61_missing_links",
-    "q62_pagerank_nibble", "q63_node2vec_walks",
-    "q64_clustering_coefficients", "q65_algebraic_triangles",
-    "q66_reachable_nodes", "q67_four_cliques",
+    "q152_nkbg_roundtrip", "llm_ngram_jaccard_uncapped",
+    "q150_laplacian_eigs", "q151_measure_correlations",
+    "q153_jaccard_measure", "q154_top_closeness",
+    "q155_group_closeness_swaps", "q156_approx_closeness",
+    "q157_approx_spanning_edge", "q158_dyn_approx_betweenness",
+    "q159_link_thresholder", "q160_edge_score_as_weight",
+    "q161_nf_heuristic", "q162_binary_partition_roundtrip",
+    "q163_dynamic_hyperbolic_dyncc", "q164_spectral_partition",
+    "q165_sparsify_to_size", "q68_edge_switch_degrees",
+    "q69_max_flow_hubs", "q70_maximal_cliques",
+    "q71_hub_dominance", "q72_intrapartition_density",
+    "q73_interpartition_cond", "q74_stable_nodes",
+    "q75_local_partition_coverage", "q76_permanence",
+    "q77_fragmentation", "q78_cover_f1",
+    "q79_seir_census", "q80_spsp_grid",
+    "q81_landmark_labels", "q82_anf_curve",
+    "q83_hop_plot", "q84_top_harmonic",
+    "q85_group_centrality", "q86_st_bfs_distance",
+    "q87_multi_target_bfs", "q88_bidir_dijkstra",
+    "q89_astar", "q90_floyd_warshall",
+    "q91_reverse_bfs", "q92_gce_expansion",
+    "q93_tce_lte_expansion", "q94_local_t_two_phase",
+    "q95_clique_detect", "q96_scd_ground_truth",
+    "q106_local_similarity", "q107_local_filter",
+    "q108_local_similarity_sparsifier", "q109_random_node_edge",
 ]
 
 _missing = [k for k in _STALEST_DRIVER_CHECKED if k not in _MERGED]
