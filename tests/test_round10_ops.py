@@ -190,6 +190,49 @@ def test_parameter_for_edge_ratio_int_domain_rules(spark):
     assert parameter_for_edge_ratio(s, "sc", 0.0, int_domain=(0, 9)) == 3.0
 
 
+def test_spectral_partition_distributed_eigen_path(spark):
+    # the fully distributed route past the dense guard: power-iteration
+    # eigenpairs (k ≤ 3 ⇒ count ≤ 4) handed to the partitioner; the
+    # eigensolver differs from eigh so the grouping is checked for
+    # VALIDITY (coverage, part count, determinism), not equality
+    from icebug_spark.operators.spectrum import (
+        laplacian_eigenvectors_power,
+        spectral_partition,
+    )
+
+    eu = _spark_edges(spark)
+    eig = laplacian_eigenvectors_power(eu, k=3, reverse=True)
+
+    def run():
+        p = spectral_partition(eu, 4, eigenvectors=eig)
+        groups: dict[int, list[int]] = {}
+        for r in p.collect():
+            groups.setdefault(r["subset"], []).append(int(r["id"]))
+        return sorted(tuple(sorted(v)) for v in groups.values())
+
+    got = run()
+    assert sum(len(g) for g in got) == 20
+    assert len({x for g in got for x in g}) == 20
+    assert 1 <= len(got) <= 4
+    assert got == run()  # deterministic given the same eigenpairs
+
+
+def test_parameter_for_edge_ratio_below_mode(spark):
+    from icebug_spark.operators.sparsify2 import (
+        parameter_for_edge_ratio,
+        sparsify_to_size,
+    )
+
+    rows = [(i, i, float(s)) for i, s in enumerate([0] * 4 + [1] * 3 + [2] * 2 + [3])]
+    s = spark.createDataFrame(rows, "u LONG, v LONG, sc DOUBLE")
+    # above=False keeps score <= t: kept ratios t=0→0.4, 1→0.7, 2→0.9, 3→1.0
+    p = parameter_for_edge_ratio(s, "sc", 0.7, above=False)
+    assert p == 1.0
+    assert sparsify_to_size(s, "sc", 0.7, above=False).count() == 7
+    p = parameter_for_edge_ratio(s, "sc", 0.0, above=False)
+    assert p == 0.0  # zero-keep excluded; smallest nonzero wins
+
+
 def test_get_sparsified_graph_of_size_methods(spark):
     from icebug_spark.operators.edgescores import edge_triangle_count
     from icebug_spark.operators.sparsify2 import get_sparsified_graph_of_size
