@@ -201,7 +201,11 @@ def test_spectral_partition_distributed_eigen_path(spark):
     )
 
     eu = _spark_edges(spark)
-    eig = laplacian_eigenvectors_power(eu, k=3, reverse=True)
+    # loose tol / short budget: the partition only needs stable sign
+    # structure, not 1e-9 eigenvectors (default tol runs minutes here)
+    eig = laplacian_eigenvectors_power(
+        eu, k=3, reverse=True, max_iter=40, tol=1e-5
+    )
 
     def run():
         p = spectral_partition(eu, 4, eigenvectors=eig)
