@@ -214,6 +214,8 @@ def widget_from_graph(
     else:
         if not have_plotly:
             raise MissingDependencyError("plotly")
-    raise MissingDependencyError(  # pragma: no cover - widgets absent here
-        "ipycytoscape" if dimension is Dimension.Two else "plotly"
+    raise NotImplementedError(  # pragma: no cover - widgets absent here
+        "widget rendering is not implemented in this engine build; the "
+        "data sides (layouts, colorings, partitions) are available via "
+        "icebug_spark.plot and the layout operators"
     )
