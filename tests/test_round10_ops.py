@@ -252,3 +252,82 @@ def test_get_sparsified_graph_of_size_methods(spark):
     assert abs(kept / m - 0.5) <= 2.0 / m
     with pytest.raises(ValueError):
         get_sparsified_graph_of_size(eu, "bogus", 0.5)
+
+
+# --- regression pins for the round-10 advisory fixes ----------------------
+
+
+def test_swap_search_rejects_coverage_losing_swap(spark):
+    # Two components: a path 0-1-2-3-4 (node 0 covers it) and a far
+    # triangle 10-11-12. Group {0, 10} covers everything; the candidate
+    # pool contains only path nodes, so ANY swap of 10 loses the
+    # triangle. Pre-fix, dropping the triangle's rows from the swap sum
+    # read as a farness "improvement"; with the unreached-node penalty
+    # no swap is accepted.
+    from icebug_spark.operators.centrality5 import group_closeness_local_search
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10)]
+    both = pairs + [(b, a) for a, b in pairs]
+    eu = spark.createDataFrame(sorted(set(both)), "src LONG, dst LONG")
+    rows = group_closeness_local_search(
+        eu, [0, 10], candidate_factor=4, max_hops=8
+    ).collect()
+    ids = sorted(r["id"] for r in rows)
+    assert 10 in ids or 11 in ids or 12 in ids  # triangle stays covered
+    assert rows[0]["farness"] < (1 << 30)  # full coverage, no penalty
+
+
+def test_chung_lu_alam_degenerate_sequence_returns_empty_graph(spark):
+    from icebug_spark.sources.generators3 import chung_lu_alam_et_al
+
+    g = chung_lu_alam_et_al(spark, [1, 0])
+    assert g.edges.count() == 0
+    assert g.vertices.count() == 2
+
+
+def test_approx_spanning_edge_rejects_disconnected(spark):
+    from icebug_spark.operators.centrality5 import approx_spanning_edge
+
+    pairs = [(0, 1), (2, 3)]
+    both = pairs + [(b, a) for a, b in pairs]
+    eu = spark.createDataFrame(both, "src LONG, dst LONG")
+    with pytest.raises(ValueError, match="connected"):
+        approx_spanning_edge(eu, max_samples=5)
+
+
+def test_approx_closeness_lc_variance_survives_zero_h_tail(spark):
+    # epsilon large enough that every sampled distance is HC for some
+    # node while its own pivot BFS has an empty tail (h_num == 0): the
+    # error estimate must keep the LC variance term, not coalesce to 0.
+    # Star: center 0, leaves 1..5; pinned samples {1, 2}. For leaf u in
+    # {3,4,5}: delta(u)=2, d(s,u)=2, dp(s,p(u))=2; with eps=0.9 the LC
+    # test 2 <= 2*(1/0.9-1)=0.22 fails and dp <= delta/eps = 2<=2.22
+    # holds -> LC. For the CENTER: delta=1, d=1 <= 1*(1/.9-1)? no;
+    # dp(s, p(0)) where p(0) is sample 1... construct and just assert
+    # the fixed code yields a FINITE, non-negative sq_err everywhere
+    # and at least one row exercises hc_num > 0.
+    from icebug_spark.operators.centrality5 import approx_closeness
+
+    pairs = [(0, i) for i in range(1, 6)]
+    both = pairs + [(b, a) for a, b in pairs]
+    eu = spark.createDataFrame(both, "src LONG, dst LONG")
+    out = approx_closeness(
+        eu, epsilon=0.45, samples=[1, 2], max_hops=8
+    ).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["sq_err"] is not None and r["sq_err"] >= 0.0
+        assert r["approx_closeness"] is not None
+
+
+def test_binary_partition_default_width_is_reference_width_4(spark, tmp_path):
+    from icebug_spark.sources import readers7 as r7
+
+    p = spark.createDataFrame([(0, 9), (1, 9), (2, 3)], "id LONG, subset LONG")
+    f = str(tmp_path / "p.bin")
+    r7.write_binary_partition(p, f)  # default width
+    import os
+
+    assert os.path.getsize(f) == 3 * 4  # reference default: 4 bytes/node
+    back = sorted(tuple(r) for r in r7.read_binary_partition(spark, f).collect())
+    assert back == [(0, 9), (1, 9), (2, 3)]
