@@ -156,13 +156,18 @@ def read_dgs_events(spark: SparkSession, path: str) -> DataFrame:
     """DGSStreamParser (dynamics/DGSStreamParser.hpp:23): parse a DGS
     event stream into the GraphEvent table (seq, type, u, v, w) —
     an/dn = node add/del, ae/de = edge add/del, st = TIME_STEP."""
-    lines = spark.read.text(path)
+    # event ORDER is semantics: seq comes from textFile().zipWithIndex()
+    # (Hadoop splits stay in file-offset order) rather than
+    # monotonically_increasing_id over the DataSource scan, whose
+    # size-descending file packing can reorder multi-part inputs
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    lines = spark.createDataFrame(
+        rdd.map(lambda si: (si[1], si[0])), "seq LONG, value STRING"
+    )
     t = F.split(F.trim(F.col("value")), r"\s+")
-    parsed = lines.select(
-        F.monotonically_increasing_id().alias("seq"),
-        F.col("value"),
-        t.alias("t"),
-    ).where(F.length(F.trim(F.col("value"))) > 0)
+    parsed = lines.select("seq", "value", t.alias("t")).where(
+        F.length(F.trim(F.col("value"))) > 0
+    )
     op = F.lower(F.get(F.col("t"), 0))
     typ = (
         F.when(op == "an", "NODE_ADDITION")

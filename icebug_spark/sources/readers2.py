@@ -22,22 +22,57 @@ from pyspark.sql import functions as F
 from icebug_spark.graph.core import Graph
 
 
+def _write_single_ordered(path: str, *sections) -> None:
+    """Write text sections as ONE part file with the section order
+    guaranteed. ``coalesce(1)`` alone does NOT preserve union branch
+    order (the partition coalescer groups parents by locality), so each
+    section carries an explicit key and the single partition is sorted
+    by it before writing — banner/size lines stay first, the body's
+    internal order is irrelevant to every format written this way.
+    Single-threaded by construction: these are interchange formats (the
+    reference writers are sequential files too); Parquet is the scale
+    path."""
+    out = None
+    for df, key in sections:
+        part = df.select(F.lit(int(key)).alias("k"), "value")
+        out = part if out is None else out.union(part)
+    (
+        out.coalesce(1)
+        .sortWithinPartitions("k")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
 def read_mtx(spark: SparkSession, path: str) -> Graph:
     """MatrixMarket coordinate format: '%%MatrixMarket matrix coordinate
     <field> <symmetry>'; comment lines start '%'; first data line is
     'rows cols nnz'; entries '1-based-i 1-based-j [value]'. symmetric →
-    undirected graph; general → directed."""
-    header = spark.read.text(path).limit(1).collect()[0][0].lower()
+    undirected graph; general → directed.
+
+    Line POSITION matters here (the banner is line 0, the size triple is
+    the first non-comment line), so ingestion goes through
+    ``textFile().zipWithIndex()`` — Hadoop splits stay in (file, offset)
+    order — rather than the DataSource text scan, whose size-descending
+    file packing can place a later part-file first and made
+    ``monotonically_increasing_id`` mis-identify the size line (dropping
+    a real entry and parsing 'rows cols nnz' as an edge). Ingest-time
+    only, the same recovered-order pattern as ``read_partition``."""
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    lines = spark.createDataFrame(
+        rdd.map(lambda si: (si[1], si[0])), "rid LONG, value STRING"
+    )
+    header = (
+        lines.orderBy("rid").limit(1).collect()[0]["value"].lower()
+    )
     symmetric = "symmetric" in header
     pattern = "pattern" in header
 
-    lines = spark.read.text(path)
-    data = lines.withColumn("rid", F.monotonically_increasing_id()).where(
+    data = lines.where(
         (F.length(F.trim("value")) > 0) & (~F.col("value").startswith("%"))
     )
-    # the FIRST non-comment line is the size header 'rows cols nnz' — drop
-    # it by its (per-partition-monotone) row id; within one text split read
-    # order is preserved, so min(rid) is that line
+    # the FIRST non-comment line is the size header 'rows cols nnz'
     first_rid = data.agg(F.min("rid")).collect()[0][0]
     toks = F.split(F.trim(F.col("value")), r"\s+")
     parsed = data.where(F.col("rid") != first_rid).select(
@@ -77,7 +112,7 @@ def write_mtx(g: Graph, path: str) -> None:
         [(f"%%MatrixMarket matrix coordinate real {sym}",), (f"{n} {n} {m}",)],
         ["value"],
     )
-    head.coalesce(1).union(body).write.mode("overwrite").text(path)
+    _write_single_ordered(path, (head, 0), (body, 1))
 
 
 def read_snap(spark: SparkSession, path: str, directed: bool = False) -> Graph:
@@ -126,7 +161,7 @@ def write_snap(g: Graph, path: str) -> None:
             "value"
         )
     )
-    head.coalesce(1).union(body).write.mode("overwrite").text(path)
+    _write_single_ordered(path, (head, 0), (body, 1))
 
 
 def read_konect(spark: SparkSession, path: str) -> Graph:
@@ -164,9 +199,7 @@ def write_dot(g: Graph, path: str) -> None:
     spark = g.edges.sparkSession
     head = spark.createDataFrame([(f"{kw} G {{",)], ["value"])
     tail = spark.createDataFrame([("}",)], ["value"])
-    head.coalesce(1).union(body).union(tail.coalesce(1)).write.mode(
-        "overwrite"
-    ).text(path)
+    _write_single_ordered(path, (head, 0), (body, 1), (tail, 2))
 
 
 # ------------------------------------------------ partition / cover ------

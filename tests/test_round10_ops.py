@@ -331,3 +331,31 @@ def test_binary_partition_default_width_is_reference_width_4(spark, tmp_path):
     assert os.path.getsize(f) == 3 * 4  # reference default: 4 bytes/node
     back = sorted(tuple(r) for r in r7.read_binary_partition(spark, f).collect())
     assert back == [(0, 9), (1, 9), (2, 3)]
+
+
+def test_mtx_single_ordered_file_many_partition_body(spark, tmp_path):
+    # regression: a 32-partition body used to emit one part file per
+    # partition; the DataSource text scan packs files by DESCENDING
+    # size, so min(monotonically_increasing_id) could pick an edge line
+    # as the 'rows cols nnz' header (dropping the edge and reading the
+    # size triple as an edge). The writer now emits ONE key-sorted part
+    # file and the reader ingests via offset-faithful zipWithIndex.
+    from icebug_spark.graph.core import Graph
+    from icebug_spark.sources import readers2
+
+    rows = [(u, v, float((u * 7 + v) % 5)) for u in range(10) for v in range(10) if u != v]
+    g = Graph(
+        spark.createDataFrame(rows, "src LONG, dst LONG, weight DOUBLE").repartition(32),
+        directed=True,
+        weighted=True,
+    )
+    d = str(tmp_path / "m.mtx")
+    readers2.write_mtx(g, d)
+    import os
+
+    parts = [p for p in os.listdir(d) if p.startswith("part-")]
+    assert len(parts) == 1
+    first = open(os.path.join(d, parts[0])).readline()
+    assert first.startswith("%%MatrixMarket")
+    g2 = readers2.read_mtx(spark, d)
+    assert sorted(map(tuple, rows)) == sorted(tuple(r) for r in g2.edges.collect())
