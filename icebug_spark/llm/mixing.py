@@ -1,0 +1,353 @@
+"""Corpus-assembly operators: data mixing, sequence packing, corpus-level
+boilerplate removal, and deterministic train/test splitting over the
+``documents`` table.
+
+These are the steps BETWEEN filtering/dedup and the training job in a
+large-scale training-data pipeline (cf. The Pile, Gopher/MassiveText,
+RefinedWeb): decide how much of each source to take (mixing), carve the
+token stream into fixed-length training sequences (packing), strip lines
+repeated across many documents (boilerplate), and split held-out data
+reproducibly. Every operator here is deterministic — ordering keys are
+portable md5 hex strings or doc ids, never engine-internal hashes — so
+each has a FULL-VALUE DuckDB oracle twin.
+
+Scale design: the per-source running token sums that drive mixing and
+packing are the classic single-partition-window trap
+(``Window.partitionBy(source)`` puts an entire source — possibly tens of
+TB — into ONE task). Both operators instead ride
+``plans.zipindex.running_sums`` (range-partition → per-partition totals
+→ parallel intra-partition windows + broadcast offsets), ordered
+source-major, then convert the global cumsum to a per-source one by
+subtracting each source's broadcast start offset. Boilerplate removal is
+two shuffles (line-frequency groupBy, doc reassembly groupBy), both keyed
+fine-grained (line text / doc_id), never by source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from icebug_spark.plans.zipindex import running_sums
+
+def _n_tokens():
+    """The same token-count rule as textstats.text_stats /
+    TOKEN_COUNT_SQL: whitespace-delimited tokens of the trimmed text, 0
+    for blank docs. A function, not a module constant — Column
+    construction needs an active session."""
+    return (
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+    )
+
+_N_TOKENS_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+
+def _hash_hex(salt: str):
+    """Portable per-doc uniform key: md5 of ``salt:doc_id`` as lowercase
+    hex. Lexicographic order on the fixed-width hex string equals numeric
+    order, and Spark and DuckDB produce identical digests."""
+    return F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
+
+
+def _per_source_cumsum(t: DataFrame, order_cols: list[str]) -> DataFrame:
+    """cum_tokens = running sum of n_tokens within each source in
+    (source, *order_cols) order, without a per-source single-partition
+    window: one GLOBAL two-pass running sum ordered source-major, then
+    subtract each source's start offset (min over the source of
+    cum − n_tokens — exact because the global order is source-major).
+    Input needs (source, n_tokens, *order_cols); adds ``cum_tokens``."""
+    g = running_sums(
+        t.withColumn("cum_tokens", F.col("n_tokens")),
+        ["source", *order_cols],
+        ["cum_tokens"],
+    )
+    offs = g.groupBy("source").agg(
+        F.min(F.col("cum_tokens") - F.col("n_tokens")).alias("__src_off")
+    )
+    return (
+        g.join(F.broadcast(offs), "source")
+        .withColumn("cum_tokens", F.col("cum_tokens") - F.col("__src_off"))
+        .drop("__src_off")
+    )
+
+
+def temperature_weights(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """(source, total_tokens, weight): temperature-based mixture weights
+    w_s ∝ T_s^alpha (alpha=1 → proportional sampling, alpha→0 → uniform
+    over sources; the multilingual-sampling rule of mBERT/XLM-R and the
+    domain-mixing baseline DoReMi starts from). Rounded to 6 dp so the
+    value is stable across summation orders. Tiny output (one row per
+    source) — the total rides a broadcast scalar, not a window."""
+    per = documents.select("source", _n_tokens().alias("n_tokens")).groupBy(
+        "source"
+    ).agg(F.sum("n_tokens").alias("total_tokens"))
+    tot = per.agg(
+        F.sum(F.pow(F.col("total_tokens").cast("double"), F.lit(alpha))).alias(
+            "__z"
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "total_tokens",
+            F.round(
+                F.pow(F.col("total_tokens").cast("double"), F.lit(alpha))
+                / F.col("__z"),
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
+def temperature_weights_sql(alpha: float = 0.5) -> str:
+    return f"""
+WITH per AS (
+  SELECT source, CAST(SUM({_N_TOKENS_SQL}) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, total_tokens,
+       ROUND(POW(CAST(total_tokens AS DOUBLE), {alpha!r})
+             / (SELECT SUM(POW(CAST(total_tokens AS DOUBLE), {alpha!r})) FROM per),
+             6) AS weight
+FROM per
+"""
+
+
+def mixture_sample(
+    documents: DataFrame,
+    budgets: dict[str, int],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-source token-budget sampling: within each
+    source, take documents in md5(salt:doc_id) order until the running
+    token count would exceed that source's budget. The hash order makes
+    the sample uniform-without-replacement yet exactly reproducible (and
+    stable under corpus re-partitioning — no rand(), no engine hash).
+    Sources absent from ``budgets`` are dropped. → (doc_id, source,
+    n_tokens, cum_tokens), full-value oracle via the same window in SQL.
+    """
+    spark = documents.sparkSession
+    if not budgets:
+        raise ValueError("empty budgets")
+    b = F.broadcast(
+        spark.createDataFrame(
+            [(s, int(v)) for s, v in sorted(budgets.items())],
+            "source STRING, budget BIGINT",
+        )
+    )
+    t = documents.select(
+        "doc_id",
+        "source",
+        _n_tokens().alias("n_tokens"),
+        _hash_hex(salt).alias("__h"),
+    ).join(b, "source")
+    c = _per_source_cumsum(t, ["__h", "doc_id"])
+    return (
+        c.where(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+def mixture_sample_sql(budgets: dict[str, int], salt: str = "mix") -> str:
+    vals = ", ".join(f"('{s}', {int(v)})" for s, v in sorted(budgets.items()))
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST({_N_TOKENS_SQL} AS BIGINT) AS n_tokens,
+         md5('{salt}:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), b(source, budget) AS (VALUES {vals}),
+c AS (
+  SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+         SUM(t.n_tokens) OVER (PARTITION BY t.source ORDER BY t.h, t.doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM t JOIN b USING (source)
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= budget
+"""
+
+
+def pack_sequences(documents: DataFrame, seq_len: int = 512) -> DataFrame:
+    """Concat-then-chunk sequence packing (the GPT-style pretraining
+    layout): within each source, documents are laid end-to-end in doc_id
+    order and the token stream is cut into fixed ``seq_len`` sequences;
+    each document reports its token span and the first/last sequence it
+    lands in (documents may straddle sequence boundaries). Sequence ids
+    are per-source — at cluster scale each source is an independent
+    shard, so packing never needs a cross-source total order. →
+    (doc_id, source, n_tokens, start_tok, end_tok, first_seq, last_seq).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    t = documents.select("doc_id", "source", _n_tokens().alias("n_tokens"))
+    c = _per_source_cumsum(t, ["doc_id"])
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    end = F.col("cum_tokens")
+    first_seq = F.expr(f"(cum_tokens - n_tokens) DIV {int(seq_len)}")
+    last_seq = F.when(F.col("n_tokens") == 0, first_seq).otherwise(
+        F.expr(f"(cum_tokens - 1) DIV {int(seq_len)}")
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start.alias("start_tok"),
+        end.alias("end_tok"),
+        first_seq.cast("long").alias("first_seq"),
+        last_seq.cast("long").alias("last_seq"),
+    )
+
+
+def pack_sequences_sql(seq_len: int = 512) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, CAST({_N_TOKENS_SQL} AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_tok,
+       CAST(cum AS BIGINT) AS end_tok,
+       CAST((cum - n_tokens) // {int(seq_len)} AS BIGINT) AS first_seq,
+       CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // {int(seq_len)}
+                 ELSE (cum - 1) // {int(seq_len)} END AS BIGINT) AS last_seq
+FROM c
+"""
+
+
+def boilerplate_lines(documents: DataFrame, min_docs: int = 2) -> DataFrame:
+    """(line_norm, n_docs): normalized (lowercased, trimmed) non-blank
+    lines that occur in at least ``min_docs`` DISTINCT documents — the
+    corpus-level boilerplate inventory (headers, footers, cookie
+    banners; cf. CCNet / RefinedWeb line-level dedup)."""
+    lines = documents.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"\n")).alias("line"),
+    ).select("doc_id", F.lower(F.trim("line")).alias("line_norm"))
+    return (
+        lines.where(F.length("line_norm") > 0)
+        .groupBy("line_norm")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= int(min_docs))
+    )
+
+
+BOILERPLATE_LINES_SQL_TMPL = """
+WITH l AS (
+  SELECT doc_id,
+         lower(trim(unnest(string_split(text, chr(10))))) AS line_norm
+  FROM documents
+)
+SELECT line_norm, COUNT(DISTINCT doc_id) AS n_docs
+FROM l WHERE length(line_norm) > 0
+GROUP BY line_norm HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+"""
+
+
+def remove_boilerplate(documents: DataFrame, min_docs: int = 2) -> DataFrame:
+    """Strip boilerplate lines from every document: a line is removed
+    when its normalized form occurs in ≥ ``min_docs`` distinct documents
+    (blank lines are never boilerplate). Documents keep their remaining
+    lines in original order; a document whose every line is boilerplate
+    survives with empty text. → (doc_id, clean_text, n_lines_kept,
+    n_lines_removed).
+
+    Plan shape: posexplode → line-frequency groupBy (shuffle keyed by
+    line text — the hot boilerplate lines are exactly the groups being
+    counted, so no join blow-up) → left-anti-style filter → reassembly
+    groupBy(doc_id) with an order-restoring sort inside the aggregate.
+    """
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\n")).alias("pos", "line"),
+    ).withColumn("line_norm", F.lower(F.trim("line")))
+    boiler = boilerplate_lines(documents, min_docs).select(
+        "line_norm", F.lit(True).alias("__boiler")
+    )
+    flagged = lines.join(boiler, "line_norm", "left").withColumn(
+        "__drop", F.coalesce("__boiler", F.lit(False))
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__drop"), F.struct("pos", "line")
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.sum((~F.col("__drop")).cast("long")).alias("n_lines_kept"),
+        F.sum(F.col("__drop").cast("long")).alias("n_lines_removed"),
+    )
+    return documents.select("doc_id").join(per_doc, "doc_id").select(
+        "doc_id", "clean_text", "n_lines_kept", "n_lines_removed"
+    )
+
+
+REMOVE_BOILERPLATE_SQL_TMPL = """
+WITH l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+  FROM documents
+), n AS (
+  SELECT doc_id, pos, line, lower(trim(line)) AS line_norm FROM l
+), b AS (
+  SELECT line_norm FROM n WHERE length(line_norm) > 0
+  GROUP BY line_norm HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+)
+SELECT n.doc_id,
+       COALESCE(string_agg(CASE WHEN b.line_norm IS NULL THEN n.line END,
+                           chr(10) ORDER BY n.pos), '') AS clean_text,
+       CAST(COUNT(*) FILTER (WHERE b.line_norm IS NULL) AS BIGINT) AS n_lines_kept,
+       CAST(COUNT(*) FILTER (WHERE b.line_norm IS NOT NULL) AS BIGINT)
+         AS n_lines_removed
+FROM n LEFT JOIN b USING (line_norm)
+GROUP BY n.doc_id
+"""
+
+
+def train_test_split(
+    documents: DataFrame, test_frac: float = 0.1, salt: str = "split"
+) -> DataFrame:
+    """(doc_id, split): deterministic hash split — a document is 'test'
+    when the first 8 hex digits of md5(salt:doc_id) fall below
+    ``test_frac`` of the 32-bit space. Stable across runs, engines, and
+    corpus growth (a document's split never changes when others are
+    added — the property a contamination-safe holdout needs)."""
+    if not 0.0 <= test_frac <= 1.0:
+        raise ValueError("test_frac must be in [0, 1]")
+    thr = format(min(int(test_frac * 16**8), 16**8 - 1), "08x")
+    bucket = F.substring(_hash_hex(salt), 1, 8)
+    return documents.select(
+        "doc_id",
+        F.when(bucket < F.lit(thr), F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def train_test_split_sql(test_frac: float = 0.1, salt: str = "split") -> str:
+    thr = format(min(int(test_frac * 16**8), 16**8 - 1), "08x")
+    return f"""
+SELECT doc_id,
+       CASE WHEN substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < '{thr}' THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icebug_spark.catalog import table
-from icebug_spark.llm import dedup, multimodal, similarity, textstats
+from icebug_spark.llm import dedup, mixing, multimodal, similarity, textstats
 
 
 def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -655,6 +655,34 @@ FROM t5
 """
 
 
+# --- corpus assembly: mixing / packing / boilerplate / split -------------
+# Fixed parameters so the query is the same plan at every SF: the 20
+# synthetic sources each get a 600-token budget (≈ half a source at
+# sf0.01, a stricter cut at sf0.1), sequences are 256 tokens, boilerplate
+# is any line shared by ≥2 docs, the holdout is 20%.
+_MIX_BUDGETS = {f"src{i}": 600 for i in range(20)}
+
+
+def mixture_weights_q(spark: SparkSession, sf: str) -> DataFrame:
+    return mixing.temperature_weights(table(spark, sf, "documents"), alpha=0.5)
+
+
+def mixture_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    return mixing.mixture_sample(table(spark, sf, "documents"), _MIX_BUDGETS)
+
+
+def pack_sequences_q(spark: SparkSession, sf: str) -> DataFrame:
+    return mixing.pack_sequences(table(spark, sf, "documents"), seq_len=256)
+
+
+def boilerplate_removal_q(spark: SparkSession, sf: str) -> DataFrame:
+    return mixing.remove_boilerplate(table(spark, sf, "documents"), min_docs=2)
+
+
+def train_test_split_q(spark: SparkSession, sf: str) -> DataFrame:
+    return mixing.train_test_split(table(spark, sf, "documents"), test_frac=0.2)
+
+
 LLM = {
     "llm_dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "llm_pii_scrub": (pii_scrub_q, PII_SCRUB_SQL),
@@ -683,4 +711,14 @@ LLM = {
     "llm_near_dup_embeddings": (near_dup_embeddings_q, NEAR_DUP_SQL),
     "llm_repetition_filter": (repetition_filter_q, REPETITION_SQL),
     "llm_contamination": (contamination_q, CONTAMINATION_SQL),
+    # corpus assembly — all deterministic (md5 / doc_id ordering), all
+    # full-value oracles
+    "llm_mixture_weights": (mixture_weights_q, mixing.temperature_weights_sql(0.5)),
+    "llm_mixture_sample": (mixture_sample_q, mixing.mixture_sample_sql(_MIX_BUDGETS)),
+    "llm_pack_sequences": (pack_sequences_q, mixing.pack_sequences_sql(256)),
+    "llm_boilerplate_removal": (
+        boilerplate_removal_q,
+        mixing.REMOVE_BOILERPLATE_SQL_TMPL.format(min_docs=2),
+    ),
+    "llm_train_test_split": (train_test_split_q, mixing.train_test_split_sql(0.2)),
 }

@@ -1,0 +1,178 @@
+"""Corpus-assembly operator tests: mixing, packing, boilerplate, split."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # src a: 3 docs of 4/2/3 tokens
+        (0, "one two three four", "en", "a", 18),
+        (1, "five six", "en", "a", 8),
+        (2, "seven eight nine", "en", "a", 16),
+        # src b: 2 docs, one blank
+        (3, "alpha beta gamma delta epsilon", "en", "b", 30),
+        (4, "   ", "en", "b", 3),
+    ]
+    return spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def test_temperature_weights_sum_to_one(docs):
+    from icebug_spark.llm.mixing import temperature_weights
+
+    rows = {r["source"]: r for r in temperature_weights(docs, 0.5).collect()}
+    assert rows["a"]["total_tokens"] == 9
+    assert rows["b"]["total_tokens"] == 5
+    assert abs(rows["a"]["weight"] + rows["b"]["weight"] - 1.0) < 1e-5
+    # alpha=0.5 flattens: a's share < its token share 9/14
+    assert rows["a"]["weight"] < 9 / 14
+
+
+def test_mixture_sample_respects_budget_and_order(docs):
+    from icebug_spark.llm.mixing import mixture_sample
+
+    out = mixture_sample(docs, {"a": 6, "b": 100}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # src a: greedy in hash order, stop before exceeding 6 tokens
+    assert sum(r["n_tokens"] for r in by_src["a"]) <= 6
+    assert len(by_src["a"]) >= 1
+    # src b fits entirely
+    assert sum(r["n_tokens"] for r in by_src["b"]) == 5
+    # unbudgeted sources are dropped
+    assert mixture_sample(docs, {"a": 100}).where("source = 'b'").count() == 0
+    # deterministic: two runs identical
+    again = mixture_sample(docs, {"a": 6, "b": 100}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_mixture_sample_cum_is_per_source(docs):
+    from icebug_spark.llm.mixing import mixture_sample
+
+    out = mixture_sample(docs, {"a": 100, "b": 100}).collect()
+    for src in ("a", "b"):
+        rows = sorted(
+            (r for r in out if r["source"] == src), key=lambda r: r["cum_tokens"]
+        )
+        run = 0
+        for r in rows:
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run
+
+
+def test_pack_sequences_spans(docs):
+    from icebug_spark.llm.mixing import pack_sequences
+
+    rows = {r["doc_id"]: r for r in pack_sequences(docs, seq_len=4).collect()}
+    # src a in doc_id order: doc0 [0,4) seq 0..0, doc1 [4,6) seq 1,
+    # doc2 [6,9) seqs 1..2
+    assert (rows[0]["start_tok"], rows[0]["end_tok"]) == (0, 4)
+    assert (rows[0]["first_seq"], rows[0]["last_seq"]) == (0, 0)
+    assert (rows[1]["first_seq"], rows[1]["last_seq"]) == (1, 1)
+    assert (rows[2]["start_tok"], rows[2]["end_tok"]) == (6, 9)
+    assert (rows[2]["first_seq"], rows[2]["last_seq"]) == (1, 2)
+    # src b: blank doc occupies zero tokens, first_seq == last_seq
+    assert rows[4]["n_tokens"] == 0
+    assert rows[4]["first_seq"] == rows[4]["last_seq"]
+    with pytest.raises(ValueError):
+        pack_sequences(docs, seq_len=0)
+
+
+def test_boilerplate_removal(spark):
+    from icebug_spark.llm.mixing import boilerplate_lines, remove_boilerplate
+
+    rows = [
+        (0, "COOKIE BANNER\nreal content zero\nfooter", "en", "a", 1),
+        (1, "cookie banner\nreal content one\nFooter", "en", "a", 1),
+        (2, "unique document two", "en", "b", 1),
+        (3, "\n\n", "en", "b", 1),  # blank lines are never boilerplate
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    boiler = {r["line_norm"] for r in boilerplate_lines(docs, 2).collect()}
+    assert boiler == {"cookie banner", "footer"}
+
+    out = {r["doc_id"]: r for r in remove_boilerplate(docs, 2).collect()}
+    assert out[0]["clean_text"] == "real content zero"
+    assert out[0]["n_lines_removed"] == 2
+    assert out[1]["clean_text"] == "real content one"
+    # untouched doc survives byte-identical
+    assert out[2]["clean_text"] == "unique document two"
+    assert out[2]["n_lines_removed"] == 0
+    # all-blank doc: lines kept (blank ≠ boilerplate), text preserved
+    assert out[3]["clean_text"] == "\n\n"
+    assert out[3]["n_lines_kept"] == 3
+
+
+def test_boilerplate_preserves_line_order(spark):
+    from icebug_spark.llm.mixing import remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "z last\nshared\nm middle\nshared\na first", "en", "a", 1),
+            (1, "shared", "en", "a", 1),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate(docs, 2).collect()}
+    assert out[0]["clean_text"] == "z last\nm middle\na first"
+
+
+def test_train_test_split(docs):
+    from icebug_spark.llm.mixing import train_test_split
+
+    out = {r["doc_id"]: r["split"] for r in train_test_split(docs, 0.5).collect()}
+    assert set(out.values()) <= {"train", "test"}
+    # frac 0 / 1 are the degenerate extremes
+    all_train = train_test_split(docs, 0.0).collect()
+    assert all(r["split"] == "train" for r in all_train)
+    # stability: a doc's split is independent of the rest of the corpus
+    sub = docs.where("doc_id <= 1")
+    sub_out = {
+        r["doc_id"]: r["split"] for r in train_test_split(sub, 0.5).collect()
+    }
+    for k, v in sub_out.items():
+        assert out[k] == v
+    with pytest.raises(ValueError):
+        train_test_split(docs, 1.5)
+
+
+def test_mixing_duckdb_twins(spark, docs):
+    """Full-value parity of every mixing twin on the synthetic docs —
+    the same comparison the sweep runs, on data with the edge cases
+    (blank doc, multi-source)."""
+    import duckdb
+
+    from icebug_spark.llm import mixing
+
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    cases = [
+        (mixing.temperature_weights(docs, 0.5), mixing.temperature_weights_sql(0.5)),
+        (
+            mixing.mixture_sample(docs, {"a": 6, "b": 100}),
+            mixing.mixture_sample_sql({"a": 6, "b": 100}),
+        ),
+        (mixing.pack_sequences(docs, 4), mixing.pack_sequences_sql(4)),
+        (
+            mixing.remove_boilerplate(docs, 2),
+            mixing.REMOVE_BOILERPLATE_SQL_TMPL.format(min_docs=2),
+        ),
+        (mixing.train_test_split(docs, 0.5), mixing.train_test_split_sql(0.5)),
+    ]
+    for sdf, sql in cases:
+        got = sorted(map(tuple, sdf.collect()))
+        want = sorted(map(tuple, con.sql(sql).fetchall()))
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            for a, b in zip(g, w):
+                if isinstance(a, float):
+                    assert abs(a - float(b)) < 1e-9
+                else:
+                    assert a == b
