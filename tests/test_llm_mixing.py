@@ -176,3 +176,19 @@ def test_mixing_duckdb_twins(spark, docs):
                     assert abs(a - float(b)) < 1e-9
                 else:
                     assert a == b
+
+
+def test_mixing_plans_avoid_single_partition_exchange(spark, docs):
+    """The scale contract of the module docstring: no per-source
+    single-partition window anywhere in the mixing/packing plans (the
+    two-pass running sum replaces it)."""
+    from icebug_spark.llm import mixing
+
+    for df in (
+        mixing.mixture_sample(docs, {"a": 6, "b": 100}),
+        mixing.pack_sequences(docs, 4),
+        mixing.remove_boilerplate(docs, 2),
+        mixing.train_test_split(docs, 0.5),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan
