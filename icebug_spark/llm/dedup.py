@@ -94,13 +94,20 @@ def ngram_jaccard_pairs(
     it is materialized once instead of re-tokenizing the corpus per branch."""
     sh = shingles(documents, n)
     if max_doc_freq is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
+        # document frequency as a count window over the shingle key: ONE
+        # shuffle of the shingle table, vs the groupBy + semijoin pair it
+        # replaces (two scans + an extra exchange; measured 1.98 s → 1.67 s
+        # at sf0.1). sh is distinct (doc_id, shingle), so the per-shingle
+        # row count IS the document frequency.
+        from pyspark.sql import Window
+
+        sh = (
+            sh.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
             .where(F.col("df") <= max_doc_freq)
-            .select("shingle")
+            .drop("df")
         )
-        sh = sh.join(rare, "shingle", "leftsemi")
     sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -108,30 +108,37 @@ def pagerank(
             "prev",
         )
 
-    converged = None
+    observe = observed_converged = None
     if tol > 0.0:
         if norm not in ("l1", "l2", "max"):
             raise ValueError("norm must be one of l1, l2, max")
-        _round = {"i": 0}
 
-        def converged(old: DataFrame, new: DataFrame) -> bool:
-            # only test at checkpoint boundaries: there `new` is a
-            # materialized RDD carrying (rank, prev), so the delta norm
-            # is one scan of the checkpointed vector — not a
-            # re-execution of the (lazy) update rounds in between
-            _round["i"] += 1
-            if _round["i"] % 2:
-                return False
+        def observe():
+            # the delta norm rides each checkpoint's materializing action
+            # as an observed metric (iterate only evaluates it at
+            # checkpoint boundaries, where (rank, prev) materializes
+            # anyway) — zero extra jobs, zero recompute of the lazy
+            # in-between rounds
             diff = F.col("rank") - F.col("prev")
             agg = {
                 "l1": F.sum(F.abs(diff)),
                 "l2": F.sqrt(F.sum(diff * diff)),
                 "max": F.max(F.abs(diff)),
             }[norm]
-            val = new.agg(agg.alias("d")).collect()[0]["d"]
+            return [agg.alias("d")]
+
+        def observed_converged(m: dict) -> bool:
+            val = m["d"]
             return val is not None and float(val) <= tol
 
-    final = iterate(ranks, step, max_iter, converged=converged, checkpoint_every=2)
+    final = iterate(
+        ranks,
+        step,
+        max_iter,
+        checkpoint_every=2,
+        observe=observe,
+        observed_converged=observed_converged,
+    )
     return final.select("id", F.col("rank").alias("pagerank"))
 
 

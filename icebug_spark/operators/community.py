@@ -72,13 +72,19 @@ def label_propagation(
             )
         )
 
-    def converged(_old: DataFrame, new: DataFrame) -> bool:
-        n = new.where(F.col("moved")).count()
+    def observed_converged(m: dict) -> bool:
+        n = int(m["n_moved"] or 0)
         changed[0] = n
         return n <= theta
 
     final = iterate(
-        labels.withColumn("moved", F.lit(False)), step, max_iter, converged, 1
+        labels.withColumn("moved", F.lit(False)),
+        step,
+        max_iter,
+        checkpoint_every=1,
+        # moved-count rides the checkpoint job as an observed metric
+        observe=lambda: [F.sum(F.col("moved").cast("long")).alias("n_moved")],
+        observed_converged=observed_converged,
     )
     return final.select("id", "subset")
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from icebug_spark.plans.iterate import checkpoint, mirror
+from icebug_spark.plans.iterate import checkpoint, checkpoint_observe, mirror
 
 
 def connected_components(
@@ -49,13 +49,16 @@ def connected_components(
             eu.join(mirror(lbl, n), eu.src == lbl.id)
             .select(F.col("dst").alias("id"), F.col("component"))
         )
-        lbl = checkpoint(
+        # label sum rides the checkpoint job as an observed metric —
+        # one action per round, not checkpoint + separate aggregate
+        lbl, m = checkpoint_observe(
             lbl.select("id", "component")
             .union(msgs)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("component")),
+            F.sum("component").alias("s"),
         )
-        s = lbl.agg(F.sum("component")).collect()[0][0]
+        s = m["s"]
         if s == prev_sum:
             break
         prev_sum = s

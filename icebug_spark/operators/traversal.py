@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from icebug_spark.plans.iterate import checkpoint, mirror
+from icebug_spark.plans.iterate import checkpoint, checkpoint_observe, mirror
 
 
 def bfs_distances(
@@ -68,10 +68,13 @@ def multi_source_bfs(
             .agg(F.min("dist").alias("dist"))
             .withColumn("frontier", F.lit(True))
         )
-        state = checkpoint(
-            seen.withColumn("frontier", F.lit(False)).union(new_nodes)
+        # the frontier count rides the checkpoint job as an observed
+        # metric — one action per level, not checkpoint + count
+        state, m = checkpoint_observe(
+            seen.withColumn("frontier", F.lit(False)).union(new_nodes),
+            F.sum(F.col("frontier").cast("long")).alias("nf"),
         )
-        frontier_rows = state.where(F.col("frontier")).count()
+        frontier_rows = int(m["nf"] or 0)
         if frontier_rows == 0:
             break
         seen_rows += frontier_rows
@@ -103,7 +106,8 @@ def sssp_weighted(
             .agg(F.min("nd").alias("nd"))
         )
         joined = state.select("id", "dist").join(relax, "id", "full")
-        state = checkpoint(
+        # active count rides the checkpoint job (observed metric)
+        state, m = checkpoint_observe(
             joined.select(
                 "id",
                 F.least(F.coalesce(F.col("dist"), F.lit(float("inf"))),
@@ -112,9 +116,10 @@ def sssp_weighted(
                     F.col("dist").isNull()
                     | (F.coalesce(F.col("nd"), F.lit(float("inf"))) < F.col("dist"))
                 ).alias("changed"),
-            )
+            ),
+            F.sum(F.col("changed").cast("long")).alias("na"),
         )
-        active_rows = state.where(F.col("changed")).count()
+        active_rows = int(m["na"] or 0)
         if active_rows == 0:
             break
     return state.select("id", "dist")

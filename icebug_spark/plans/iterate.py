@@ -124,12 +124,43 @@ def checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def checkpoint_observe(df: DataFrame, *aggs) -> tuple[DataFrame, dict]:
+    """Eager lineage truncation with convergence aggregates computed
+    DURING the materializing action: ``df.observe`` attaches the
+    aggregates as query metrics, and the eager (local)checkpoint is the
+    action that fills them — so a loop round that needs both a truncated
+    state AND a scalar convergence value (frontier count, label sum,
+    delta norm) submits ONE Spark job instead of two. On a 1000-executor
+    cluster each avoided action is a full job-submission round trip per
+    iteration. Returns ``(checkpointed_df, metrics_dict)``."""
+    from pyspark.sql import Observation
+
+    if PLAN_CAPTURE is not None:
+        PLAN_CAPTURE.append(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+    spark = df.sparkSession
+    obs = Observation()
+    observed = df.observe(obs, *aggs)
+    reliable = (
+        spark.conf.get("spark.icebug.reliableCheckpoint", "false").lower()
+        == "true"
+    )
+    if reliable:
+        cp = observed.checkpoint(eager=True)
+    else:
+        cp = observed.localCheckpoint(eager=True)
+    return cp, obs.get
+
+
 def iterate(
     state: DataFrame,
     step: Callable[[DataFrame, int], DataFrame],
     max_iter: int,
     converged: Callable[[DataFrame, DataFrame], bool] | None = None,
     checkpoint_every: int = 2,
+    observe: Callable[[], list] | None = None,
+    observed_converged: Callable[[dict], bool] | None = None,
 ) -> DataFrame:
     """Run ``state = step(state, i)`` up to ``max_iter`` times.
 
@@ -137,12 +168,27 @@ def iterate(
     trigger Spark actions; for cheap convergence checks aggregate a single
     'changed' count). Checkpointing is eager so each round's work is done
     once and the plan stays O(1) deep.
+
+    ``observe`` + ``observed_converged``: the fused alternative — a
+    thunk returning aggregate Columns computed DURING each checkpoint's
+    materializing action (``checkpoint_observe``), and a predicate over
+    the resulting metrics dict. One Spark job per checkpoint round
+    instead of checkpoint + convergence action; only evaluated at
+    checkpoint boundaries (between boundaries the state is lazy, so a
+    metric there would re-execute the plan).
     """
     state = checkpoint(state)
     for i in range(max_iter):
         new = step(state, i)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            new = checkpoint(new)
+            if observe is not None:
+                new, metrics = checkpoint_observe(new, *observe())
+                if observed_converged is not None and observed_converged(
+                    metrics
+                ):
+                    return new
+            else:
+                new = checkpoint(new)
         if converged is not None and converged(state, new):
             return new
         state = new
