@@ -52,6 +52,8 @@ def core_numbers(
     cost zero rounds. Total rounds = #cascade-steps + #distinct core
     values, vs the old Σ_k (restart + cascade-steps(k)); on a
     high-min-degree graph the k=1..min_deg prefix disappears entirely."""
+    from icebug_spark.plans.iterate import checkpoint_observe
+
     eu = edges_undirected.select("src", "dst").localCheckpoint(eager=True)
     spark = edges_undirected.sparkSession
     remaining = eu.select(F.col("src").alias("id")).distinct().localCheckpoint(
@@ -62,34 +64,47 @@ def core_numbers(
     for _ in range(max_rounds):
         if k > max_k + 1:
             break
-        deg = remaining.join(
-            eu.groupBy(F.col("src").alias("id")).agg(
-                F.count(F.lit(1)).alias("deg")
-            ),
-            "id",
-            "left",
-        ).na.fill({"deg": 0})
-        peel = deg.where(F.col("deg") < k).select("id")
-        head = peel.limit(1).count()
-        if head == 0:
-            row = deg.agg(F.min("deg").alias("m")).collect()[0]
-            if row["m"] is None:
-                break
-            k = int(row["m"]) + 1
-            continue
-        # peel's plan hangs off the PREVIOUS round's checkpointed
-        # remaining/eu RDDs, which stay valid — no extra materialization
-        parts.append(peel.withColumn("core", F.lit(k - 1).cast("long")))
-        remaining = remaining.join(peel, "id", "left_anti").localCheckpoint(
-            eager=True
+        # ONE job materializes the degree table AND answers all three
+        # control questions as observed metrics: how many nodes peel at
+        # this level, how many remain, and (for the k-jump when nothing
+        # peels) the minimum remaining degree. The old shape paid a
+        # limit(1).count job, a min-degree aggregate job, and a separate
+        # remaining-emptiness job per round on top of two checkpoints.
+        deg, m = checkpoint_observe(
+            remaining.join(
+                eu.groupBy(F.col("src").alias("id")).agg(
+                    F.count(F.lit(1)).alias("deg")
+                ),
+                "id",
+                "left",
+            ).na.fill({"deg": 0}),
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("deg") < k).cast("long")).alias("np"),
+            F.min("deg").alias("md"),
         )
+        n, n_peel = int(m["n"] or 0), int(m["np"] or 0)
+        if n == 0:
+            break
+        if n_peel == 0:
+            if m["md"] is None:
+                break
+            k = int(m["md"]) + 1
+            continue
+        # peel/remaining hang off the checkpointed degree table — one
+        # materialized frame, two cheap filters
+        parts.append(
+            deg.where(F.col("deg") < k)
+            .select("id")
+            .withColumn("core", F.lit(k - 1).cast("long"))
+        )
+        if n - n_peel == 0:
+            break
+        remaining = deg.where(F.col("deg") >= k).select("id")
         eu = (
             eu.join(remaining.withColumnRenamed("id", "src"), "src", "leftsemi")
             .join(remaining.withColumnRenamed("id", "dst"), "dst", "leftsemi")
             .localCheckpoint(eager=True)
         )
-        if remaining.limit(1).count() == 0:
-            break
     if not parts:
         return spark.createDataFrame([], "id long, core long")
     out = parts[0]

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from icebug_spark.plans.iterate import checkpoint_observe
+
 
 def strongly_connected_components(
     edges: DataFrame, max_rounds: int = 50, max_prop: int = 50, max_trim: int = 20
@@ -39,53 +41,63 @@ def strongly_connected_components(
     e = e_all.localCheckpoint(eager=True)
     spark = edges.sparkSession
     result = None
+    # every loop below fuses its convergence scalar into the checkpoint's
+    # materializing action (checkpoint_observe) — one job per round where
+    # the old shape paid two or three (checkpoint + count/sum aggregates)
+    n_nodes = nodes.count()
 
     for _round in range(max_rounds):
         # 0. trim to fixpoint: no-in or no-out ⇒ singleton SCC
         for _ in range(max_trim):
-            trivial = (
-                nodes.join(e.select(F.col("dst").alias("id")).distinct(), "id", "left_anti")
+            trivial, mt = checkpoint_observe(
+                nodes.join(
+                    e.select(F.col("dst").alias("id")).distinct(), "id", "left_anti"
+                )
                 .union(
                     nodes.join(
                         e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
                     )
                 )
-                .distinct()
-                .localCheckpoint(eager=True)
+                .distinct(),
+                F.count(F.lit(1)).alias("n"),
             )
-            if trivial.limit(1).count() == 0:
+            if int(mt["n"] or 0) == 0:
                 break
             found = trivial.select("id", F.col("id").alias("component"))
             result = found if result is None else result.union(found)
             result = result.localCheckpoint(eager=True)
-            nodes = nodes.join(trivial, "id", "left_anti").localCheckpoint(eager=True)
+            nodes, mn = checkpoint_observe(
+                nodes.join(trivial, "id", "left_anti"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            n_nodes = int(mn["n"] or 0)
             e = (
                 e.join(nodes.withColumnRenamed("id", "src"), "src", "leftsemi")
                 .join(nodes.withColumnRenamed("id", "dst"), "dst", "leftsemi")
                 .localCheckpoint(eager=True)
             )
-        if nodes.limit(1).count() == 0:
+        if n_nodes == 0:
             break
         # 1. forward max-color propagation to fixpoint
-        color = nodes.withColumn("color", F.col("id")).localCheckpoint(eager=True)
+        color, mc = checkpoint_observe(
+            nodes.withColumn("color", F.col("id")),
+            F.sum("color").alias("s"),
+        )
+        prev_sum = mc["s"]
         for _ in range(max_prop):
             msgs = e.join(color.withColumnRenamed("id", "src"), "src").select(
                 F.col("dst").alias("id"), "color"
             )
-            new = (
+            color, mp = checkpoint_observe(
                 color.select("id", "color")
                 .union(msgs)
                 .groupBy("id")
-                .agg(F.max("color").alias("color"))
-                .localCheckpoint(eager=True)
+                .agg(F.max("color").alias("color")),
+                F.sum("color").alias("s"),
             )
-            if (
-                new.agg(F.sum("color")).collect()[0][0]
-                == color.agg(F.sum("color")).collect()[0][0]
-            ):
-                color = new
+            if mp["s"] == prev_sum:
                 break
-            color = new
+            prev_sum = mp["s"]
         # 2. backward reachability to the color root within the color class
         ec = (
             e.join(color.withColumnRenamed("id", "src").withColumnRenamed("color", "c1"), "src")
@@ -94,8 +106,11 @@ def strongly_connected_components(
             .select("src", "dst", F.col("c1").alias("color"))
             .localCheckpoint(eager=True)
         )
-        scc = color.where(F.col("id") == F.col("color")).select("id", "color")
-        scc = scc.localCheckpoint(eager=True)
+        scc, ms = checkpoint_observe(
+            color.where(F.col("id") == F.col("color")).select("id", "color"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        prev_n = int(ms["n"] or 0)
         for _ in range(max_prop):
             # grow backward: u joins if u→v for some v already in SCC(color)
             # and color(u) == color
@@ -104,16 +119,21 @@ def strongly_connected_components(
                 .select(F.col("src").alias("id"), "color")
                 .distinct()
             )
-            new = scc.union(grow).distinct().localCheckpoint(eager=True)
-            if new.count() == scc.count():
-                scc = new
+            scc, mg = checkpoint_observe(
+                scc.union(grow).distinct(), F.count(F.lit(1)).alias("n")
+            )
+            if int(mg["n"] or 0) == prev_n:
                 break
-            scc = new
+            prev_n = int(mg["n"] or 0)
         found = scc.select("id", F.col("color").alias("component"))
         result = found if result is None else result.union(found)
         result = result.localCheckpoint(eager=True)
         # 3. peel off found SCCs
-        nodes = nodes.join(found.select("id"), "id", "left_anti").localCheckpoint(eager=True)
+        nodes, mn = checkpoint_observe(
+            nodes.join(found.select("id"), "id", "left_anti"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        n_nodes = int(mn["n"] or 0)
         e = (
             e.join(nodes.withColumnRenamed("id", "src"), "src", "leftsemi")
             .join(nodes.withColumnRenamed("id", "dst"), "dst", "leftsemi")
