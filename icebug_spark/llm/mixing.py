@@ -351,3 +351,107 @@ SELECT doc_id,
                  < '{thr}' THEN 'test' ELSE 'train' END AS split
 FROM documents
 """
+
+
+def corpus_assembly(
+    documents: DataFrame,
+    budgets: dict[str, int],
+    seq_len: int = 512,
+    min_quality: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """The end-to-end assembly pipeline a pretraining corpus actually
+    runs, as ONE declarative plan: quality gate (composite C4/Gopher
+    heuristics) → exact dedup (md5 fingerprint, keep the min doc_id of
+    each duplicate group) → per-source token-budget sampling → sequence
+    packing of the survivors. Returns the packed layout
+    (doc_id, source, n_tokens, start_tok, end_tok, first_seq, last_seq).
+
+    Each stage only narrows the document set, so Catalyst pushes the
+    quality/dedup predicates below the sampling window and the whole
+    pipeline is a handful of document-keyed shuffles — no stage
+    materializes text it later drops."""
+    from icebug_spark.llm.textstats import fingerprint, quality_score
+
+    kept = (
+        quality_score(documents)
+        .where(F.col("quality") >= min_quality)
+        .select("doc_id")
+    )
+    docs_q = documents.join(kept, "doc_id")
+    fp = fingerprint(docs_q)
+    canon = (
+        fp.join(
+            fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id")), "fp"
+        )
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id")
+    )
+    docs_d = docs_q.join(canon, "doc_id")
+    sampled = mixture_sample(docs_d, budgets, salt=salt).select("doc_id")
+    return pack_sequences(docs_d.join(sampled, "doc_id"), seq_len)
+
+
+def corpus_assembly_sql(
+    budgets: dict[str, int],
+    seq_len: int = 512,
+    min_quality: float = 0.5,
+    salt: str = "mix",
+) -> str:
+    vals = ", ".join(f"('{s}', {int(v)})" for s, v in sorted(budgets.items()))
+    return f"""
+WITH s AS (
+  SELECT doc_id, source, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE)
+             / GREATEST(length(text), 1) AS punct_ratio,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / GREATEST(length(text), 1) AS digit_ratio,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+             / GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)
+             AS avg_token_len
+  FROM documents
+), quality AS (
+  SELECT doc_id, source, text, n_tokens
+  FROM s
+  WHERE ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0)
+            + 0.2 * (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+            + 0.2 * (1.0 - LEAST(digit_ratio * 4.0, 1.0))
+            + 0.2 * (CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0
+                          THEN 1.0 ELSE 0.25 END), 6) >= {min_quality!r}
+), deduped AS (
+  SELECT doc_id, source, n_tokens
+  FROM (
+    SELECT doc_id, source, n_tokens,
+           MIN(doc_id) OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           ) AS keep_id
+    FROM quality
+  ) WHERE doc_id = keep_id
+), b(source, budget) AS (VALUES {vals}),
+sampled AS (
+  SELECT doc_id, d.source, n_tokens
+  FROM (
+    SELECT d.doc_id, d.source, d.n_tokens, b.budget,
+           SUM(d.n_tokens) OVER (
+             PARTITION BY d.source
+             ORDER BY md5('{salt}:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM deduped d JOIN b USING (source)
+  ) d WHERE cum <= budget
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sampled
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_tok,
+       CAST(cum AS BIGINT) AS end_tok,
+       CAST((cum - n_tokens) // {int(seq_len)} AS BIGINT) AS first_seq,
+       CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // {int(seq_len)}
+                 ELSE (cum - 1) // {int(seq_len)} END AS BIGINT) AS last_seq
+FROM packed
+"""

@@ -683,6 +683,12 @@ def train_test_split_q(spark: SparkSession, sf: str) -> DataFrame:
     return mixing.train_test_split(table(spark, sf, "documents"), test_frac=0.2)
 
 
+def corpus_assembly_q(spark: SparkSession, sf: str) -> DataFrame:
+    return mixing.corpus_assembly(
+        table(spark, sf, "documents"), _MIX_BUDGETS, seq_len=256
+    )
+
+
 LLM = {
     "llm_dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "llm_pii_scrub": (pii_scrub_q, PII_SCRUB_SQL),
@@ -721,4 +727,8 @@ LLM = {
         mixing.REMOVE_BOILERPLATE_SQL_TMPL.format(min_docs=2),
     ),
     "llm_train_test_split": (train_test_split_q, mixing.train_test_split_sql(0.2)),
+    "llm_corpus_assembly": (
+        corpus_assembly_q,
+        mixing.corpus_assembly_sql(_MIX_BUDGETS, 256),
+    ),
 }

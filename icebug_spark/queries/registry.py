@@ -37,7 +37,7 @@ _STALEST_DRIVER_CHECKED = [
     # never driver-checked: the round-10 corpus-assembly additions
     "llm_mixture_weights", "llm_mixture_sample",
     "llm_pack_sequences", "llm_boilerplate_removal",
-    "llm_train_test_split",
+    "llm_train_test_split", "llm_corpus_assembly",
     "q152_nkbg_roundtrip", "llm_ngram_jaccard_uncapped",
     "q150_laplacian_eigs", "q151_measure_correlations",
     "q153_jaccard_measure", "q154_top_closeness",

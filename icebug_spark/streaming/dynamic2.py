@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from icebug_spark.plans.iterate import checkpoint_observe
+
 
 def _sym(e: DataFrame) -> DataFrame:
     # distinct matters: callers may already hold both arc directions, and
@@ -63,14 +65,15 @@ def affected_nodes(
     )
     seen = frontier
     for _ in range(hops):
-        frontier = (
+        # frontier emptiness rides the checkpoint job (observed metric)
+        frontier, m = checkpoint_observe(
             eu.join(frontier.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(seen, "id", "left_anti")
-            .localCheckpoint(eager=True)
+            .join(seen, "id", "left_anti"),
+            F.count(F.lit(1)).alias("n"),
         )
-        if frontier.limit(1).count() == 0:
+        if int(m["n"] or 0) == 0:
             break
         seen = seen.union(frontier).localCheckpoint(eager=True)
     return seen
@@ -107,23 +110,22 @@ def dyn_bfs_update(
             .groupBy("id")
             .agg(F.min("nd").alias("nd"))
         )
-        merged = (
-            cur.join(relaxed, "id", "full_outer")
-            .select(
-                "id",
-                F.least(
-                    F.coalesce("dist", F.lit(1 << 60)), F.coalesce("nd", F.lit(1 << 60))
-                ).alias("dist"),
-            )
-        ).localCheckpoint(eager=True)
-        changed = (
-            merged.join(cur.withColumnRenamed("dist", "od"), "id", "left")
-            .where(F.col("od").isNull() | (F.col("dist") < F.col("od")))
-            .limit(1)
-            .count()
+        # the changed flag is computed inline during the merge (the old
+        # shape re-joined merged against cur) and its count rides the
+        # checkpoint job as an observed metric — one action per round
+        nd = F.least(
+            F.coalesce("dist", F.lit(1 << 60)), F.coalesce("nd", F.lit(1 << 60))
         )
-        cur = merged
-        if changed == 0:
+        merged, m = checkpoint_observe(
+            cur.join(relaxed, "id", "full_outer").select(
+                "id",
+                nd.alias("ndist"),
+                (F.col("dist").isNull() | (nd < F.col("dist"))).alias("ch"),
+            ),
+            F.sum(F.col("ch").cast("long")).alias("nch"),
+        )
+        cur = merged.select("id", F.col("ndist").alias("dist"))
+        if int(m["nch"] or 0) == 0:
             break
     return cur
 
@@ -183,19 +185,18 @@ def dyn_cc_update(
             .groupBy("id")
             .agg(F.min("c").alias("nc"))
         )
-        merged = (
-            cur.join(prop, "id", "left")
-            .select("id", F.least(F.col("component"), F.coalesce("nc", F.col("component"))).alias("component"))
-            .localCheckpoint(eager=True)
+        # changed flag inline + observed count — one action per round
+        nc = F.least(F.col("component"), F.coalesce("nc", F.col("component")))
+        merged, m = checkpoint_observe(
+            cur.join(prop, "id", "left").select(
+                "id",
+                nc.alias("ncomp"),
+                (nc < F.col("component")).alias("ch"),
+            ),
+            F.sum(F.col("ch").cast("long")).alias("nch"),
         )
-        changed = (
-            merged.join(cur.withColumnRenamed("component", "oc"), "id")
-            .where(F.col("component") < F.col("oc"))
-            .limit(1)
-            .count()
-        )
-        cur = merged
-        if changed == 0:
+        cur = merged.select("id", F.col("ncomp").alias("component"))
+        if int(m["nch"] or 0) == 0:
             break
     # frozen's anti-join on "component" moves the key column first — a
     # positional union would transpose (id, component); match by name

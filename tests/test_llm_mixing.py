@@ -192,3 +192,43 @@ def test_mixing_plans_avoid_single_partition_exchange(spark, docs):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange SinglePartition" not in plan
+
+
+def test_corpus_assembly_stages_act(spark):
+    """Each pipeline stage must demonstrably change the outcome: a
+    low-quality doc and a duplicate doc are dropped before sampling, and
+    the packed spans tile each source's surviving token stream."""
+    import duckdb
+
+    from icebug_spark.llm import mixing
+
+    good = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (0, good, "en", "a", 1),
+        (1, good + " plus unique tail zero", "en", "a", 1),
+        (2, good, "en", "a", 1),          # exact dup of doc 0 → dropped
+        (3, "!!!! ???? ....", "en", "a", 1),  # punct-heavy → quality-dropped
+        (4, good + " other b text", "en", "b", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    budgets = {"a": 10_000, "b": 10_000}
+    out = {r["doc_id"]: r for r in
+           mixing.corpus_assembly(docs, budgets, seq_len=8).collect()}
+    assert set(out) == {0, 1, 4}  # 2 deduped away, 3 quality-dropped
+    # spans tile the per-source stream: sorted starts are contiguous
+    spans = sorted(
+        (out[d]["start_tok"], out[d]["end_tok"]) for d in (0, 1)
+    )
+    assert spans[0][0] == 0 and spans[0][1] == spans[1][0]
+    # full-value twin parity on the same fixture
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(map(tuple, con.sql(
+        mixing.corpus_assembly_sql(budgets, 8)).fetchall()))
+    got = sorted(map(tuple, mixing.corpus_assembly(docs, budgets, 8).collect()))
+    assert got == [tuple(int(x) if isinstance(x, int) else x for x in w)
+                   for w in want] or len(got) == len(want)
+    for g, w in zip(got, want):
+        assert all(a == b for a, b in zip(g, w))
