@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from icebug_spark.operators import algebraic
+from icebug_spark.plans.iterate import checkpoint_observe
 
 
 def _expand_level(
@@ -87,16 +88,21 @@ def bidirectional_bfs(
         if not (s_alive or t_alive):
             break  # both searches exhausted without bracketing: unreachable
         expand_s = s_alive and (ls <= lt or not t_alive)
+        # frontier emptiness rides the expansion checkpoint (observed)
         if expand_s:
-            fs = _expand_level(fs, ds, e).localCheckpoint(eager=True)
-            if fs.limit(1).count() == 0:
+            fs, mf = checkpoint_observe(
+                _expand_level(fs, ds, e), F.count(F.lit(1)).alias("n")
+            )
+            if int(mf["n"] or 0) == 0:
                 s_alive = False
             else:
                 ds = ds.union(fs).localCheckpoint(eager=True)
                 ls += 1
         else:
-            ft = _expand_level(ft, dt, er).localCheckpoint(eager=True)
-            if ft.limit(1).count() == 0:
+            ft, mf = checkpoint_observe(
+                _expand_level(ft, dt, er), F.count(F.lit(1)).alias("n")
+            )
+            if int(mf["n"] or 0) == 0:
                 t_alive = False
             else:
                 dt = dt.union(ft).localCheckpoint(eager=True)
@@ -137,11 +143,15 @@ def _relax_rounds(e: DataFrame, dist: DataFrame):
             F.col("dist").isNull()
             | (F.coalesce(F.col("nd"), F.lit(float("inf"))) < F.col("dist"))
         ).alias("changed"),
-    ).localCheckpoint(eager=True)
-    stats = new.where(F.col("changed")).agg(
-        F.count(F.lit(1)).alias("n"), F.min("dist").alias("mn")
-    ).collect()[0]
-    return new, stats["n"], stats["mn"]
+    )
+    # changed-count and min-active-label ride the checkpoint job as
+    # observed metrics — one action per relax round instead of two
+    new, m = checkpoint_observe(
+        new,
+        F.sum(F.col("changed").cast("long")).alias("n"),
+        F.min(F.when(F.col("changed"), F.col("dist"))).alias("mn"),
+    )
+    return new, int(m["n"] or 0), m["mn"]
 
 
 def bidirectional_dijkstra(
@@ -294,14 +304,24 @@ def multi_target_bfs(
     t_df = spark.createDataFrame([(t,) for t in tset], "id BIGINT")
     seen = spark.createDataFrame([(int(source), 0)], "id BIGINT, dist BIGINT")
     frontier = seen
+    # two observed metrics replace the two per-level actions of the old
+    # shape (targets-found count, frontier emptiness): the frontier count
+    # rides the expansion checkpoint, the found-target count rides the
+    # seen-union checkpoint
+    found = 1 if int(source) in tset else 0
     for _ in range(max_hops):
-        found = seen.join(t_df, "id", "leftsemi").count()
         if found == len(tset):
             break
-        frontier = _expand_level(frontier, seen, e).localCheckpoint(eager=True)
-        if frontier.limit(1).count() == 0:
+        frontier, mf = checkpoint_observe(
+            _expand_level(frontier, seen, e), F.count(F.lit(1)).alias("n")
+        )
+        if int(mf["n"] or 0) == 0:
             break
-        seen = seen.union(frontier).localCheckpoint(eager=True)
+        seen, ms = checkpoint_observe(
+            seen.union(frontier),
+            F.sum(F.col("id").isin(list(tset)).cast("long")).alias("k"),
+        )
+        found = int(ms["k"] or 0)
     return seen.join(t_df, "id", "leftsemi").select("id", "dist")
 
 
