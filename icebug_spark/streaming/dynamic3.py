@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from icebug_spark.operators.matching import b_suitor_matching
 from icebug_spark.operators.traversal import multi_source_bfs
+from icebug_spark.plans.iterate import checkpoint_observe
 
 
 def _with_edge(eu: DataFrame, u: int, v: int) -> DataFrame:
@@ -387,7 +388,8 @@ def dyn_sssp_update(
             .groupBy("id")
             .agg(F.min("nd").alias("nd"))
         )
-        cur = (
+        # changed-count rides the checkpoint job (observed metric)
+        cur, m = checkpoint_observe(
             cur.select("id", "dist")
             .join(relaxed, "id", "full_outer")
             .select(
@@ -399,10 +401,10 @@ def dyn_sssp_update(
                     F.col("dist").isNull()
                     | (F.coalesce("nd", inf) < F.col("dist") - F.lit(1e-12))
                 ).alias("changed"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            F.sum(F.col("changed").cast("long")).alias("nch"),
         )
-        if cur.where(F.col("changed")).limit(1).count() == 0:
+        if int(m["nch"] or 0) == 0:
             break
     return cur.select("id", "dist")
 
