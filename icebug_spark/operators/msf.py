@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from icebug_spark.plans.iterate import mirror
+from icebug_spark.plans.iterate import checkpoint_observe, mirror
 
 
 def boruvka_msf(
@@ -49,13 +49,15 @@ def boruvka_msf(
     n = comp.count()  # sizes the mirror() hints on the label joins
     forest = None
     for _ in range(max_rounds):
-        labeled = (
+        # cross-component-edge count rides the checkpoint (observed)
+        labeled, ml = checkpoint_observe(
             # node-bounded labels move, the edge table stays in place
             e.join(mirror(comp.select(F.col("id").alias("u"), F.col("comp").alias("cu")), n), "u")
             .join(mirror(comp.select(F.col("id").alias("v"), F.col("comp").alias("cv")), n), "v")
-            .where(F.col("cu") != F.col("cv"))
-        ).localCheckpoint(eager=True)
-        if labeled.limit(1).count() == 0:
+            .where(F.col("cu") != F.col("cv")),
+            F.count(F.lit(1)).alias("n"),
+        )
+        if int(ml["n"] or 0) == 0:
             break
         # min outgoing edge per component (both directions), deterministic
         # tie-break by (w, u, v)
@@ -92,16 +94,17 @@ def boruvka_msf(
             msgs = merge.join(lbl.withColumnRenamed("id", "a"), "a").select(
                 F.col("b").alias("id"), "lbl"
             )
-            new = (
+            # new label sum rides the checkpoint (observed metric)
+            new, mm = checkpoint_observe(
                 lbl.select("id", "lbl")
                 .union(msgs)
                 .groupBy("id")
-                .agg(F.min("lbl").alias("lbl"))
-                .localCheckpoint(eager=True)
+                .agg(F.min("lbl").alias("lbl")),
+                F.sum("lbl").alias("s"),
             )
             if s_prev is None:
                 s_prev = lbl.agg(F.sum("lbl")).collect()[0][0]
-            s_new = new.agg(F.sum("lbl")).collect()[0][0]
+            s_new = mm["s"]
             lbl = new
             if s_prev == s_new:
                 break
