@@ -24,7 +24,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from icebug_spark.plans.iterate import mirror, pin
+from icebug_spark.plans.iterate import mirror, pin, pin_observe
 
 
 def _sym(edges_undirected: DataFrame) -> DataFrame:
@@ -121,24 +121,23 @@ def conjugate_gradient(
     # — CG then "converges" on the principal submatrix and returns
     # x = alpha·D⁻¹b, not L⁺b. x₀ = 0, r₀ = b, p₀ = z₀ = D⁻¹·r₀.
     bm = mirror(b.select("id", F.col("x").alias("bx")), n)
-    state = pin(
+    # ‖b‖² for the relative stopping test (r₀ = b) rides the initial pin
+    state, m0 = pin_observe(
         deg.join(bm, "id", "left").select(
             "id",
             "deg",
             F.lit(0.0).alias("x"),
             F.coalesce("bx", F.lit(0.0)).alias("r"),
             (F.coalesce("bx", F.lit(0.0)) / F.col("deg")).alias("p"),
-        )
+        ),
+        F.sum(F.col("r") * F.col("r")).alias("bb"),
     )
-    # ‖b‖² for the relative stopping test (r₀ = b)
-    bb = state.agg(F.sum(F.col("r") * F.col("r"))).collect()[0][0]
-    b_norm = math.sqrt(max(bb or 0.0, 0.0)) or 1.0
+    b_norm = math.sqrt(max(m0["bb"] or 0.0, 0.0)) or 1.0
 
     for _ in range(max_iter):
         lp = laplacian_mxv(
             eu, deg, state.select("id", F.col("p").alias("x")), n
         ).withColumnRenamed("x", "lp")
-        st = state.join(mirror(lp, n), "id", "left").na.fill({"lp": 0.0})
         # every scalar the step needs, MEASURED from the materialized
         # state in one aggregate: rr0/rz0 are the exact ‖r‖² and r·z of
         # the CURRENT iterate (z = r/deg), so the stopping test and α
@@ -149,36 +148,40 @@ def conjugate_gradient(
         # (r⁺ = r − α·Lp distributes over the pre-update sums), and the
         # next iteration re-measures it fresh, so that error is
         # one-step, not compounding.
-        plp, rlp, lplp, rr0, rz0, rdlp, lpdlp = st.agg(
-            F.sum(F.col("p") * F.col("lp")),
-            F.sum(F.col("r") * F.col("lp")),
-            F.sum(F.col("lp") * F.col("lp")),
-            F.sum(F.col("r") * F.col("r")),
-            F.sum(F.col("r") * F.col("r") / F.col("deg")),
-            F.sum(F.col("r") * F.col("lp") / F.col("deg")),
-            F.sum(F.col("lp") * F.col("lp") / F.col("deg")),
-        ).collect()[0]
+        # The aggregate rides the (joined) state's pinning action — ONE
+        # Spark job per CG step; the α/β state update is then a LAZY
+        # projection over the pinned frame, so the next step's MxV is
+        # the next action (was: separate aggregate job + pin job).
+        st, m = pin_observe(
+            state.join(mirror(lp, n), "id", "left").na.fill({"lp": 0.0}),
+            F.sum(F.col("p") * F.col("lp")).alias("plp"),
+            F.sum(F.col("r") * F.col("r")).alias("rr0"),
+            F.sum(F.col("r") * F.col("r") / F.col("deg")).alias("rz0"),
+            F.sum(F.col("r") * F.col("lp") / F.col("deg")).alias("rdlp"),
+            F.sum(F.col("lp") * F.col("lp") / F.col("deg")).alias("lpdlp"),
+        )
+        plp, rr0, rz0 = m["plp"], m["rr0"], m["rz0"]
         if math.sqrt(max(rr0 or 0.0, 0.0)) / b_norm < tol:
+            state = st
             break
         if plp is None or abs(plp) < 1e-30:
+            state = st
             break
         rz0 = rz0 or 0.0
         alpha = rz0 / plp
         rz_new = (
             rz0
-            - 2.0 * alpha * (rdlp or 0.0)
-            + alpha * alpha * (lpdlp or 0.0)
+            - 2.0 * alpha * (m["rdlp"] or 0.0)
+            + alpha * alpha * (m["lpdlp"] or 0.0)
         )
         beta = (rz_new / rz0) if rz0 else 0.0
         rnew = F.col("r") - F.lit(alpha) * F.col("lp")
-        state = pin(
-            st.select(
-                "id",
-                "deg",
-                (F.col("x") + F.lit(alpha) * F.col("p")).alias("x"),
-                rnew.alias("r"),
-                (rnew / F.col("deg") + F.lit(beta) * F.col("p")).alias("p"),
-            )
+        state = st.select(
+            "id",
+            "deg",
+            (F.col("x") + F.lit(alpha) * F.col("p")).alias("x"),
+            rnew.alias("r"),
+            (rnew / F.col("deg") + F.lit(beta) * F.col("p")).alias("p"),
         )
 
     # pin to mean zero (nullspace of L is the constant vector) — lazy

@@ -61,7 +61,7 @@ from pyspark.sql import functions as F
 
 from icebug_spark.operators.matching import local_max_matching
 from icebug_spark.operators.numerics import _axpy, _dot, _sym, laplacian_mxv
-from icebug_spark.plans.iterate import mirror, pin
+from icebug_spark.plans.iterate import mirror, pin, pin_observe
 
 # Stage-boundary truncation with stats reset — see ``plans.iterate.pin``
 # for the full rationale (the round-4 regression: inherited-stats BigInt
@@ -805,23 +805,28 @@ def lamg_solve(
         lp = laplacian_mxv(
             eu, deg, state.select("id", F.col("p").alias("x")), n_rows
         ).withColumnRenamed("x", "lp")
-        st = state.join(mirror(lp, n_rows), "id", "left").na.fill({"lp": 0.0})
         # ONE fused aggregate yields α AND the post-update residual norm
         # algebraically: r⁺ = r − α·Lp ⇒ ‖r⁺‖² = r·r − 2α·r·Lp + α²·Lp·Lp
-        # — the convergence check costs no second job.
-        plp, rlp, lplp, rr0 = st.agg(
-            F.sum(F.col("p") * F.col("lp")),
-            F.sum(F.col("r") * F.col("lp")),
-            F.sum(F.col("lp") * F.col("lp")),
-            F.sum(F.col("r") * F.col("r")),
-        ).collect()[0]
+        # — the convergence check costs no second job. The aggregate
+        # rides the join's pinning action (pin_observe), so the MxV join
+        # materializes ONCE per cycle (it used to run twice: once under
+        # the aggregate, once under the pin) and the α update is a lazy
+        # projection over the pinned frame.
+        st, m = pin_observe(
+            state.join(mirror(lp, n_rows), "id", "left").na.fill({"lp": 0.0}),
+            F.sum(F.col("p") * F.col("lp")).alias("plp"),
+            F.sum(F.col("r") * F.col("lp")).alias("rlp"),
+            F.sum(F.col("lp") * F.col("lp")).alias("lplp"),
+            F.sum(F.col("r") * F.col("r")).alias("rr0"),
+        )
+        plp = m["plp"]
         if plp is None or abs(plp) < 1e-300:
             break
         alpha = rz / plp
         rr = (
-            (rr0 or 0.0)
-            - 2.0 * alpha * (rlp or 0.0)
-            + alpha * alpha * (lplp or 0.0)
+            (m["rr0"] or 0.0)
+            - 2.0 * alpha * (m["rlp"] or 0.0)
+            + alpha * alpha * (m["lplp"] or 0.0)
         )
         st = st.select(
             "id",
@@ -829,21 +834,22 @@ def lamg_solve(
             (F.col("r") - F.lit(alpha) * F.col("lp")).alias("r"),
             "p",
         )
-        st = _pin(st)
         if math.sqrt(max(rr, 0.0)) / b_norm < tol:
             state = st
             break
         z = _precond(st.select("id", F.col("r").alias("x")))
-        st2 = st.join(
-            mirror(z.withColumnRenamed("x", "z"), n_rows), "id", "left"
-        ).na.fill({"z": 0.0})
-        rz_new = st2.agg(F.sum(F.col("r") * F.col("z"))).collect()[0][0] or 0.0
+        # rz⁺ rides the z-join's pinning action; the β update is lazy
+        st2, m2 = pin_observe(
+            st.join(
+                mirror(z.withColumnRenamed("x", "z"), n_rows), "id", "left"
+            ).na.fill({"z": 0.0}),
+            F.sum(F.col("r") * F.col("z")).alias("rz"),
+        )
+        rz_new = m2["rz"] or 0.0
         beta = rz_new / rz if rz else 0.0
         rz = rz_new
-        state = _pin(
-            st2.select(
-                "id", "x", "r", (F.col("z") + F.lit(beta) * F.col("p")).alias("p")
-            )
+        state = st2.select(
+            "id", "x", "r", (F.col("z") + F.lit(beta) * F.col("p")).alias("p")
         )
     x = state.select("id", "x")
     # exact back-substitution through the elimination stages, in reverse

@@ -153,6 +153,18 @@ def checkpoint_observe(df: DataFrame, *aggs) -> tuple[DataFrame, dict]:
     return cp, obs.get
 
 
+def pin_observe(df: DataFrame, *aggs) -> tuple[DataFrame, dict]:
+    """``pin`` (stats-resetting eager localCheckpoint) with aggregates
+    observed during the pinning action — the solver-loop variant of
+    ``checkpoint_observe``: one Spark job yields both the materialized
+    stage state and every scalar the driver needs to build the next
+    stage's plan (α/β literals, stopping residuals)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return pin(df.observe(obs, *aggs)), obs.get
+
+
 def iterate(
     state: DataFrame,
     step: Callable[[DataFrame, int], DataFrame],
