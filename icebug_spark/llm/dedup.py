@@ -333,3 +333,218 @@ def exact_duplicate_pairs(documents: DataFrame) -> DataFrame:
         .where(F.col("doc_id") != F.col("a"))
         .select("a", F.col("doc_id").alias("b"))
     )
+
+
+def _kgram_starts(documents: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, gram): every token k-gram occurrence of the
+    normalized text with its 0-based start position. Same lead-window
+    stitch as :func:`shingles` (see its docstring for why the inline
+    ``transform(sequence(...))`` alternative is quadratic), but keeps
+    positions and does NOT de-duplicate — ExactSubstr needs every
+    occurrence."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", F.posexplode(_norm_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    return (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].isNotNull().alias("full"),
+        )
+        .where(F.col("full"))
+        .select("doc_id", "pos", "gram")
+    )
+
+
+def _covered_positions(documents: DataFrame, k: int, min_count: int) -> DataFrame:
+    """(doc_id, cpos): distinct token positions covered by at least one
+    duplicated k-gram (a k-gram occurring ≥ ``min_count`` times anywhere
+    in the corpus — within-document repetition counts, matching the
+    ExactSubstr rule of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better")."""
+    grams = _kgram_starts(documents, k)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= int(min_count))
+        .select("gram")
+    )
+    # one-to-one join back (each occurrence matches its gram's single
+    # surviving group row) — no pair blow-up, unlike a doc×doc self-join
+    return (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(int(k) - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+
+
+def duplicated_span_stats(
+    documents: DataFrame, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Exact-substring duplication profile (ExactSubstr dedup, the
+    suffix-array step of Lee et al. 2022 re-expressed relationally):
+    (doc_id, n_tokens, dup_tokens, dup_frac) where ``dup_tokens`` counts
+    token positions covered by any k-gram that occurs ≥ ``min_count``
+    times corpus-wide. The reference engine has no text surface; this is
+    the training-data-pipeline extension.
+
+    Scale: the suffix array of the literature is replaced by a k-gram
+    groupBy — one shuffle keyed by gram text (hot grams are exactly the
+    groups being counted, no join amplification), one coverage expansion
+    bounded by k×occurrences, one per-doc groupBy. All shuffles are
+    fine-grained (gram / doc_id); nothing is per-source or collected."""
+    cov = _covered_positions(documents, k, min_count)
+    per = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dup_tokens"))
+    n_tokens = (
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+    )
+    return (
+        documents.select("doc_id", n_tokens.alias("n_tokens"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                    F.coalesce(F.col("dup_tokens"), F.lit(0))
+                    / F.col("n_tokens").cast("double")
+                ),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    documents: DataFrame, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """(doc_id, clean_text, n_kept, n_removed): drop every token covered
+    by a duplicated k-gram span (see :func:`duplicated_span_stats`),
+    keeping survivors in original order — the destructive half of
+    ExactSubstr dedup. Documents whose every token is covered survive
+    with empty text; blank documents survive blank.
+
+    Plan: coverage positions anti-joined against the token table, then
+    one order-restoring reassembly groupBy(doc_id) — the same
+    sort-inside-aggregate shape as :func:`mixing.remove_boilerplate`."""
+    toks = documents.select(
+        "doc_id", F.posexplode(_norm_tokens(F.col("text"))).alias("pos", "tok")
+    ).where(F.length(F.trim(F.col("tok"))) > 0)
+    cov = _covered_positions(documents, k, min_count).withColumnRenamed(
+        "cpos", "pos"
+    )
+    kept = toks.join(cov, ["doc_id", "pos"], "left_anti")
+    per = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_tokens = (
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+    )
+    return (
+        documents.select("doc_id", n_tokens.alias("n_tokens"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+def duplicated_span_stats_sql(k: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of :func:`duplicated_span_stats`."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i+1:i+{k}], ' ') AS gram
+  FROM toks, unnest(range(0, len(t) - {k - 1})) AS u(i)
+  WHERE len(t) >= {k}
+), d AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= {min_count}
+), cov AS (
+  SELECT DISTINCT g.doc_id, c.cpos
+  FROM g JOIN d USING (gram), unnest(range(g.pos, g.pos + {k})) AS c(cpos)
+), nt AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), per AS (
+  SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id
+)
+SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       ROUND(CASE WHEN nt.n_tokens = 0 THEN 0.0
+            ELSE COALESCE(per.dup_tokens, 0) / CAST(nt.n_tokens AS DOUBLE) END,
+            6) AS dup_frac
+FROM nt LEFT JOIN per USING (doc_id)
+"""
+
+
+def remove_duplicated_spans_sql(k: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of :func:`remove_duplicated_spans`."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, i AS pos, t[i+1] AS tok
+  FROM toks, unnest(range(0, len(t))) AS u(i)
+  WHERE length(trim(t[i+1])) > 0
+), g AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i+1:i+{k}], ' ') AS gram
+  FROM toks, unnest(range(0, len(t) - {k - 1})) AS u(i)
+  WHERE len(t) >= {k}
+), d AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= {min_count}
+), cov AS (
+  SELECT DISTINCT g.doc_id, c.cpos AS pos
+  FROM g JOIN d USING (gram), unnest(range(g.pos, g.pos + {k})) AS c(cpos)
+), kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tok
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+  WHERE cov.doc_id IS NULL
+), per AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), nt AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT nt.doc_id, COALESCE(per.clean_text, '') AS clean_text,
+       CAST(COALESCE(per.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(nt.n_tokens - COALESCE(per.n_kept, 0) AS BIGINT) AS n_removed
+FROM nt LEFT JOIN per USING (doc_id)
+"""

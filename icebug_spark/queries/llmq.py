@@ -689,8 +689,31 @@ def corpus_assembly_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def substring_dedup_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    # k=8, min_count=2: a token 8-gram repeated anywhere in the corpus
+    # (including within one document) marks its span as duplicated —
+    # the ExactSubstr rule of Lee et al. 2022.
+    return dedup.duplicated_span_stats(
+        table(spark, sf, "documents"), k=8, min_count=2
+    )
+
+
+def substring_dedup_removal_q(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.remove_duplicated_spans(
+        table(spark, sf, "documents"), k=8, min_count=2
+    )
+
+
 LLM = {
     "llm_dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "llm_substring_dedup": (
+        substring_dedup_stats_q,
+        dedup.duplicated_span_stats_sql(8, 2),
+    ),
+    "llm_substring_removal": (
+        substring_dedup_removal_q,
+        dedup.remove_duplicated_spans_sql(8, 2),
+    ),
     "llm_pii_scrub": (pii_scrub_q, PII_SCRUB_SQL),
     "llm_dedup_clusters": (dedup_clusters_q, DEDUP_CLUSTERS_SQL),
     "llm_text_stats": (text_stats_q, textstats.TEXT_STATS_SQL),

@@ -34,7 +34,9 @@ from icebug_spark.queries.structuralq import STRUCTURAL
 _MERGED = {**DYN, **IO, **COVER, **CENTRAL, **LLM, **EDGESCORE, **SCD, **ALGEBRAIC, **QUALITY, **DISTANCE2, **POINT, **SPARSIFY2, **STRUCTURAL, **RELATIONAL, **GRAPH, **COMMUNITY, **COMMUNITY3, **ROUND9, **ROUND10}
 
 _STALEST_DRIVER_CHECKED = [
-    # never driver-checked: the round-10 corpus-assembly additions
+    # never driver-checked: the round-10 substring-dedup + corpus-assembly
+    # additions
+    "llm_substring_dedup", "llm_substring_removal",
     "llm_mixture_weights", "llm_mixture_sample",
     "llm_pack_sequences", "llm_boilerplate_removal",
     "llm_train_test_split", "llm_corpus_assembly",

@@ -190,3 +190,51 @@ def test_scrub_pii_masks_and_counts(spark):
     s = scrub_summary(docs).collect()[0]
     assert s["total_email"] == 3 and s["total_ipv4"] == 3
     assert s["n_docs_with_pii"] == 4 and s["n_docs"] == 5
+
+
+def test_duplicated_span_stats_exactsubstr(spark):
+    from icebug_spark.llm.dedup import duplicated_span_stats
+
+    rows = [
+        # docs 10/11 share the 8-token prefix "a b c d e f g h";
+        # doc 10's tail "x1 x2" and doc 11's tail "y1 y2" are unique
+        (10, "a b c d e f g h x1 x2", "en", "s0", 21),
+        (11, "a b c d e f g h y1 y2", "en", "s0", 21),
+        # within-doc repetition: the 8-gram "r r r r r r r r" occurs
+        # 3 times inside one 10-token run of r's -> all 10 covered
+        (12, "r r r r r r r r r r", "en", "s1", 19),
+        (13, "totally unique short doc", "en", "s1", 24),
+        (14, "   ", "en", "s2", 3),  # blank
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r["doc_id"]: r for r in duplicated_span_stats(docs, k=8).collect()}
+    assert out[10]["n_tokens"] == 10 and out[10]["dup_tokens"] == 8
+    assert abs(out[10]["dup_frac"] - 0.8) < 1e-9
+    assert out[11]["dup_tokens"] == 8
+    assert out[12]["dup_tokens"] == 10  # run repetition covers everything
+    assert out[13]["dup_tokens"] == 0
+    assert out[14]["n_tokens"] == 0 and out[14]["dup_frac"] == 0.0
+
+
+def test_remove_duplicated_spans(spark):
+    from icebug_spark.llm.dedup import remove_duplicated_spans
+
+    rows = [
+        (10, "a b c d e f g h x1 x2", "en", "s0", 21),
+        (11, "a b c d e f g h y1 y2", "en", "s0", 21),
+        (12, "r r r r r r r r r r", "en", "s1", 19),
+        (13, "totally unique short doc", "en", "s1", 24),
+        (14, "   ", "en", "s2", 3),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, k=8).collect()}
+    # survivors keep original order
+    assert out[10]["clean_text"] == "x1 x2"
+    assert out[11]["clean_text"] == "y1 y2"
+    assert out[12]["clean_text"] == "" and out[12]["n_removed"] == 10
+    assert out[13]["clean_text"] == "totally unique short doc"
+    assert out[14]["clean_text"] == "" and out[14]["n_removed"] == 0
