@@ -455,3 +455,113 @@ SELECT doc_id, source, n_tokens,
                  ELSE (cum - 1) // {int(seq_len)} END AS BIGINT) AS last_seq
 FROM packed
 """
+
+
+def stratified_sample(
+    documents: DataFrame,
+    frac: float = 0.2,
+    by: tuple[str, ...] = ("source", "lang"),
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic stratified sample: within every cell of the ``by``
+    columns, keep the ``ceil(frac × cell_n)`` documents with the
+    smallest md5(salt:doc_id) — every stratum is represented at the same
+    rate regardless of its size (the balanced-subset step a pipeline
+    runs before eval-set construction or per-domain ablations).
+    → (doc_id, *by, cell_n, cell_rank) for kept documents only.
+
+    Scale: the per-cell rank is NOT a per-cell window (a hot cell would
+    be one task); it rides the global two-pass running count ordered
+    cell-major by the hash, converted to a per-cell rank by subtracting
+    each cell's broadcast start offset — the `_per_source_cumsum` trick
+    with ones instead of token counts."""
+    cols = list(by)
+    t = (
+        documents.select("doc_id", *cols)
+        .withColumn("__h", _hash_hex(salt))
+        .withColumn("cell_rank", F.lit(1).cast("long"))
+    )
+    g = running_sums(t, [*cols, "__h"], ["cell_rank"])
+    offs = g.groupBy(*cols).agg(
+        F.min(F.col("cell_rank") - 1).alias("__off"),
+        F.count(F.lit(1)).alias("cell_n"),
+    )
+    return (
+        g.join(F.broadcast(offs), cols)
+        .withColumn("cell_rank", F.col("cell_rank") - F.col("__off"))
+        .where(F.col("cell_rank") <= F.ceil(F.lit(float(frac)) * F.col("cell_n")))
+        .select("doc_id", *cols, "cell_n", "cell_rank")
+    )
+
+
+def stratified_sample_sql(
+    frac: float = 0.2,
+    by: tuple[str, ...] = ("source", "lang"),
+    salt: str = "strat",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample`."""
+    cols = ", ".join(by)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {cols},
+         md5('{salt}:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), r AS (
+  SELECT doc_id, {cols},
+         ROW_NUMBER() OVER (PARTITION BY {cols} ORDER BY h) AS cell_rank,
+         COUNT(*) OVER (PARTITION BY {cols}) AS cell_n
+  FROM t
+)
+SELECT doc_id, {cols}, CAST(cell_n AS BIGINT) AS cell_n,
+       CAST(cell_rank AS BIGINT) AS cell_rank
+FROM r WHERE cell_rank <= CEIL({frac!r} * cell_n)
+"""
+
+
+def curriculum_stages(documents: DataFrame, n_stages: int = 4) -> DataFrame:
+    """(doc_id, quality, rank, stage): order the corpus by ascending
+    quality score (ties broken by doc_id) and cut it into ``n_stages``
+    equal-width curriculum stages — stage 0 = lowest-quality quartile,
+    last stage = highest. A curriculum schedule trains on progressively
+    higher-quality (or the reverse) data; the stage column is the shard
+    key a pipeline materializes by.
+
+    Scale: the global rank is the two-pass zipindex running count (no
+    single-partition ORDER BY window); the corpus size reaches the
+    expression as a broadcast 1-row join. Stage boundaries use integer
+    division — `(rank-1)·n_stages div N` — so both engines agree
+    bit-for-bit with no float floor."""
+    from icebug_spark.llm.textstats import quality_score
+
+    q = quality_score(documents).select("doc_id", "quality")
+    t = q.withColumn("rank", F.lit(1).cast("long"))
+    g = running_sums(t, ["quality", "doc_id"], ["rank"])
+    n = g.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        g.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "quality",
+            "rank",
+            F.expr(f"(rank - 1) * {int(n_stages)} div __n")
+            .cast("long")
+            .alias("stage"),
+        )
+    )
+
+
+def curriculum_stages_sql(n_stages: int = 4, quality_sql_core: str = "") -> str:
+    """DuckDB twin of :func:`curriculum_stages`; ``quality_sql_core``
+    must be a CTE body yielding (doc_id, quality) — the caller passes
+    the quality-score oracle so the two stay textually tied."""
+    return f"""
+WITH {quality_sql_core}, r AS (
+  SELECT doc_id, quality,
+         ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS rank,
+         COUNT(*) OVER () AS n
+  FROM qscore
+)
+SELECT doc_id, quality, CAST(rank AS BIGINT) AS rank,
+       CAST((rank - 1) * {int(n_stages)} // n AS BIGINT) AS stage
+FROM r
+"""

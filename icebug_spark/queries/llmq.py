@@ -325,8 +325,10 @@ def quality_score_q(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.quality_score(table(spark, sf, "documents"))
 
 
-QUALITY_SCORE_SQL = """
-WITH s AS (
+# The (doc_id, quality) CTE chain ending in `qscore` — shared by the
+# quality-score oracle and the curriculum-stages oracle so the two stay
+# textually tied.
+_QUALITY_CTE = """s AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
@@ -339,7 +341,7 @@ WITH s AS (
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)
              AS avg_token_len
   FROM documents
-), q AS (
+), qscore AS (
   SELECT doc_id,
          ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0)
              + 0.2 * (1.0 - LEAST(punct_ratio * 5.0, 1.0))
@@ -347,8 +349,11 @@ WITH s AS (
              + 0.2 * (CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0
                            THEN 1.0 ELSE 0.25 END), 6) AS quality
   FROM s
-)
-SELECT doc_id, quality, quality >= 0.5 AS keep FROM q
+)"""
+
+QUALITY_SCORE_SQL = f"""
+WITH {_QUALITY_CTE}
+SELECT doc_id, quality, quality >= 0.5 AS keep FROM qscore
 """
 
 
@@ -689,6 +694,16 @@ def corpus_assembly_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def stratified_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    return mixing.stratified_sample(
+        table(spark, sf, "documents"), frac=0.2, by=("source", "lang")
+    )
+
+
+def curriculum_stages_q(spark: SparkSession, sf: str) -> DataFrame:
+    return mixing.curriculum_stages(table(spark, sf, "documents"), n_stages=4)
+
+
 def substring_dedup_stats_q(spark: SparkSession, sf: str) -> DataFrame:
     # k=8, min_count=2: a token 8-gram repeated anywhere in the corpus
     # (including within one document) marks its span as duplicated —
@@ -753,5 +768,13 @@ LLM = {
     "llm_corpus_assembly": (
         corpus_assembly_q,
         mixing.corpus_assembly_sql(_MIX_BUDGETS, 256),
+    ),
+    "llm_stratified_sample": (
+        stratified_sample_q,
+        mixing.stratified_sample_sql(0.2, ("source", "lang")),
+    ),
+    "llm_curriculum_stages": (
+        curriculum_stages_q,
+        mixing.curriculum_stages_sql(4, _QUALITY_CTE),
     ),
 }

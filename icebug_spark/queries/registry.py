@@ -37,6 +37,7 @@ _STALEST_DRIVER_CHECKED = [
     # never driver-checked: the round-10 substring-dedup + corpus-assembly
     # additions
     "llm_substring_dedup", "llm_substring_removal",
+    "llm_stratified_sample", "llm_curriculum_stages",
     "llm_mixture_weights", "llm_mixture_sample",
     "llm_pack_sequences", "llm_boilerplate_removal",
     "llm_train_test_split", "llm_corpus_assembly",

@@ -232,3 +232,47 @@ def test_corpus_assembly_stages_act(spark):
                    for w in want] or len(got) == len(want)
     for g, w in zip(got, want):
         assert all(a == b for a, b in zip(g, w))
+
+
+def test_stratified_sample_per_cell_rate(spark):
+    from icebug_spark.llm.mixing import stratified_sample
+
+    rows = [
+        # 10 docs in (a, en), 4 in (a, de), 2 in (b, en)
+        *[(i, f"w{i} text", "en", "a", 10) for i in range(10)],
+        *[(i, f"w{i} text", "de", "a", 10) for i in range(10, 14)],
+        *[(i, f"w{i} text", "en", "b", 10) for i in range(14, 16)],
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = stratified_sample(docs, frac=0.25).collect()
+    cells = {}
+    for r in out:
+        cells.setdefault((r["source"], r["lang"]), []).append(r)
+    # ceil(0.25 * n) per cell: 3, 1, 1
+    assert len(cells[("a", "en")]) == 3
+    assert len(cells[("a", "de")]) == 1
+    assert len(cells[("b", "en")]) == 1
+    # ranks are 1..k within each cell and cell_n is the stratum size
+    assert sorted(r["cell_rank"] for r in cells[("a", "en")]) == [1, 2, 3]
+    assert all(r["cell_n"] == 10 for r in cells[("a", "en")])
+    # deterministic across runs
+    again = stratified_sample(docs, frac=0.25).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_curriculum_stages_equal_width(spark):
+    from icebug_spark.llm.mixing import curriculum_stages
+
+    # quality is monotone in n_tokens here (all-alpha text, no digits)
+    rows = [
+        (i, " ".join(["word"] * (2 + 3 * i)), "en", "a", 20) for i in range(6)
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r["doc_id"]: r for r in curriculum_stages(docs, n_stages=3).collect()}
+    # ranks follow quality order = doc_id order; 6 docs / 3 stages = 2 each
+    assert [out[i]["rank"] for i in range(6)] == [1, 2, 3, 4, 5, 6]
+    assert [out[i]["stage"] for i in range(6)] == [0, 0, 1, 1, 2, 2]
