@@ -1,0 +1,174 @@
+"""BPE tokenizer-vocabulary induction over the ``documents`` table.
+
+The reference engine has no text surface; this is the
+training-data-pipeline extension (the tokenizer-training step that sits
+between corpus assembly and the training job). The algorithm is the
+original byte-pair-encoding merge loop of Sennrich et al. 2016: count
+adjacent symbol pairs over the word-frequency table, merge the most
+frequent pair everywhere (greedy left-to-right within each word), repeat.
+
+Determinism: pair selection is (max count, then lexicographically
+smallest (lhs, rhs)) — no hash or thread order anywhere — so the merge
+sequence is a pure function of the corpus and both engines reproduce it
+exactly. The DuckDB oracle (:func:`bpe_learn_sql`) replays the SAME
+n-step loop as a generated chain of CTEs: each step computes the best
+pair with a window + LIMIT 1 and applies the greedy merge with the
+run-parity rule (overlapping occurrences exist only for lhs == rhs runs;
+greedy keeps the even offsets within each run of consecutive starts).
+
+Scale: the loop state is the (word, freq, symbols) table — vocabulary-
+sized, not corpus-sized — after ONE corpus-wide word-count shuffle. Each
+merge round is one pair-count aggregation (groupBy pair, fine-grained
+keys) + one argmax pull of a single row + one symbol-array rewrite with
+``F.aggregate`` (per-row JVM fold, no shuffle), pinned per round so the
+plan stays flat. n_merges is a small constant (a real run does ~30k
+merges on a word table that fits one executor each round — the per-round
+cost is the pair aggregation, which distributes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from icebug_spark.llm.dedup import _norm_tokens
+from icebug_spark.plans.iterate import pin
+
+
+def word_table(documents: DataFrame) -> DataFrame:
+    """(word, freq): corpus word-occurrence counts over normalized
+    tokens — the input alphabet of BPE training."""
+    toks = documents.select(
+        F.explode(_norm_tokens(F.col("text"))).alias("word")
+    ).where(F.length("word") > 0)
+    return toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _apply_merge(syms, lhs: str, rhs: str):
+    """Greedy left-to-right merge of adjacent (lhs, rhs) inside a symbol
+    array, as a JVM-side fold: a merged element is strictly longer than
+    ``lhs`` so it can never re-match as the left of the following pair
+    within the same pass — the fold is exactly the reference scan."""
+    merged = lhs + rhs
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(lhs))
+            & (x == F.lit(rhs)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_learn(
+    documents: DataFrame, n_merges: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus →
+    (merge_rank, lhs, rhs, merged, pair_count), merge_rank starting at 1
+    in learned order. Stops early when no adjacent pair reaches
+    ``min_count`` corpus occurrences."""
+    spark = documents.sparkSession
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    state = pin(word_table(documents).select("word", "freq", chars.alias("syms")))
+    out: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, int(n_merges) + 1):
+        pairs = state.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                )
+            ).alias("p"),
+        ).select(
+            F.col("p.0").alias("lhs"), F.col("p.1").alias("rhs"), "freq"
+        )
+        best = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("freq").alias("cnt"))
+            .where(F.col("cnt") >= int(min_count))
+            .orderBy(F.col("cnt").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
+        out.append((rank, lhs, rhs, lhs + rhs, cnt))
+        state = pin(
+            state.select(
+                "word", "freq", _apply_merge(F.col("syms"), lhs, rhs).alias("syms")
+            )
+        )
+    return spark.createDataFrame(
+        out, "merge_rank INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT"
+    )
+
+
+def bpe_learn_sql(n_merges: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of :func:`bpe_learn`: the n-step merge loop unrolled
+    into a generated CTE chain (best-pair argmax + run-parity greedy
+    merge per step). An exhausted step yields an empty ``best{i}`` CTE,
+    every later step passes the symbol table through unchanged, and the
+    final UNION simply lacks those ranks — the same early stop as the
+    Spark loop."""
+    ctes = [
+        """w AS MATERIALIZED (
+  SELECT tok AS word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0 GROUP BY 1
+), p0 AS MATERIALIZED (
+  SELECT word, freq, i AS pos, word[i+1] AS sym
+  FROM w, unnest(range(0, length(word))) AS u(i)
+)"""
+    ]
+    for i in range(1, int(n_merges) + 1):
+        prev = f"p{i - 1}"
+        ctes.append(
+            f"""pair{i} AS MATERIALIZED (
+  SELECT word, freq, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM {prev}
+), best{i} AS MATERIALIZED (
+  SELECT sym AS lhs, nxt AS rhs, SUM(freq) AS cnt
+  FROM pair{i} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2 HAVING SUM(freq) >= {int(min_count)}
+  ORDER BY cnt DESC, lhs, rhs LIMIT 1
+), occ{i} AS MATERIALIZED (
+  SELECT p.word, p.pos
+  FROM pair{i} p JOIN best{i} b ON p.sym = b.lhs AND p.nxt = b.rhs
+), mg{i} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos, ROW_NUMBER() OVER (PARTITION BY word, cid ORDER BY pos) AS rn
+    FROM (
+      SELECT word, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS cid
+      FROM occ{i}
+    )
+  ) WHERE rn % 2 = 1
+), p{i} AS MATERIALIZED (
+  SELECT s.word, s.freq,
+         ROW_NUMBER() OVER (PARTITION BY s.word ORDER BY s.pos) - 1 AS pos,
+         CASE WHEN m.pos IS NOT NULL
+              THEN s.sym || (SELECT rhs FROM best{i}) ELSE s.sym END AS sym
+  FROM {prev} s
+  LEFT JOIN mg{i} m ON s.word = m.word AND s.pos = m.pos
+  LEFT JOIN mg{i} m2 ON s.word = m2.word AND s.pos = m2.pos + 1
+  WHERE m2.pos IS NULL
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS merge_rank, lhs, rhs, lhs || rhs AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(1, int(n_merges) + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icebug_spark.catalog import table
-from icebug_spark.llm import dedup, mixing, multimodal, similarity, textstats
+from icebug_spark.llm import dedup, mixing, multimodal, similarity, textstats, tokenize
 
 
 def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -694,6 +694,10 @@ def corpus_assembly_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def bpe_merges_q(spark: SparkSession, sf: str) -> DataFrame:
+    return tokenize.bpe_learn(table(spark, sf, "documents"), n_merges=8)
+
+
 def stratified_sample_q(spark: SparkSession, sf: str) -> DataFrame:
     return mixing.stratified_sample(
         table(spark, sf, "documents"), frac=0.2, by=("source", "lang")
@@ -777,4 +781,8 @@ LLM = {
         curriculum_stages_q,
         mixing.curriculum_stages_sql(4, _QUALITY_CTE),
     ),
+    # tokenizer training: the merge sequence is deterministic (max count,
+    # lexicographic tie-break), so the oracle replays the full 8-step
+    # loop as a generated materialized-CTE chain
+    "llm_bpe_merges": (bpe_merges_q, tokenize.bpe_learn_sql(8)),
 }
