@@ -64,19 +64,21 @@ def _apply_merge(syms, lhs: str, rhs: str):
     )
 
 
-def bpe_learn(
-    documents: DataFrame, n_merges: int = 8, min_count: int = 2
-) -> DataFrame:
-    """Learn the first ``n_merges`` BPE merges from the corpus →
-    (merge_rank, lhs, rhs, merged, pair_count), merge_rank starting at 1
-    in learned order. Stops early when no adjacent pair reaches
-    ``min_count`` corpus occurrences."""
-    spark = documents.sparkSession
-    chars = F.transform(
+def _char_syms():
+    return F.transform(
         F.sequence(F.lit(1), F.length("word")),
         lambda i: F.col("word").substr(i, F.lit(1)),
     )
-    state = pin(word_table(documents).select("word", "freq", chars.alias("syms")))
+
+
+def _bpe_merge_list(
+    documents: DataFrame, n_merges: int, min_count: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The driver merge loop shared by :func:`bpe_learn` and
+    :func:`bpe_segment_counts`: → [(rank, lhs, rhs, merged, count)]."""
+    state = pin(
+        word_table(documents).select("word", "freq", _char_syms().alias("syms"))
+    )
     out: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, int(n_merges) + 1):
         pairs = state.select(
@@ -107,18 +109,78 @@ def bpe_learn(
                 "word", "freq", _apply_merge(F.col("syms"), lhs, rhs).alias("syms")
             )
         )
-    return spark.createDataFrame(
+    return out
+
+
+def bpe_learn(
+    documents: DataFrame, n_merges: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus →
+    (merge_rank, lhs, rhs, merged, pair_count), merge_rank starting at 1
+    in learned order. Stops early when no adjacent pair reaches
+    ``min_count`` corpus occurrences."""
+    out = _bpe_merge_list(documents, int(n_merges), int(min_count))
+    return documents.sparkSession.createDataFrame(
         out, "merge_rank INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT"
     )
 
 
-def bpe_learn_sql(n_merges: int = 8, min_count: int = 2) -> str:
-    """DuckDB twin of :func:`bpe_learn`: the n-step merge loop unrolled
-    into a generated CTE chain (best-pair argmax + run-parity greedy
-    merge per step). An exhausted step yields an empty ``best{i}`` CTE,
-    every later step passes the symbol table through unchanged, and the
-    final UNION simply lacks those ranks — the same early stop as the
-    Spark loop."""
+def bpe_segment_counts(
+    documents: DataFrame, n_merges: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Tokenize the corpus with its own learned BPE vocabulary →
+    (doc_id, n_tokens, n_subwords, compression): per-document subword
+    counts after applying the first ``n_merges`` merges, plus the
+    chars-per-subword compression the vocabulary achieves — the
+    token-budget accounting step a pipeline runs before packing.
+
+    Scale: the learned merges (a tiny driver list) are re-applied to the
+    word TYPE table as one composed column expression (no per-merge job),
+    then each document's tokens join the word→subword-count map on the
+    fine-grained word key; blank documents survive with zero counts."""
+    merges = _bpe_merge_list(documents, int(n_merges), int(min_count))
+    syms = _char_syms()
+    for _, lhs, rhs, _m, _c in merges:
+        syms = _apply_merge(syms, lhs, rhs)
+    wmap = word_table(documents).select(
+        "word",
+        F.size(syms).alias("n_sym"),
+        F.length("word").alias("n_chars_w"),
+    )
+    toks = documents.select(
+        "doc_id", F.explode(_norm_tokens(F.col("text"))).alias("word")
+    ).where(F.length("word") > 0)
+    per = (
+        toks.join(wmap, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_sym").alias("n_subwords"),
+            F.sum("n_chars_w").alias("n_chars_words"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_subwords", F.lit(0)).cast("long").alias("n_subwords"),
+            F.round(
+                F.when(F.coalesce("n_subwords", F.lit(0)) == 0, F.lit(0.0)).otherwise(
+                    F.col("n_chars_words") / F.col("n_subwords").cast("double")
+                ),
+                6,
+            ).alias("compression"),
+        )
+    )
+
+
+def _bpe_chain_sql(n_merges: int, min_count: int) -> str:
+    """The shared n-step merge-loop CTE chain (ending in ``p{n}``, the
+    fully merged symbol table) used by both oracles below. Every CTE is
+    MATERIALIZED — inlined CTEs would expand the self-referencing chain
+    into exponentially many base-table scans."""
     ctes = [
         """w AS MATERIALIZED (
   SELECT tok AS word, COUNT(*) AS freq FROM (
@@ -166,9 +228,51 @@ def bpe_learn_sql(n_merges: int = 8, min_count: int = 2) -> str:
   WHERE m2.pos IS NULL
 )"""
         )
+    return "WITH " + ",\n".join(ctes)
+
+
+def bpe_learn_sql(n_merges: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of :func:`bpe_learn`: the n-step merge loop unrolled
+    into a generated CTE chain (best-pair argmax + run-parity greedy
+    merge per step). An exhausted step yields an empty ``best{i}`` CTE,
+    every later step passes the symbol table through unchanged, and the
+    final UNION simply lacks those ranks — the same early stop as the
+    Spark loop."""
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS INT) AS merge_rank, lhs, rhs, lhs || rhs AS merged, "
         f"CAST(cnt AS BIGINT) AS pair_count FROM best{i}"
         for i in range(1, int(n_merges) + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + unions
+    return _bpe_chain_sql(int(n_merges), int(min_count)) + "\n" + unions
+
+
+def bpe_segment_counts_sql(n_merges: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of :func:`bpe_segment_counts`: the same merge chain,
+    then subword counts per word type joined back to document tokens."""
+    n = int(n_merges)
+    return (
+        _bpe_chain_sql(n, int(min_count))
+        + f""", wsub AS MATERIALIZED (
+  SELECT word, COUNT(*) AS n_sym, length(word) AS n_chars_w
+  FROM p{n} GROUP BY word, length(word)
+), dt AS (
+  SELECT doc_id,
+         unnest(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+  FROM documents
+), per AS (
+  SELECT dt.doc_id, COUNT(*) AS n_tokens, SUM(wsub.n_sym) AS n_subwords,
+         SUM(wsub.n_chars_w) AS n_chars_words
+  FROM dt JOIN wsub USING (word)
+  WHERE length(dt.word) > 0
+  GROUP BY dt.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(per.n_subwords, 0) AS BIGINT) AS n_subwords,
+       ROUND(CASE WHEN COALESCE(per.n_subwords, 0) = 0 THEN 0.0
+            ELSE per.n_chars_words / CAST(per.n_subwords AS DOUBLE) END,
+            6) AS compression
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+    )

@@ -698,6 +698,10 @@ def bpe_merges_q(spark: SparkSession, sf: str) -> DataFrame:
     return tokenize.bpe_learn(table(spark, sf, "documents"), n_merges=8)
 
 
+def bpe_token_counts_q(spark: SparkSession, sf: str) -> DataFrame:
+    return tokenize.bpe_segment_counts(table(spark, sf, "documents"), n_merges=8)
+
+
 def stratified_sample_q(spark: SparkSession, sf: str) -> DataFrame:
     return mixing.stratified_sample(
         table(spark, sf, "documents"), frac=0.2, by=("source", "lang")
@@ -785,4 +789,5 @@ LLM = {
     # lexicographic tie-break), so the oracle replays the full 8-step
     # loop as a generated materialized-CTE chain
     "llm_bpe_merges": (bpe_merges_q, tokenize.bpe_learn_sql(8)),
+    "llm_bpe_token_counts": (bpe_token_counts_q, tokenize.bpe_segment_counts_sql(8)),
 }

@@ -95,3 +95,22 @@ def test_bpe_sql_oracle_matches(spark):
     con.register("documents", docs.toPandas())
     b = sorted(map(tuple, con.sql(bpe_learn_sql(5)).fetchall()))
     assert a == b
+
+
+def test_bpe_segment_counts(spark):
+    from icebug_spark.llm.tokenize import bpe_segment_counts
+
+    # merges learned on this corpus: (a,a) then (aa,a) etc.; doc 1 is
+    # blank and must survive with zeros
+    texts = ["aaaa aaaa aaaa bb bb", "   "]
+    out = {
+        r["doc_id"]: r
+        for r in bpe_segment_counts(_docs(spark, texts), n_merges=2).collect()
+    }
+    # merge1 (a,a) cnt=9, merge2 (aa,aa) cnt=3 -> 'aaaa'=[aaaa] 1 subword,
+    # 'bb'=[b,b] 2 subwords
+    assert out[0]["n_tokens"] == 5
+    assert out[0]["n_subwords"] == 3 * 1 + 2 * 2
+    # compression = chars-in-words / subwords = (12 + 4) / 7
+    assert abs(out[0]["compression"] - 16 / 7) < 1e-5
+    assert out[1]["n_tokens"] == 0 and out[1]["compression"] == 0.0
