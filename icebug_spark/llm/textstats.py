@@ -222,3 +222,90 @@ def benchmark_contamination(documents: DataFrame, benchmark: DataFrame,
         .agg(F.countDistinct("shingle").alias("n_shared"))
         .where(F.col("n_shared") >= min_overlap)
     )
+
+
+def lm_perplexity(documents: DataFrame, k: float = 0.5) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll): corpus-trained bigram language-model
+    score per document — the perplexity-filter step of CCNet/ RefinedWeb
+    style pipelines, with the LM trained on the corpus itself (no
+    external model in this container). Each document's score is the mean
+    negative log-likelihood of its adjacent token bigrams under
+    add-k smoothing: P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V) with V
+    the unigram vocabulary size. Unusually high avg_nll flags gibberish
+    and boilerplate-free noise; 0.0 for docs with fewer than 2 tokens.
+
+    Scale: bigram and left-context counts are fine-grained groupBys
+    (keys = word pairs / words); each document's bigrams join those maps
+    on the same fine-grained keys; V arrives as a broadcast 1-row join.
+    Rounded to 6 decimals so JVM and DuckDB ln() agree."""
+    from icebug_spark.llm.dedup import _norm_tokens
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", F.posexplode(_norm_tokens(F.col("text"))).alias("pos", "w1")
+    ).where(F.length("w1") > 0)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.withColumn("w2", F.lead("w1").over(w)).where(
+        F.col("w2").isNotNull()
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = toks.agg(F.countDistinct("w1").alias("v"))
+    scored = (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "nll",
+            -F.log(
+                (F.col("c12") + F.lit(float(k)))
+                / (F.col("c1") + F.lit(float(k)) * F.col("v"))
+            ),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.avg("nll").alias("avg_nll")
+    )
+    return (
+        documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(F.coalesce("avg_nll", F.lit(0.0)), 6).alias("avg_nll"),
+        )
+    )
+
+
+def lm_perplexity_sql(k: float = 0.5) -> str:
+    """DuckDB twin of :func:`lm_perplexity`."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, t[i+1] AS w1
+  FROM (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+  ), unnest(range(0, len(t))) AS u(i)
+  WHERE length(t[i+1]) > 0
+), bi AS (
+  SELECT doc_id, w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+  QUALIFY w2 IS NOT NULL
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1
+), v AS (
+  SELECT COUNT(DISTINCT w1) AS v FROM toks
+), per AS (
+  SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+         AVG(-ln((c12.c12 + {k!r}) / (c1.c1 + {k!r} * v.v))) AS avg_nll
+  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+  GROUP BY bi.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       ROUND(COALESCE(per.avg_nll, 0.0), 6) AS avg_nll
+FROM documents d LEFT JOIN per USING (doc_id)
+"""

@@ -694,6 +694,10 @@ def corpus_assembly_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def lm_perplexity_q(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.lm_perplexity(table(spark, sf, "documents"), k=0.5)
+
+
 def bpe_merges_q(spark: SparkSession, sf: str) -> DataFrame:
     return tokenize.bpe_learn(table(spark, sf, "documents"), n_merges=8)
 
@@ -790,4 +794,5 @@ LLM = {
     # loop as a generated materialized-CTE chain
     "llm_bpe_merges": (bpe_merges_q, tokenize.bpe_learn_sql(8)),
     "llm_bpe_token_counts": (bpe_token_counts_q, tokenize.bpe_segment_counts_sql(8)),
+    "llm_lm_perplexity": (lm_perplexity_q, textstats.lm_perplexity_sql(0.5)),
 }

@@ -238,3 +238,29 @@ def test_remove_duplicated_spans(spark):
     assert out[12]["clean_text"] == "" and out[12]["n_removed"] == 10
     assert out[13]["clean_text"] == "totally unique short doc"
     assert out[14]["clean_text"] == "" and out[14]["n_removed"] == 0
+
+
+def test_lm_perplexity_bigram_math(spark):
+    from math import log
+
+    from icebug_spark.llm.textstats import lm_perplexity
+
+    rows = [
+        (0, "a b a b", "en", "s0", 7),
+        (1, "a b", "en", "s0", 3),
+        (2, "z", "en", "s0", 1),   # 1 token -> no bigrams
+        (3, "  ", "en", "s0", 2),  # blank
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r["doc_id"]: r for r in lm_perplexity(docs, k=0.5).collect()}
+    # corpus bigrams: (a,b)x3, (b,a)x1; contexts: a->3, b->1; V=3 (a,b,z)
+    p_ab = (3 + 0.5) / (3 + 0.5 * 3)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 3)
+    exp0 = -(2 * log(p_ab) + log(p_ba)) / 3
+    assert out[0]["n_bigrams"] == 3
+    assert abs(out[0]["avg_nll"] - exp0) < 1e-5
+    assert abs(out[1]["avg_nll"] + log(p_ab)) < 1e-5
+    assert out[2]["n_bigrams"] == 0 and out[2]["avg_nll"] == 0.0
+    assert out[3]["n_bigrams"] == 0
