@@ -76,6 +76,8 @@ def _bpe_merge_list(
 ) -> list[tuple[int, str, str, str, int]]:
     """The driver merge loop shared by :func:`bpe_learn` and
     :func:`bpe_segment_counts`: → [(rank, lhs, rhs, merged, count)]."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     state = pin(
         word_table(documents).select("word", "freq", _char_syms().alias("syms"))
     )
@@ -238,6 +240,8 @@ def bpe_learn_sql(n_merges: int = 8, min_count: int = 2) -> str:
     every later step passes the symbol table through unchanged, and the
     final UNION simply lacks those ranks — the same early stop as the
     Spark loop."""
+    if int(n_merges) < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS INT) AS merge_rank, lhs, rhs, lhs || rhs AS merged, "
         f"CAST(cnt AS BIGINT) AS pair_count FROM best{i}"

@@ -114,3 +114,34 @@ def test_bpe_segment_counts(spark):
     # compression = chars-in-words / subwords = (12 + 4) / 7
     assert abs(out[0]["compression"] - 16 / 7) < 1e-5
     assert out[1]["n_tokens"] == 0 and out[1]["compression"] == 0.0
+
+
+def test_bpe_n_merges_guard(spark):
+    from icebug_spark.llm.tokenize import bpe_learn, bpe_learn_sql
+
+    with pytest.raises(ValueError):
+        bpe_learn(_docs(spark, ["a b"]), 0)
+    with pytest.raises(ValueError):
+        bpe_learn_sql(0)
+
+
+def test_bpe_jobs_per_merge_round(spark):
+    """Each merge round must cost at most 3 jobs (argmax pull + pinned
+    state rewrite + 1 slack) — a reintroduced per-round extra action
+    (e.g. a separate count) fails this pin."""
+    from icebug_spark.llm.tokenize import bpe_learn
+
+    sc = spark.sparkContext
+
+    def jobs(n_merges):
+        docs = _docs(spark, ["aaaaaaaaaaaaaaaa bbbbbbbb cccc dd"] * 3)
+        group = f"bpe_jobs_{n_merges}"
+        sc.setJobGroup(group, "probe")
+        got = bpe_learn(docs, n_merges).count()
+        sc.setJobGroup(None, None)
+        assert got == n_merges  # runs of a/b/c/d merge for many rounds
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j2, j6 = jobs(2), jobs(6)
+    marginal = (j6 - j2) / 4.0
+    assert marginal <= 3.0, f"jobs/merge regressed: {marginal} (j2={j2}, j6={j6})"
