@@ -200,3 +200,64 @@ def test_streaming_lsh_persisted_restart_and_replay(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_restart_t__state")
         spark.sql("DROP TABLE IF EXISTS lsh_restart_t__pairs")
+
+
+def _batch_substr_expected(spark):
+    docs = spark.createDataFrame(DOCS, DOC_SCHEMA)
+    return {
+        (r["doc_id"], r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in batch_dedup.duplicated_span_stats(docs, k=8, min_count=2).collect()
+    }
+
+
+def test_streaming_substr_dedup_matches_batch(spark, doc_dir, tmp_path):
+    from icebug_spark.streaming.dedup import run_streaming_substr_dedup
+
+    sink = run_streaming_substr_dedup(
+        spark,
+        doc_dir,
+        k=8,
+        min_count=2,
+        max_files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "substr_ckpt"),
+    )
+    assert sink.n_batches >= 2, "stream must have run multiple micro-batches"
+    got = {
+        (r["doc_id"], r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in sink.finalize().collect()
+    }
+    expect = _batch_substr_expected(spark)
+    assert got == expect
+    # some doc really is span-flagged (docs 0/1/6 share 8-grams)
+    assert any(t[2] > 0 for t in got)
+
+
+def test_streaming_substr_dedup_persisted_state(spark, doc_dir, tmp_path):
+    from icebug_spark.streaming.dedup import run_streaming_substr_dedup
+
+    sink = run_streaming_substr_dedup(
+        spark,
+        doc_dir,
+        k=8,
+        min_count=2,
+        max_files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "substr_ckpt_p"),
+        state_table="substr_state_t",
+        state_buckets=4,
+    )
+    got = {
+        (r["doc_id"], r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in sink.finalize().collect()
+    }
+    assert got == _batch_substr_expected(spark)
+    # covered table is append-only and globally duplicate-free
+    cov = spark.table("substr_state_t__covered")
+    assert cov.count() == cov.select("doc_id", "cpos").distinct().count()
+    # replaying the LAST batch must be a no-op (idempotent appends)
+    last = int(
+        cov.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+    )
+    docs = spark.createDataFrame(DOCS, DOC_SCHEMA)
+    before = cov.count()
+    sink.process(docs.limit(0), last)  # re-delivery of an already-landed id
+    assert spark.table("substr_state_t__covered").count() == before
