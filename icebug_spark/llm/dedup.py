@@ -367,6 +367,10 @@ def _covered_positions(documents: DataFrame, k: int, min_count: int) -> DataFram
     in the corpus — within-document repetition counts, matching the
     ExactSubstr rule of Lee et al. 2022, "Deduplicating Training Data
     Makes Language Models Better")."""
+    if k < 1 or min_count < 1:
+        raise ValueError(
+            f"k and min_count must be >= 1, got k={k}, min_count={min_count}"
+        )
     grams = _kgram_starts(documents, k)
     dup = (
         grams.groupBy("gram")

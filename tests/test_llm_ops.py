@@ -264,3 +264,22 @@ def test_lm_perplexity_bigram_math(spark):
     assert abs(out[1]["avg_nll"] + log(p_ab)) < 1e-5
     assert out[2]["n_bigrams"] == 0 and out[2]["avg_nll"] == 0.0
     assert out[3]["n_bigrams"] == 0
+
+
+def test_duplicated_span_guards(spark):
+    from icebug_spark.llm.dedup import duplicated_span_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "en", "s", 3)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with pytest.raises(ValueError):
+        duplicated_span_stats(docs, k=0)
+    with pytest.raises(ValueError):
+        duplicated_span_stats(docs, k=8, min_count=0)
+    # k=1 degenerates to single-token duplication and still works
+    one = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in duplicated_span_stats(docs, k=1, min_count=2).collect()
+    }
+    assert one[0] == 0
