@@ -565,3 +565,72 @@ SELECT doc_id, quality, CAST(rank AS BIGINT) AS rank,
        CAST((rank - 1) * {int(n_stages)} // n AS BIGINT) AS stage
 FROM r
 """
+
+
+def chunk_documents(
+    documents: DataFrame, size: int = 64, stride: int = 48
+) -> DataFrame:
+    """(doc_id, chunk_id, n_chunk_tokens, chunk_text): sliding-window
+    token chunks with overlap (``stride`` < ``size`` overlaps adjacent
+    chunks) — the chunking step of retrieval / embedding-indexing
+    pipelines, where pack_sequences' concat-then-chunk (no overlap, no
+    doc boundaries) is the wrong tool. Chunks never cross documents;
+    the last chunk of a document may be short; blank documents yield no
+    chunks. Starts are 0, stride, 2·stride, … strictly below the token
+    count, so every token lands in at least one chunk.
+
+    Scale: pure per-row array work (tokenize once, slice per start) —
+    no shuffle at all; the operator is embarrassingly parallel over
+    documents."""
+    if size < 1 or stride < 1:
+        raise ValueError(f"size and stride must be >= 1, got {size}, {stride}")
+    toks = (
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "))
+    )
+    t = documents.select("doc_id", toks.alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(int(stride))),
+        lambda s: s < F.col("n"),
+    )
+    return (
+        t.where(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "t",
+            "n",
+            F.explode(starts).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / int(stride)).cast("long").alias("chunk_id"),
+            F.least(F.lit(int(size)), F.col("n") - F.col("start"))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("t"), F.col("start") + 1, F.lit(int(size))), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_sql(size: int = 64, stride: int = 48) -> str:
+    """DuckDB twin of :func:`chunk_documents`."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+         END AS t
+  FROM documents
+), n AS (
+  SELECT doc_id, t, len(t) AS n FROM t WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(s.start // {int(stride)} AS BIGINT) AS chunk_id,
+       CAST(LEAST({int(size)}, n - s.start) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(t[s.start + 1 : s.start + {int(size)}], ' ') AS chunk_text
+FROM n, unnest(range(0, n, {int(stride)})) AS s(start)
+"""

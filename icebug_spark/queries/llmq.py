@@ -694,6 +694,11 @@ def corpus_assembly_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def chunk_documents_q(spark: SparkSession, sf: str) -> DataFrame:
+    # size 64 / stride 48: adjacent chunks overlap by 16 tokens
+    return mixing.chunk_documents(table(spark, sf, "documents"), size=64, stride=48)
+
+
 def lm_perplexity_q(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.lm_perplexity(table(spark, sf, "documents"), k=0.5)
 
@@ -795,4 +800,5 @@ LLM = {
     "llm_bpe_merges": (bpe_merges_q, tokenize.bpe_learn_sql(8)),
     "llm_bpe_token_counts": (bpe_token_counts_q, tokenize.bpe_segment_counts_sql(8)),
     "llm_lm_perplexity": (lm_perplexity_q, textstats.lm_perplexity_sql(0.5)),
+    "llm_chunk_overlap": (chunk_documents_q, mixing.chunk_documents_sql(64, 48)),
 }

@@ -276,3 +276,34 @@ def test_curriculum_stages_equal_width(spark):
     # ranks follow quality order = doc_id order; 6 docs / 3 stages = 2 each
     assert [out[i]["rank"] for i in range(6)] == [1, 2, 3, 4, 5, 6]
     assert [out[i]["stage"] for i in range(6)] == [0, 0, 1, 1, 2, 2]
+
+
+def test_chunk_documents_overlap(spark):
+    from icebug_spark.llm.mixing import chunk_documents
+
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(10)), "en", "a", 40),
+        (1, "one two", "en", "a", 7),
+        (2, "   ", "en", "a", 3),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = chunk_documents(docs, size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    # doc 0: starts 0,3,6,9 -> 4 chunks, last is 1 token
+    c = by_doc[0]
+    assert sorted(c) == [0, 1, 2, 3]
+    assert c[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert c[1]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert c[3]["chunk_text"] == "t9" and c[3]["n_chunk_tokens"] == 1
+    # every token covered
+    covered = set()
+    for r in c.values():
+        covered |= set(r["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(10)}
+    # short doc: single short chunk; blank doc: no chunks
+    assert by_doc[1][0]["chunk_text"] == "one two"
+    assert 2 not in by_doc
