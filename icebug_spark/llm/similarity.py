@@ -257,3 +257,224 @@ def ann_candidates(
         )
         .where(F.col("cosine") >= min_cosine)
     )
+
+
+def _kmeans_state(
+    embeddings: DataFrame, k: int, iters: int, scale: int
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column →
+    (vec_id, cell) after ``iters`` update rounds — the clustering step a
+    SemDeDup-style curation pipeline (cluster, then near-dup within
+    clusters) or a trained IVF quantizer needs. Every number in the loop
+    is an INTEGER: embeddings are quantized once to
+    ``round(x·scale)`` (bigint), distances are exact integer squared
+    Euclidean, the argmin tie-breaks on the lower cell id, and the
+    centroid update is ``floor(sum/count)`` per dimension — so Spark and
+    DuckDB replay the identical trajectory bit-for-bit (no FP summation-
+    order divergence), and the oracle is full-value. Init = the k lowest
+    vec_ids' vectors (cells numbered 0..k-1 in that order).
+
+    Scale: per iteration one broadcast of k tiny centroid rows against
+    the full table (no shuffle of the big side) and one (cell, dim)
+    groupBy for the update — the classic distributed Lloyd shape. The
+    k·dim centroid pull per round is the only driver traffic."""
+    if k < 1 or iters < 0:
+        raise ValueError(f"k must be >= 1 and iters >= 0, got {k}, {iters}")
+    q = embeddings.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * float(scale)).cast("long"),
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+
+    def assign(cent: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        d2 = F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+        return (
+            q.crossJoin(F.broadcast(cent))
+            .select("vec_id", "qv", "cell", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "qv", "cell")
+        )
+
+    from icebug_spark.plans.zipindex import dense_index
+
+    # init cells via the two-pass zipindex rank over the k LIMITed rows
+    # — no unpartitioned window, sweep logs stay WindowExec-clean
+    top = q.orderBy(F.asc("vec_id")).limit(int(k))
+    cent = (
+        top.join(
+            dense_index(top, ["vec_id"], out="cell", assume_distinct=True),
+            "vec_id",
+        )
+        .select("cell", F.col("qv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    a = assign(cent)
+    for _ in range(int(iters)):
+        upd = (
+            a.select("cell", F.posexplode("qv").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.floor(
+                    F.sum("val").cast("double") / F.count(F.lit(1))
+                ).cast("long").alias("cval")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+        a = assign(upd)
+    return a
+
+
+def kmeans_assign_sql(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
+    """DuckDB twin of :func:`kmeans_assign`: the same integer Lloyd
+    rounds as a generated MATERIALIZED-CTE chain (one assign + one
+    floor-mean update per iteration)."""
+    ctes = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {int(scale)}) AS BIGINT)) AS qv
+  FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+  FROM q ORDER BY vec_id LIMIT {int(k)}
+)"""
+    ]
+
+    def assign(i: int, cent: str) -> str:
+        return f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, qv, cell FROM (
+    SELECT q.vec_id, q.qv, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(
+                        list_zip(q.qv, c.cv),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cell
+           ) AS rn
+    FROM q, {cent} c
+  ) WHERE rn = 1
+)"""
+
+    parts = [assign(0, "c0")]
+    for i in range(1, int(iters) + 1):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT cell, list(cval ORDER BY dim) AS cv FROM (
+    SELECT cell, dim,
+           CAST(floor(SUM(val) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cval
+    FROM (
+      SELECT cell, u.i AS dim, qv[u.i + 1] AS val
+      FROM a{i - 1}, unnest(range(0, len(qv))) AS u(i)
+    ) GROUP BY cell, dim
+  ) GROUP BY cell
+)"""
+        )
+        parts.append(assign(i, f"c{i}"))
+    return (
+        "WITH "
+        + ",\n".join(ctes + parts)
+        + f"\nSELECT vec_id, cell FROM a{int(iters)}"
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame, k: int = 8, iters: int = 3, scale: int = 1000
+) -> DataFrame:
+    """Public shape of :func:`_kmeans_state`: (vec_id, cell)."""
+    return _kmeans_state(embeddings, k, iters, scale).select("vec_id", "cell")
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1000,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) candidate pruning: cluster with the
+    deterministic integer k-means, then emit within-cluster pairs whose
+    cosine exceeds ``threshold_num/threshold_den`` → (vec_a, vec_b,
+    cell). The cosine test is EXACT integer arithmetic on the quantized
+    vectors — ``den²·dot² ≥ num²·|a|²·|b|²`` with ``dot > 0`` — so both
+    engines agree bit-for-bit with no sqrt or float division anywhere.
+
+    Scale: the pairwise work is confined within clusters (shuffle keyed
+    by cell, then an intra-cell self-join); in a production run k grows
+    with n so cells stay bounded (SemDeDup uses ~100k clusters for
+    LAION-scale) — the clustering is the thing that makes within-cluster
+    O(cell²) affordable."""
+    a = _kmeans_state(embeddings, k, iters, scale)
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lhs = a.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"), "cell")
+    rhs = a.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"), "cell")
+    num, den = int(threshold_num), int(threshold_den)
+    return (
+        lhs.join(rhs, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", dot)
+        .withColumn("na", nrm(F.col("qa")))
+        .withColumn("nb", nrm(F.col("qb")))
+        .where(
+            (F.col("dot") > 0)
+            & (
+                F.lit(den * den) * F.col("dot") * F.col("dot")
+                >= F.lit(num * num) * F.col("na") * F.col("nb")
+            )
+        )
+        .select("vec_a", "vec_b", "cell")
+    )
+
+
+def semdedup_pairs_sql(
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1000,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+) -> str:
+    """DuckDB twin of :func:`semdedup_pairs`: the k-means chain plus the
+    within-cell integer-cosine pair filter."""
+    chain = kmeans_assign_sql(k, iters, scale)
+    chain = chain[: chain.rindex("\nSELECT ")]  # drop the final projection
+    num, den = int(threshold_num), int(threshold_den)
+    return (
+        chain
+        + f"""
+, pr AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
+         list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS dot,
+         list_sum(list_transform(a.qv, x -> x * x)) AS na,
+         list_sum(list_transform(b.qv, x -> x * x)) AS nb
+  FROM a{int(iters)} a JOIN a{int(iters)} b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cell FROM pr
+WHERE dot > 0 AND {den * den} * dot * dot >= {num * num} * na * nb
+"""
+    )

@@ -694,6 +694,18 @@ def corpus_assembly_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def kmeans_assign_q(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.kmeans_assign(table(spark, sf, "embeddings"), k=8, iters=3)
+
+
+def semdedup_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    # threshold 2/5 = cosine 0.4 (the synthetic embeddings top out near
+    # 0.48 pairwise, so 0.95 would be vacuous); exact rational predicate
+    return similarity.semdedup_pairs(
+        table(spark, sf, "embeddings"), k=8, iters=3, threshold_num=2, threshold_den=5
+    )
+
+
 def chunk_documents_q(spark: SparkSession, sf: str) -> DataFrame:
     # size 64 / stride 48: adjacent chunks overlap by 16 tokens
     return mixing.chunk_documents(table(spark, sf, "documents"), size=64, stride=48)
@@ -801,4 +813,12 @@ LLM = {
     "llm_bpe_token_counts": (bpe_token_counts_q, tokenize.bpe_segment_counts_sql(8)),
     "llm_lm_perplexity": (lm_perplexity_q, textstats.lm_perplexity_sql(0.5)),
     "llm_chunk_overlap": (chunk_documents_q, mixing.chunk_documents_sql(64, 48)),
+    # integer-exact k-means / SemDeDup: quantize once, then every
+    # distance, argmin, and floor-mean update is bigint arithmetic — the
+    # oracle replays the full Lloyd trajectory as a materialized chain
+    "llm_kmeans_assign": (kmeans_assign_q, similarity.kmeans_assign_sql(8, 3)),
+    "llm_semdedup_pairs": (
+        semdedup_pairs_q,
+        similarity.semdedup_pairs_sql(8, 3, 1000, 2, 5),
+    ),
 }
