@@ -309,3 +309,107 @@ SELECT d.doc_id,
        ROUND(COALESCE(per.avg_nll, 0.0), 6) AS avg_nll
 FROM documents d LEFT JOIN per USING (doc_id)
 """
+
+
+def dsir_log_weights(documents: DataFrame, k: float = 0.5) -> DataFrame:
+    """(doc_id, n_bigrams, log_weight): DSIR importance weights (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling") with bigram features: log w(x) = Σ_features
+    [ln p_target(f) − ln p_raw(f)], where the target distribution is the
+    corpus' own quality-gated subset (``quality_score().keep``) and raw
+    is the full corpus — documents whose n-gram profile looks like the
+    high-quality subset get positive weights and survive a resampling
+    pass. Both models are add-k smoothed over the SAME raw vocabulary, so
+    the ratio is well-defined for bigrams absent from the target.
+
+    Scale: two fine-grained count tables (raw and target bigrams, the
+    target side filtered before counting) joined back to each document's
+    bigrams on the same keys; the vocabulary size is a broadcast 1-row
+    join. 0.0 for docs with fewer than 2 tokens; rounded to 6 decimals so
+    JVM and DuckDB ln() agree."""
+    from icebug_spark.llm.dedup import _norm_tokens
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", F.posexplode(_norm_tokens(F.col("text"))).alias("pos", "w1")
+    ).where(F.length("w1") > 0)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.withColumn("w2", F.lead("w1").over(w)).where(
+        F.col("w2").isNotNull()
+    )
+    keep = quality_score(documents).where("keep").select("doc_id")
+    tbi = bi.join(keep, "doc_id")
+    c12r = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12r"))
+    c1r = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1r"))
+    c12t = tbi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12t"))
+    c1t = tbi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1t"))
+    v = toks.agg(F.countDistinct("w1").alias("v"))
+    kk = F.lit(float(k))
+    scored = (
+        bi.join(c12r, ["w1", "w2"])
+        .join(c1r, "w1")
+        .join(c12t, ["w1", "w2"], "left")
+        .join(c1t, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "lr",
+            F.log(
+                (F.coalesce("c12t", F.lit(0)) + kk)
+                / (F.coalesce("c1t", F.lit(0)) + kk * F.col("v"))
+            )
+            - F.log((F.col("c12r") + kk) / (F.col("c1r") + kk * F.col("v"))),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("lr").alias("lw")
+    )
+    return (
+        documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(F.coalesce("lw", F.lit(0.0)), 6).alias("log_weight"),
+        )
+    )
+
+
+def dsir_log_weights_sql(k: float = 0.5, quality_cte: str = "") -> str:
+    """DuckDB twin of :func:`dsir_log_weights`; ``quality_cte`` is the
+    shared quality-score CTE chain ending in ``qscore`` (passed by the
+    registry so the target-subset definition stays textually tied)."""
+    return f"""
+WITH {quality_cte}, toks AS (
+  SELECT doc_id, i AS pos, t[i+1] AS w1
+  FROM (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+    FROM documents
+  ), unnest(range(0, len(t))) AS u(i)
+  WHERE length(t[i+1]) > 0
+), bi AS (
+  SELECT doc_id, w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+  QUALIFY w2 IS NOT NULL
+), keep AS (
+  SELECT doc_id FROM qscore WHERE quality >= 0.5
+), tbi AS (
+  SELECT bi.* FROM bi JOIN keep USING (doc_id)
+), c12r AS (SELECT w1, w2, COUNT(*) AS c12r FROM bi GROUP BY 1, 2),
+c1r AS (SELECT w1, COUNT(*) AS c1r FROM bi GROUP BY 1),
+c12t AS (SELECT w1, w2, COUNT(*) AS c12t FROM tbi GROUP BY 1, 2),
+c1t AS (SELECT w1, COUNT(*) AS c1t FROM tbi GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w1) AS v FROM toks),
+per AS (
+  SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+         SUM(ln((COALESCE(c12t.c12t, 0) + {k!r}) / (COALESCE(c1t.c1t, 0) + {k!r} * v.v))
+             - ln((c12r.c12r + {k!r}) / (c1r.c1r + {k!r} * v.v))) AS lw
+  FROM bi JOIN c12r USING (w1, w2) JOIN c1r USING (w1)
+       LEFT JOIN c12t USING (w1, w2) LEFT JOIN c1t USING (w1), v
+  GROUP BY bi.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       ROUND(COALESCE(per.lw, 0.0), 6) AS log_weight
+FROM documents d LEFT JOIN per USING (doc_id)
+"""

@@ -694,6 +694,10 @@ def corpus_assembly_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dsir_weights_q(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.dsir_log_weights(table(spark, sf, "documents"), k=0.5)
+
+
 def kmeans_assign_q(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.kmeans_assign(table(spark, sf, "embeddings"), k=8, iters=3)
 
@@ -820,5 +824,9 @@ LLM = {
     "llm_semdedup_pairs": (
         semdedup_pairs_q,
         similarity.semdedup_pairs_sql(8, 3, 1000, 2, 5),
+    ),
+    "llm_dsir_weights": (
+        dsir_weights_q,
+        textstats.dsir_log_weights_sql(0.5, _QUALITY_CTE),
     ),
 }

@@ -283,3 +283,26 @@ def test_duplicated_span_guards(spark):
         for r in duplicated_span_stats(docs, k=1, min_count=2).collect()
     }
     assert one[0] == 0
+
+
+def test_dsir_log_weights_direction(spark):
+    from icebug_spark.llm.textstats import dsir_log_weights, quality_score
+
+    # long clean docs (keep=True) share vocabulary; a short doc (filtered
+    # from the target LM) built from OTHER words gets a negative weight
+    good = "clean prose with many ordinary readable words " * 4
+    rows = [
+        (0, good.strip(), "en", "s", 10),
+        (1, (good + "extra tokens here").strip(), "en", "s", 10),
+        (2, "12 34 56 78 99 00 11 22", "en", "s", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    keep = {r["doc_id"]: r["keep"] for r in quality_score(docs).collect()}
+    assert keep[0] and keep[1] and not keep[2]
+    out = {r["doc_id"]: r for r in dsir_log_weights(docs).collect()}
+    # target-like docs score higher than the excluded digit doc
+    assert out[0]["log_weight"] > out[2]["log_weight"]
+    assert out[1]["log_weight"] > out[2]["log_weight"]
+    assert out[0]["n_bigrams"] > 0 and out[2]["n_bigrams"] > 0
