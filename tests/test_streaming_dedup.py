@@ -233,31 +233,46 @@ def test_streaming_substr_dedup_matches_batch(spark, doc_dir, tmp_path):
 
 
 def test_streaming_substr_dedup_persisted_state(spark, doc_dir, tmp_path):
+    import shutil
+
     from icebug_spark.streaming.dedup import run_streaming_substr_dedup
 
-    sink = run_streaming_substr_dedup(
-        spark,
-        doc_dir,
-        k=8,
-        min_count=2,
-        max_files_per_trigger=1,
-        checkpoint_dir=str(tmp_path / "substr_ckpt_p"),
-        state_table="substr_state_t",
-        state_buckets=4,
-    )
-    got = {
-        (r["doc_id"], r["n_tokens"], r["dup_tokens"], r["dup_frac"])
-        for r in sink.finalize().collect()
-    }
-    assert got == _batch_substr_expected(spark)
-    # covered table is append-only and globally duplicate-free
-    cov = spark.table("substr_state_t__covered")
-    assert cov.count() == cov.select("doc_id", "cpos").distinct().count()
-    # replaying the LAST batch must be a no-op (idempotent appends)
-    last = int(
-        cov.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
-    )
-    docs = spark.createDataFrame(DOCS, DOC_SCHEMA)
-    before = cov.count()
-    sink.process(docs.limit(0), last)  # re-delivery of an already-landed id
-    assert spark.table("substr_state_t__covered").count() == before
+    parts = ["occ", "counts", "covered", "tokens"]
+    # heal any stale warehouse directory from a crashed earlier session:
+    # a fresh session's catalog doesn't know the old table, so DROP at
+    # batch 0 is a no-op and saveAsTable dies on LOCATION_ALREADY_EXISTS
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for part in parts:
+        spark.sql(f"DROP TABLE IF EXISTS substr_state_t__{part}")
+        shutil.rmtree(f"{wh}/substr_state_t__{part}", ignore_errors=True)
+    try:
+        sink = run_streaming_substr_dedup(
+            spark,
+            doc_dir,
+            k=8,
+            min_count=2,
+            max_files_per_trigger=1,
+            checkpoint_dir=str(tmp_path / "substr_ckpt_p"),
+            state_table="substr_state_t",
+            state_buckets=4,
+        )
+        got = {
+            (r["doc_id"], r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+            for r in sink.finalize().collect()
+        }
+        assert got == _batch_substr_expected(spark)
+        # covered table is append-only and globally duplicate-free
+        cov = spark.table("substr_state_t__covered")
+        assert cov.count() == cov.select("doc_id", "cpos").distinct().count()
+        # replaying the LAST batch must be a no-op (idempotent appends)
+        last = int(
+            cov.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+        )
+        docs = spark.createDataFrame(DOCS, DOC_SCHEMA)
+        before = cov.count()
+        sink.process(docs.limit(0), last)  # re-delivery of a landed id
+        assert spark.table("substr_state_t__covered").count() == before
+    finally:
+        # drop inside THIS session so catalog + location both go away
+        for part in parts:
+            spark.sql(f"DROP TABLE IF EXISTS substr_state_t__{part}")
