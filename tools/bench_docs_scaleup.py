@@ -121,6 +121,7 @@ def main() -> None:
         ]
         for name in KERNELS
     }
+    emb_main(spark, out)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_DOCS_SCALEUP.json",
@@ -129,6 +130,93 @@ def main() -> None:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps(out["growth_ratios"], sort_keys=True))
     spark.stop()
+
+
+
+# --- embeddings-side kernels (appended section) ----------------------
+
+EMB_SIZES = [int(s) for s in os.environ.get("SPARK_GRAFT_EMB_SCALES", "12,14,16").split(",")]
+DIM = 32
+
+
+def synth_embeddings(spark, log2_vecs: int):
+    """2^log2_vecs deterministic embeddings (vec_id, embedding, label):
+    DIM-dim vectors from hashed uniforms in [-0.5, 0.5), shifted by one
+    of 8 planted cluster offsets so k-means has real structure."""
+    n = 1 << log2_vecs
+    centroid = (F.col("id") % 8).cast("double")
+
+    def coord(d):
+        u = F.pmod(F.xxhash64(F.col("id"), F.lit(int(d))), F.lit(1_000_000)).cast(
+            "double"
+        ) / 1_000_000.0 - 0.5
+        off = F.when((F.lit(int(d)) % 8) == F.col("id") % 8, 1.5).otherwise(0.0)
+        return (u + off).cast("float")
+
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(*[coord(d) for d in range(DIM)]).alias("embedding"),
+            centroid.cast("int").alias("label"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def emb_kernels(n: int):
+    from icebug_spark.llm.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_assign,
+        semdedup_pairs,
+        srp_buckets,
+    )
+
+    # SemDeDup practice: clusters grow with n so cell size stays bounded
+    # (k = n/256) and the within-cell quadratic stays ~256·n total pairs
+    k_sem = max(8, n // 256)
+    return {
+        "kmeans_k16_i2": lambda e: kmeans_assign(e, k=16, iters=2).count(),
+        "semdedup_scaled_k": lambda e: semdedup_pairs(
+            e, k=k_sem, iters=1, threshold_num=2, threshold_den=5
+        ).count(),
+        "srp_buckets": lambda e: srp_buckets(e, planes=16).count(),
+        "cosine_topk_64probes": lambda e: cosine_topk(
+            e, lambda v: v < 64, k=10
+        ).count(),
+        "ivf_topk_64probes": lambda e: ivf_topk(
+            e, lambda v: v < 64, k=10, n_cells=16, n_probe=4
+        ).count(),
+    }
+
+
+def emb_main(spark, out: dict) -> None:
+    out["emb_sizes"] = {}
+    for d in EMB_SIZES:
+        emb = synth_embeddings(spark, d)
+        n = emb.count()
+        row = {"n_vecs": n, "kernels": {}}
+        for name, fn in emb_kernels(n).items():
+            t0 = time.time()
+            fn(emb)
+            row["kernels"][name] = round(time.time() - t0, 2)
+            print(f"emb 2^{d}: {name} {row['kernels'][name]}s", flush=True)
+        out["emb_sizes"][f"2^{d}"] = row
+        emb.unpersist()
+    keys = [f"2^{d}" for d in EMB_SIZES]
+    names = list(out["emb_sizes"][keys[0]]["kernels"])
+    out["emb_growth_ratios"] = {
+        name: [
+            round(
+                out["emb_sizes"][keys[i + 1]]["kernels"][name]
+                / max(out["emb_sizes"][keys[i]]["kernels"][name], 0.01),
+                2,
+            )
+            for i in range(len(keys) - 1)
+        ]
+        for name in names
+    }
 
 
 if __name__ == "__main__":
