@@ -584,6 +584,10 @@ def chunk_documents(
     documents."""
     if size < 1 or stride < 1:
         raise ValueError(f"size and stride must be >= 1, got {size}, {stride}")
+    if stride > size:
+        # stride > size would SKIP the tokens between windows, silently
+        # breaking the every-token-covered contract below
+        raise ValueError(f"stride ({stride}) must be <= size ({size})")
     toks = (
         F.when(F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>"))
         .otherwise(F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "))

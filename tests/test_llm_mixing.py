@@ -307,3 +307,16 @@ def test_chunk_documents_overlap(spark):
     # short doc: single short chunk; blank doc: no chunks
     assert by_doc[1][0]["chunk_text"] == "one two"
     assert 2 not in by_doc
+
+
+def test_chunk_documents_stride_guard(spark):
+    import pytest as _pytest
+
+    from icebug_spark.llm.mixing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "en", "a", 5)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, size=2, stride=3)
