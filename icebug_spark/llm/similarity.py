@@ -478,3 +478,99 @@ SELECT vec_a, vec_b, cell FROM pr
 WHERE dot > 0 AND {den * den} * dot * dot >= {num * num} * na * nb
 """
     )
+
+
+def kcenter_select(
+    embeddings: DataFrame, k: int = 8, scale: int = 1000
+) -> DataFrame:
+    """Greedy k-centers (farthest-first traversal, the classic 2-approx
+    k-center rule and the coreset-selection step of active-learning /
+    data-curation pipelines): start from the lowest vec_id, then k−1
+    times pick the vector farthest (max min-distance, tie → lower
+    vec_id) from the chosen set → (center_rank, vec_id, d2) where d2 is
+    the selected vector's squared distance to the previously chosen
+    centers (0 for the seed). Distances use the same round(x·scale)
+    bigint quantization as :func:`kmeans_assign`, so the trajectory is
+    exact integer arithmetic and the DuckDB oracle replays it verbatim.
+
+    Scale: the maintained state is one (vec_id, qv, mind) table; each
+    round is one argmax pull (TakeOrdered, no full sort) and one
+    broadcast-1-row min-distance fold, pinned — the standard distributed
+    farthest-first shape."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = embeddings.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * float(scale)).cast("long"),
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+
+    def d2_to(cv_col):
+        return F.aggregate(
+            F.zip_with("qv", cv_col, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    seed = q.orderBy(F.asc("vec_id")).limit(1).collect()[0]
+    out = [(0, int(seed["vec_id"]), 0)]
+    cv = F.array(*[F.lit(int(v)) for v in seed["qv"]])
+    state = q.select("vec_id", "qv", d2_to(cv).alias("mind")).localCheckpoint(
+        eager=True
+    )
+    for rank in range(1, int(k)):
+        far = (
+            state.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()[0]
+        )
+        out.append((rank, int(far["vec_id"]), int(far["mind"])))
+        cv = F.array(*[F.lit(int(v)) for v in far["qv"]])
+        state = state.select(
+            "vec_id", "qv", F.least("mind", d2_to(cv)).alias("mind")
+        ).localCheckpoint(eager=True)
+    return embeddings.sparkSession.createDataFrame(
+        out, "center_rank INT, vec_id BIGINT, d2 BIGINT"
+    )
+
+
+def kcenter_select_sql(k: int = 8, scale: int = 1000) -> str:
+    """DuckDB twin of :func:`kcenter_select`: the greedy rounds unrolled
+    into a MATERIALIZED-CTE chain (argmax + min-distance fold each)."""
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    d2 = (
+        "list_sum(list_transform(list_zip(m.qv, c.qv), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    ctes = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {int(scale)}) AS BIGINT)) AS qv
+  FROM embeddings
+), cc0 AS MATERIALIZED (
+  SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1
+), m0 AS MATERIALIZED (
+  SELECT m.vec_id, m.qv, {d2} AS mind
+  FROM q m, cc0 c
+)"""
+    ]
+    for i in range(1, int(k)):
+        ctes.append(
+            f"""cc{i} AS MATERIALIZED (
+  SELECT vec_id, qv, mind FROM m{i - 1} ORDER BY mind DESC, vec_id LIMIT 1
+), m{i} AS MATERIALIZED (
+  SELECT m.vec_id, m.qv, LEAST(m.mind, {d2}) AS mind
+  FROM m{i - 1} m, cc{i} c
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        ["SELECT CAST(0 AS INT) AS center_rank, vec_id, CAST(0 AS BIGINT) AS d2 FROM cc0"]
+        + [
+            f"SELECT CAST({i} AS INT) AS center_rank, vec_id, "
+            f"CAST(mind AS BIGINT) AS d2 FROM cc{i}"
+            for i in range(1, int(k))
+        ]
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions

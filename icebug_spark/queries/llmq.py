@@ -694,6 +694,10 @@ def corpus_assembly_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def kcenter_select_q(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.kcenter_select(table(spark, sf, "embeddings"), k=8)
+
+
 def dsir_weights_q(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.dsir_log_weights(table(spark, sf, "documents"), k=0.5)
 
@@ -829,4 +833,5 @@ LLM = {
         dsir_weights_q,
         textstats.dsir_log_weights_sql(0.5, _QUALITY_CTE),
     ),
+    "llm_kcenter_select": (kcenter_select_q, similarity.kcenter_select_sql(8)),
 }

@@ -41,7 +41,7 @@ _STALEST_DRIVER_CHECKED = [
     "llm_bpe_merges", "llm_bpe_token_counts",
     "llm_lm_perplexity", "llm_chunk_overlap",
     "llm_kmeans_assign", "llm_semdedup_pairs",
-    "llm_dsir_weights",
+    "llm_dsir_weights", "llm_kcenter_select",
     "llm_mixture_weights", "llm_mixture_sample",
     "llm_pack_sequences", "llm_boilerplate_removal",
     "llm_train_test_split", "llm_corpus_assembly",

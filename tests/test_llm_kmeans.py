@@ -81,3 +81,43 @@ def test_kmeans_sql_twin_matches(spark):
     pa = sorted(map(tuple, semdedup_pairs(emb, 4, 2, 1000, 3, 5).collect()))
     pb = sorted(map(tuple, con.sql(semdedup_pairs_sql(4, 2, 1000, 3, 5)).fetchall()))
     assert pa == pb
+
+
+def test_kcenter_farthest_first(spark):
+    from icebug_spark.llm.similarity import kcenter_select
+
+    # seed = vec 0 at origin; farthest is vec 2 at (10,0); then vec 1 at
+    # (0,4) whose min-dist to {0, 2} is 16 (to origin)
+    vecs = [[0.0, 0.0], [0.0, 4.0], [10.0, 0.0], [1.0, 0.0]]
+    out = sorted(
+        map(tuple, kcenter_select(_emb(spark, vecs), k=3, scale=1).collect())
+    )
+    assert out == [(0, 0, 0), (1, 2, 100), (2, 1, 16)]
+
+
+def test_kcenter_radius_nonincreasing(spark):
+    from icebug_spark.llm.similarity import kcenter_select
+
+    vecs = [
+        [float((13 * i + d * 5) % 17) for d in range(4)] for i in range(25)
+    ]
+    out = sorted(
+        map(tuple, kcenter_select(_emb(spark, vecs), k=6).collect())
+    )
+    d2s = [d2 for _, _, d2 in out[1:]]
+    # the classic greedy-k-center certificate: selection radii never grow
+    assert all(a >= b for a, b in zip(d2s, d2s[1:]))
+    # ranks contiguous, vec_ids distinct
+    assert [r for r, _, _ in out] == list(range(6))
+    assert len({v for _, v, _ in out}) == 6
+
+
+def test_kcenter_guard(spark):
+    import pytest as _pytest
+
+    from icebug_spark.llm.similarity import kcenter_select, kcenter_select_sql
+
+    with _pytest.raises(ValueError):
+        kcenter_select(_emb(spark, [[0.0]]), k=0)
+    with _pytest.raises(ValueError):
+        kcenter_select_sql(0)
