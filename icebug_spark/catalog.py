@@ -56,8 +56,6 @@ def derived_edges(
     both sides are large, so we let Catalyst pick sort-merge + AQE; the
     DISTINCT is a partial-aggregating shuffle on (src, dst).
     """
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    lineitem = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     if materialize:
         # E is consumed repeatedly (both union branches of symmetrize, every
         # loop round of the iterative algorithms) — materialize once PER
@@ -69,15 +67,24 @@ def derived_edges(
         cached = _DERIVED_CACHE.get(key)
         if cached is not None:
             return cached
-    e = (
+        # E is exactly the key set of EW (the groupBy that builds the
+        # weighted artifact already dedups the (src, dst) pairs), so the
+        # materialized E is a zero-shuffle PROJECTION of the checkpointed
+        # EW — the old shape ran the orders⋈lineitem join + a DISTINCT
+        # exchange a second time for the same rows. One shared build, one
+        # stored artifact, two views — the warehouse shape at 100 TB too.
+        e = derived_weighted_edges(spark, sf_dir, materialize=True).select(
+            "src", "dst"
+        )
+        _DERIVED_CACHE[key] = e
+        return e
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
         .distinct()
     )
-    if materialize:
-        e = e.localCheckpoint(eager=True)
-        _DERIVED_CACHE[key] = e
-    return e
 
 
 def derived_weighted_edges(
@@ -215,13 +222,15 @@ def build_derived_artifacts(spark: SparkSession, sf_dir: str) -> None:
     refresh them."""
     from concurrent.futures import ThreadPoolExecutor
 
-    derived_edges(spark, sf_dir, materialize=True).count()
+    # EW is the single shared build now: one orders⋈lineitem + one groupBy
+    # shuffle, checkpointed; E is its zero-shuffle projection. The old
+    # shape ran the fact-table join twice (E's DISTINCT and EW's groupBy).
+    derived_edges(spark, sf_dir, materialize=True)
     jobs = [
         lambda: derived_edges_undirected(spark, sf_dir).count(),
-        lambda: derived_weighted_edges(spark, sf_dir).count(),
         lambda: derived_triangle_kernel(spark, sf_dir),  # builds C inside
     ]
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=2) as pool:
         for f in [pool.submit(j) for j in jobs]:
             f.result()
 

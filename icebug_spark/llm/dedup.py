@@ -41,31 +41,37 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle): distinct word n-grams of normalized text.
 
-    Shape: posexplode the token array once, then window ``lead`` over
-    (doc_id, pos) to stitch n-grams. The obvious alternative — build the
-    gram array inline with ``transform(sequence(...), i ->
-    concat_ws(element_at(toks, i+j)...))`` — re-evaluates the whole
-    regexp+split tokenization for EVERY element_at call (no common
-    subexpression elimination through lambda bodies), turning a linear
-    scan quadratic in document length; measured 15 s vs ~1 s at sf0.1.
-    The window's doc_id shuffle is shingle-table-sized and partitions by
-    document — skew-free at 100 TB (one document per group)."""
-    from pyspark.sql import Window
+    Shape: ZERO-shuffle, one narrow map stage. The token array is
+    materialized once per row at the project level, sliced into n
+    shifted views, stitched via ``arrays_zip`` + ``transform`` (the
+    lambda touches only the zipped struct), deduplicated in-row with
+    ``array_distinct`` (cross-doc duplicates are impossible — doc_id
+    differs), and exploded. This replaces the posexplode → window
+    ``lead`` over (doc_id, pos) → global ``.distinct()`` pipeline, which
+    shuffled the exploded token stream once for the window and the
+    shingle table again for the dedup — 2 exchanges of corpus-sized
+    data that pure column expressions make unnecessary.
 
-    toks = documents.select(
-        "doc_id", F.posexplode(_norm_tokens(F.col("text"))).alias("pos", "tok")
+    Two trip-wires the shape avoids: referencing the token array INSIDE
+    a lambda (``transform(sequence(...), i -> element_at(toks, i+j))``)
+    re-evaluates the whole regexp+split tokenization per element — no
+    common-subexpression elimination through lambda bodies; measured
+    15 s vs ~1 s at sf0.1 — while sibling ``slice`` calls at the project
+    level share one evaluation. And the slices are aliased in their own
+    select BEFORE ``arrays_zip`` so the zipped struct's field names are
+    pinned (s0..s{n-1}) at analysis time; the optimizer then collapses
+    the projections without renaming."""
+    toks = _norm_tokens(F.col("text"))
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    sliced = documents.select(
+        "doc_id", *[F.slice(toks, j + 1, length).alias(f"s{j}") for j in range(n)]
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
-    return (
-        toks.select(
-            "doc_id",
-            F.concat_ws(" ", *parts).alias("shingle"),
-            parts[-1].isNotNull().alias("full"),
-        )
-        .where(F.col("full"))
-        .select("doc_id", "shingle")
-        .distinct()
+    grams = F.transform(
+        F.arrays_zip(*[F.col(f"s{j}") for j in range(n)]),
+        lambda s: F.concat_ws(" ", *[s[f"s{j}"] for j in range(n)]),
+    )
+    return sliced.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 

@@ -69,21 +69,37 @@ def pagerank(
     )
 
     def step(r: DataFrame, _i: int) -> DataFrame:
-        contribs = (
+        msgs = (
             # rank vector is node-bounded (exactly n rows): mirror() keeps
             # the edge table in place while n fits the broadcast cap and
             # degrades to shuffle-hash at 1e9+ nodes (bucket edges by src
             # on a cluster to elide that exchange too).
             e.join(mirror(r.select("id", "rank", "outdeg"), n), e.src == F.col("id"))
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("contrib"))
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+                F.lit(None).cast("long").alias("outdeg"),
+                F.lit(None).cast("double").alias("prev"),
+            )
         )
-        # join contribs back onto the STATE (id-keyed) rather than the
-        # static base so the previous rank rides along as `prev` — the
-        # tolerance check then reads the checkpointed state alone
-        out = r.select("id", "outdeg", F.col("rank").alias("prev")).join(
-            contribs, "id", "left"
+        # Ride the state through the SAME aggregation as the messages (a
+        # zero-contribution carrier row per node) instead of joining
+        # contribs back onto it: one union feeding the groupBy replaces a
+        # per-round n-row state re-shuffle + sort-merge join (3 Exchange +
+        # 2 Sort per round → 1 Exchange + 1 broadcast). max(outdeg)/
+        # max(prev) recover the carrier's values (message rows are null);
+        # nodes with no in-messages sum to the carrier's exact 0.0.
+        carrier = r.select(
+            "id", F.lit(0.0).alias("c"), "outdeg", F.col("rank").alias("prev")
+        )
+        out = (
+            carrier.unionByName(msgs)
+            .groupBy("id")
+            .agg(
+                F.sum("c").alias("contrib"),
+                F.max("outdeg").alias("outdeg"),
+                F.max("prev").alias("prev"),
+            )
         )
         if distribute_sinks:
             # Fold the sink aggregate into the plan (broadcast 1-row cross
@@ -102,8 +118,7 @@ def pagerank(
             "outdeg",
             (
                 F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + sink_term)
+                + F.lit(damping) * (F.col("contrib") + sink_term)
             ).alias("rank"),
             "prev",
         )

@@ -45,7 +45,6 @@ def multi_source_bfs(
     # per-round convergence check already counts new frontier rows, so the
     # size-adaptive mirror() never needs an extra job.
     frontier_rows = len(sources)
-    seen_rows = len(sources)
     for _ in range(max_hops):
         # The frontier is vertex-bounded while edges are m-sized; without
         # a hint the checkpointed state has no stats, so Catalyst would
@@ -55,29 +54,44 @@ def multi_source_bfs(
         frontier = state.where(F.col("frontier"))
         nxt = (
             mirror(frontier, frontier_rows).join(e, frontier.id == e.src)
-            .select("source", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
-        )
-        seen = state.select("source", "id", "dist")
-        new_nodes = (
-            nxt.join(
-                mirror(seen.select("source", "id"), seen_rows),
-                ["source", "id"],
-                "left_anti",
+            .select(
+                "source",
+                F.col("dst").alias("id"),
+                (F.col("dist") + 1).alias("dist"),
+                F.lit(False).alias("seen"),
             )
+        )
+        # Fold the seen-set dedup into the level's aggregation instead of
+        # a per-level anti-join: the state rides the same shuffle as the
+        # expansion messages (carrier rows flagged seen=true), and a node
+        # is NEW exactly when its group has no carrier row. Removes one
+        # n-row broadcast/shuffle-hash build per level (2 Exchange → 1
+        # beyond the frontier mirror); the seen rows the union adds to the
+        # exchange replace the same rows crossing the wire as a broadcast.
+        merged = (
+            state.select("source", "id", "dist", F.lit(True).alias("seen"))
+            .unionByName(nxt)
             .groupBy("source", "id")
-            .agg(F.min("dist").alias("dist"))
-            .withColumn("frontier", F.lit(True))
+            .agg(
+                F.min(F.when(F.col("seen"), F.col("dist"))).alias("sd"),
+                F.min(F.when(~F.col("seen"), F.col("dist"))).alias("md"),
+            )
+            .select(
+                "source",
+                "id",
+                F.coalesce("sd", "md").alias("dist"),
+                F.col("sd").isNull().alias("frontier"),
+            )
         )
         # the frontier count rides the checkpoint job as an observed
         # metric — one action per level, not checkpoint + count
         state, m = checkpoint_observe(
-            seen.withColumn("frontier", F.lit(False)).union(new_nodes),
+            merged,
             F.sum(F.col("frontier").cast("long")).alias("nf"),
         )
         frontier_rows = int(m["nf"] or 0)
         if frontier_rows == 0:
             break
-        seen_rows += frontier_rows
     return state.select("source", "id", "dist")
 
 
@@ -101,20 +115,34 @@ def sssp_weighted(
         active = state.where(F.col("changed"))
         relax = (
             mirror(active, active_rows).join(e, active.id == e.src)
-            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("weight")).alias("nd"))
-            .groupBy("id")
-            .agg(F.min("nd").alias("nd"))
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("weight")).alias("dist"),
+                F.lit(False).alias("seen"),
+            )
         )
-        joined = state.select("id", "dist").join(relax, "id", "full")
+        # Same fusion as multi_source_bfs: the state rides the relax
+        # shuffle as carrier rows (seen=true) and the per-round full-outer
+        # join disappears into the min-aggregation — the carrier's min IS
+        # the old distance, the messages' min the best relaxation.
+        merged = (
+            state.select("id", "dist", F.lit(True).alias("seen"))
+            .unionByName(relax)
+            .groupBy("id")
+            .agg(
+                F.min(F.when(F.col("seen"), F.col("dist"))).alias("sd"),
+                F.min(F.when(~F.col("seen"), F.col("dist"))).alias("nd"),
+            )
+        )
         # active count rides the checkpoint job (observed metric)
         state, m = checkpoint_observe(
-            joined.select(
+            merged.select(
                 "id",
-                F.least(F.coalesce(F.col("dist"), F.lit(float("inf"))),
+                F.least(F.coalesce(F.col("sd"), F.lit(float("inf"))),
                         F.coalesce(F.col("nd"), F.lit(float("inf")))).alias("dist"),
                 (
-                    F.col("dist").isNull()
-                    | (F.coalesce(F.col("nd"), F.lit(float("inf"))) < F.col("dist"))
+                    F.col("sd").isNull()
+                    | (F.coalesce(F.col("nd"), F.lit(float("inf"))) < F.col("sd"))
                 ).alias("changed"),
             ),
             F.sum(F.col("changed").cast("long")).alias("na"),
