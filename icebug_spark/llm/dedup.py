@@ -38,19 +38,13 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     )
 
 
-def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle): distinct word n-grams of normalized text.
-
-    Shape: ZERO-shuffle, one narrow map stage. The token array is
-    materialized once per row at the project level, sliced into n
-    shifted views, stitched via ``arrays_zip`` + ``transform`` (the
-    lambda touches only the zipped struct), deduplicated in-row with
-    ``array_distinct`` (cross-doc duplicates are impossible — doc_id
-    differs), and exploded. This replaces the posexplode → window
-    ``lead`` over (doc_id, pos) → global ``.distinct()`` pipeline, which
-    shuffled the exploded token stream once for the window and the
-    shingle table again for the dedup — 2 exchanges of corpus-sized
-    data that pure column expressions make unnecessary.
+def _gram_arrays(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, grams ARRAY<STRING>): every word n-gram occurrence of the
+    normalized text, in position order — the ZERO-shuffle kernel under
+    :func:`shingles`, :func:`_kgram_starts` and the MinHash signature
+    build. The token array is materialized once per row at the project
+    level, sliced into n shifted views and stitched via ``arrays_zip`` +
+    ``transform`` (the lambda touches only the zipped struct).
 
     Two trip-wires the shape avoids: referencing the token array INSIDE
     a lambda (``transform(sequence(...), i -> element_at(toks, i+j))``)
@@ -70,8 +64,22 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
         F.arrays_zip(*[F.col(f"s{j}") for j in range(n)]),
         lambda s: F.concat_ws(" ", *[s[f"s{j}"] for j in range(n)]),
     )
-    return sliced.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    return sliced.select("doc_id", grams.alias("grams"))
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct word n-grams of normalized text.
+
+    ZERO-shuffle: grams are built in-row (:func:`_gram_arrays`),
+    deduplicated in-row with ``array_distinct`` (cross-doc duplicates
+    are impossible — doc_id differs), and exploded. This replaces the
+    posexplode → window ``lead`` over (doc_id, pos) → global
+    ``.distinct()`` pipeline, which shuffled the exploded token stream
+    once for the window and the shingle table again for the dedup — 2
+    exchanges of corpus-sized data that pure column expressions make
+    unnecessary."""
+    return _gram_arrays(documents, n).select(
+        "doc_id", F.explode(F.array_distinct("grams")).alias("shingle")
     )
 
 
@@ -154,9 +162,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>): MinHash over word-n-gram shingles.
     Hash family: xxhash64 seeded by permutation index (JVM-side).
-    ``shingle_df``: pre-computed ``shingles(documents, n)``, shared with
-    the verify stage so the corpus is tokenized once."""
-    sh = shingles(documents, n) if shingle_df is None else shingle_df
+    ``shingle_df``: pre-computed ``shingles(documents, n)`` (or any
+    (doc_id, shingle) table, e.g. a capped one) — that path aggregates
+    with a groupBy. Without it, signatures are computed IN-ROW from the
+    gram arrays (min over a multiset equals min over its distinct set),
+    which removes the corpus-sized groupBy shuffle entirely — the
+    signature build becomes a narrow map stage. Docs with no shingles
+    produce no row on either path."""
+    if shingle_df is None:
+        ga = _gram_arrays(documents, n)
+        return ga.where(F.size("grams") > 0).select(
+            "doc_id",
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform(
+                            F.col("grams"), lambda g: F.xxhash64(F.lit(i), g)
+                        )
+                    )
+                    for i in range(num_hashes)
+                ]
+            ).alias("sig"),
+        )
+    sh = shingle_df
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -180,6 +208,12 @@ def band_buckets(
     dedup (``streaming.dedup.StreamingLshDedup``) so stream/batch
     candidate parity holds by construction."""
     sig = minhash_signatures(documents, n, num_hashes, shingle_df=shingle_df)
+    return _bands_from_sig(sig, num_hashes, bands)
+
+
+def _bands_from_sig(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) from a (doc_id, sig) table — one banded
+    bucket key per band, r = num_hashes/bands signature slots hashed."""
     r = num_hashes // bands
     return sig.select(
         "doc_id",
@@ -214,10 +248,27 @@ def minhash_lsh_duplicates(
     true similarity s). Candidates are then verified exactly, so output
     precision is 1.0 and only recall depends on the sketch.
 
-    One shingle table is materialized and shared by the signature build
-    and the exact-verify stage — the corpus is tokenized once."""
-    sh_all = shingles(documents, n).localCheckpoint(eager=True)
-    band_rows = band_buckets(documents, n, num_hashes, bands, shingle_df=sh_all)
+    One GRAM-ARRAY table is materialized and shared by the signature
+    build and the exact-verify stage — the corpus is tokenized once, and
+    both consumers are zero-shuffle projections of the checkpoint: the
+    signatures are in-row array folds (no corpus-sized groupBy) and the
+    verify-stage shingle table is an in-row dedup + explode."""
+    ga = _gram_arrays(documents, n).localCheckpoint(eager=True)
+    sig = ga.where(F.size("grams") > 0).select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("grams"), lambda g: F.xxhash64(F.lit(i), g))
+                )
+                for i in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+    band_rows = _bands_from_sig(sig, num_hashes, bands)
+    sh_all = ga.select(
+        "doc_id", F.explode(F.array_distinct("grams")).alias("shingle")
+    )
     a = band_rows.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = band_rows.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     candidates = (
@@ -273,17 +324,29 @@ def minhash_lsh_duplicates(
 
 def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     """(doc_id, simhash BIGINT): per-token 64-bit hash, bitwise majority
-    vote. Near-dups share most bits (compare via hamming distance)."""
-    tok = documents.select(
-        "doc_id", F.explode(_norm_tokens(F.col("text"))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    vote. Near-dups share most bits (compare via hamming distance).
+
+    Votes are in-row array folds over the per-row token-hash array (one
+    project-level column, shared by all ``bits`` aggregates) instead of
+    explode + a bits-wide groupBy — a corpus-sized token-stream shuffle
+    becomes a narrow map stage; integer vote sums are order-free, so
+    the values are bit-identical."""
+    hashed = documents.select(
+        "doc_id",
+        F.transform(_norm_tokens(F.col("text")), lambda t: F.xxhash64(t)).alias(
+            "hs"
+        ),
+    )
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         ).alias(f"b{i}")
         for i in range(bits)
     ]
-    agg = tok.groupBy("doc_id").agg(*votes)
+    agg = hashed.select("doc_id", *votes)
     sim = F.lit(0).cast("long")
     for i in range(bits):
         sim = sim + F.when(
@@ -343,26 +406,19 @@ def exact_duplicate_pairs(documents: DataFrame) -> DataFrame:
 
 def _kgram_starts(documents: DataFrame, k: int) -> DataFrame:
     """(doc_id, pos, gram): every token k-gram occurrence of the
-    normalized text with its 0-based start position. Same lead-window
-    stitch as :func:`shingles` (see its docstring for why the inline
-    ``transform(sequence(...))`` alternative is quadratic), but keeps
-    positions and does NOT de-duplicate — ExactSubstr needs every
-    occurrence."""
-    from pyspark.sql import Window
-
-    toks = documents.select(
-        "doc_id", F.posexplode(_norm_tokens(F.col("text"))).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    normalized text with its 0-based start position — ``posexplode`` of
+    the in-row gram array (:func:`_gram_arrays`), whose index IS the
+    start position. Keeps every occurrence (no de-duplication —
+    ExactSubstr needs them all) and, like :func:`shingles`, removes the
+    doc_id window shuffle the old posexplode + lead stitch paid (see
+    the _gram_arrays docstring for the lambda re-evaluation trip-wire
+    the array shape must avoid)."""
     return (
-        toks.select(
+        _gram_arrays(documents, k)
+        .select(
             "doc_id",
-            "pos",
-            F.concat_ws(" ", *parts).alias("gram"),
-            parts[-1].isNotNull().alias("full"),
+            F.posexplode("grams").alias("pos", "gram"),
         )
-        .where(F.col("full"))
         .select("doc_id", "pos", "gram")
     )
 

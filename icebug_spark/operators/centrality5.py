@@ -124,14 +124,18 @@ def _swap_local_search(
             )
             .localCheckpoint(eager=True)
         )
-        a_rows = (
-            stats.where(F.col("arg1").isNotNull())
-            .groupBy(F.col("arg1").alias("o"))
-            .agg(F.sum(F.col("min2") - F.col("min1")).alias("a"))
-            .collect()
+        # A(o) rows and the candidate (B, C) rows ride ONE tagged union →
+        # one groupBy → one collect: 2 Spark jobs per swap round (stats
+        # checkpoint + this) instead of 3 (stats + two separate collects).
+        # A-rows carry cand=NULL; the grouped output is k + k·|pool| cells.
+        a_part = stats.where(F.col("arg1").isNotNull()).select(
+            F.lit(None).cast("bigint").alias("cand"),
+            F.col("arg1").alias("o"),
+            (F.col("min2") - F.col("min1")).alias("v1"),
+            F.lit(0).cast("bigint").alias("v2"),
         )
         # candidate-reached rows only — no dense universe×cands grid;
-        # one aggregation yields both the per-candidate gain (summed over
+        # the aggregation yields both the per-candidate gain (summed over
         # arg1) and the per-(candidate, arg1) overlap correction
         dcr = (
             d.join(F.broadcast(cands), "s")
@@ -140,20 +144,30 @@ def _swap_local_search(
         )
         gain1 = F.least(F.lit(0), F.col("dc") - F.col("min1"))
         gain2 = F.least(F.lit(0), F.col("dc") - F.col("min2"))
-        bc_rows = (
-            dcr.groupBy("cand", "arg1")
-            .agg(F.sum(gain1).alias("g1"), F.sum(gain2 - gain1).alias("g2c"))
+        bc_part = dcr.select(
+            "cand",
+            F.col("arg1").alias("o"),
+            gain1.alias("v1"),
+            (gain2 - gain1).alias("v2"),
+        )
+        rows = (
+            a_part.unionByName(bc_part)
+            .groupBy("cand", "o")
+            .agg(F.sum("v1").alias("v1"), F.sum("v2").alias("v2"))
             .collect()
         )
         # combine on the driver: the grid is only k·|pool| cells
-        a_map = {int(r["o"]): int(r["a"]) for r in a_rows}
+        a_map: dict[int, int] = {}
         b_map: dict[int, int] = {}
         c_map: dict[tuple[int, int], int] = {}
-        for r in bc_rows:
-            cnd = int(r["cand"])
-            b_map[cnd] = b_map.get(cnd, 0) + int(r["g1"])
-            if r["arg1"] is not None:
-                c_map[(cnd, int(r["arg1"]))] = int(r["g2c"])
+        for r in rows:
+            if r["cand"] is None:
+                a_map[int(r["o"])] = int(r["v1"])
+            else:
+                cnd = int(r["cand"])
+                b_map[cnd] = b_map.get(cnd, 0) + int(r["v1"])
+                if r["o"] is not None:
+                    c_map[(cnd, int(r["o"]))] = int(r["v2"])
         best = min(
             (
                 (
