@@ -187,22 +187,65 @@ def _sampled_path_members(
     the interior-node memberships (pair, id). All pairs advance together:
     one pair-keyed multi-source BFS forward (dist, σ), then a σ-weighted
     backward walk one level per round."""
-    # forward multi-source BFS with path counts sigma, keyed by pair
-    frontier = pairs.select("pair", F.col("s").alias("id"), F.lit(0).alias("dist"), F.lit(1.0).alias("sigma"))
-    settled = frontier
-    for _d in range(vd + 2):
-        nxt = (
-            frontier.join(eu.withColumnRenamed("src", "id"), "id")
-            .select("pair", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"), "sigma")
-            .groupBy("pair", "id", "dist")
-            .agg(F.sum("sigma").alias("sigma"))
-            .join(settled.select("pair", F.col("id").alias("id"), F.lit(1).alias("seen")).distinct(), ["pair", "id"], "left_anti")
+    # forward multi-source BFS with path counts sigma, keyed by pair —
+    # the fused level shape (see traversal.multi_source_bfs): the state
+    # rides the expansion's exchange as carrier rows, a node is NEW
+    # exactly when its group has no carrier, and σ(new node) is the sum
+    # of this level's message σ's (σ of seen nodes is carried through
+    # untouched). One job and one exchange per level, vs the old
+    # checkpoint + limit(1).count + settled-union-checkpoint triple.
+    from icebug_spark.plans.iterate import checkpoint, checkpoint_observe, mirror
+
+    state = checkpoint(
+        pairs.select(
+            "pair",
+            F.col("s").alias("id"),
+            F.lit(0).alias("dist"),
+            F.lit(1.0).alias("sigma"),
+            F.lit(True).alias("frontier"),
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.limit(1).count() == 0:
+    )
+    # frontier row bound for mirror(): the source count to start, then
+    # the exact observed new-node count from each level's checkpoint
+    frontier_rows = state.count()
+    for _d in range(vd + 2):
+        frontier = state.where(F.col("frontier"))
+        msgs = (
+            mirror(frontier, frontier_rows)
+            .join(eu.withColumnRenamed("src", "id"), "id")
+            .select(
+                "pair",
+                F.col("dst").alias("id"),
+                (F.col("dist") + 1).alias("dist"),
+                "sigma",
+                F.lit(False).alias("seen"),
+            )
+        )
+        merged = (
+            state.select("pair", "id", "dist", "sigma", F.lit(True).alias("seen"))
+            .unionByName(msgs)
+            .groupBy("pair", "id")
+            .agg(
+                F.min(F.when(F.col("seen"), F.col("dist"))).alias("sd"),
+                F.min(F.when(~F.col("seen"), F.col("dist"))).alias("md"),
+                F.max(F.when(F.col("seen"), F.col("sigma"))).alias("ssig"),
+                F.sum(F.when(~F.col("seen"), F.col("sigma"))).alias("msig"),
+            )
+            .select(
+                "pair",
+                "id",
+                F.coalesce("sd", "md").alias("dist"),
+                F.coalesce("ssig", "msig").alias("sigma"),
+                F.col("sd").isNull().alias("frontier"),
+            )
+        )
+        state, m = checkpoint_observe(
+            merged, F.sum(F.col("frontier").cast("long")).alias("nf")
+        )
+        frontier_rows = int(m["nf"] or 0)
+        if frontier_rows == 0:
             break
-        settled = settled.union(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+    settled = state.select("pair", "id", "dist", "sigma")
 
     # backward pass: walk from t toward s one level per round, all pairs
     # simultaneously; predecessor chosen σ-weighted via seeded hash

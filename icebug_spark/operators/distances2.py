@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from icebug_spark.operators.traversal import multi_source_bfs
-from icebug_spark.plans.iterate import mirror
+from icebug_spark.plans.iterate import checkpoint_observe, mirror
 
 _PHI = 0.77351  # Flajolet-Martin bias correction
 
@@ -80,32 +80,31 @@ def anf_sketch_iteration(
     n = nodes.count() * max(1, k // 4)
     out = [(0, float(nodes.count()))]
     for h in range(1, max_h + 1):
-        nbr = (
+        msgs = (
             # mirror(): node-bounded sketches move, the edge table stays
             eu.join(mirror(sk, n).withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
+            .select(F.col("dst").alias("id"), "sk")
+        )
+        # OR is idempotent/commutative, so sk(v) ← sk(v) OR (OR of
+        # neighbor sketches) is ONE grouped bit_or over the node's own
+        # sketch (carrier row) unioned with its neighbors' — the old
+        # join-back of the aggregated neighbor sketch onto the state
+        # (second n-row join + zip_with) folds into the same exchange.
+        # The pair estimate rides the checkpoint as an observed metric:
+        # one Spark job per round instead of two.
+        merged = (
+            sk.unionByName(msgs)
+            .groupBy("id")
             .agg(
                 F.array(
                     *[F.bit_or(F.element_at("sk", j + 1)).alias(f"r{j}") for j in range(k)]
-                ).alias("nsk")
+                ).alias("sk")
             )
         )
-        sk = (
-            sk.join(mirror(nbr, n), "id", "left")
-            .select(
-                "id",
-                F.when(F.col("nsk").isNull(), F.col("sk"))
-                .otherwise(
-                    F.zip_with("sk", "nsk", lambda a, b: a.bitwiseOR(b))
-                )
-                .alias("sk"),
-            )
-            .localCheckpoint(eager=True)
+        sk, met = checkpoint_observe(
+            merged, F.sum(_estimate(F.col("sk"))).alias("t")
         )
-        total = sk.select(_estimate(F.col("sk")).alias("est")).agg(
-            F.sum("est").alias("t")
-        ).collect()[0]["t"]
-        out.append((h, float(total)))
+        out.append((h, float(met["t"])))
     return spark.createDataFrame(out, "h INT, n_pairs_est DOUBLE")
 
 
