@@ -144,15 +144,26 @@ def derived_edges_undirected(
         cached = _EU_CACHE.get(key)
         if cached is not None:
             return cached
-    # materialize E on the way: the first EU consumer pays one extra
-    # (cheap) checkpoint job, and every later E consumer — C/kernel
-    # (q24/q25/edge scores), assortativity, the weighted-edge twins —
-    # reuses the artifact instead of re-running orders⋈lineitem
-    # (~3 s/query at sf0.1, measured in the r7 bench)
-    eu = symmetrize(derived_edges(spark, sf_dir, materialize=materialize))
-    if materialize:
-        eu = eu.localCheckpoint(eager=True)
-        _EU_CACHE[key] = eu
+    if not materialize:
+        return symmetrize(derived_edges(spark, sf_dir, materialize=False))
+    # EU as a DISJOINT union of the canonical artifact: C holds each
+    # undirected edge once as u < v, so C, reverse(C) and the self-loops
+    # of E are pairwise disjoint and their union needs NO distinct — the
+    # old symmetrize(E) shape shuffled 2|E| rows through a dedup
+    # exchange. C is shared with the triangle family, so the only
+    # exchange left in the whole EU build is C's own least/greatest
+    # distinct (|E| rows, half the bytes). Same disjointness argument
+    # holds at 100 TB: the canonical table is the stored artifact and
+    # the undirected view is a projection-union of it.
+    c = derived_canonical_edges(spark, sf_dir)
+    e = derived_edges(spark, sf_dir, materialize=True)
+    eu = (
+        c.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .union(c.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .union(e.where(F.col("src") == F.col("dst")))
+    )
+    eu = eu.localCheckpoint(eager=True)
+    _EU_CACHE[key] = eu
     return eu
 
 
@@ -223,12 +234,16 @@ def build_derived_artifacts(spark: SparkSession, sf_dir: str) -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     # EW is the single shared build now: one orders⋈lineitem + one groupBy
-    # shuffle, checkpointed; E is its zero-shuffle projection. The old
-    # shape ran the fact-table join twice (E's DISTINCT and EW's groupBy).
-    derived_edges(spark, sf_dir, materialize=True)
+    # shuffle, checkpointed; E is its zero-shuffle projection and C is the
+    # one remaining dedup exchange. EU and the triangle kernel both hang
+    # off C (EU as a disjoint projection-union, the kernel as the
+    # orientation build), so the build is EW → C → two concurrent leaf
+    # jobs. The old shape ran the fact-table join twice and shuffled
+    # 2|E| rows through EU's own distinct.
+    derived_canonical_edges(spark, sf_dir)  # builds EW + E on the way
     jobs = [
         lambda: derived_edges_undirected(spark, sf_dir).count(),
-        lambda: derived_triangle_kernel(spark, sf_dir),  # builds C inside
+        lambda: derived_triangle_kernel(spark, sf_dir),
     ]
     with ThreadPoolExecutor(max_workers=2) as pool:
         for f in [pool.submit(j) for j in jobs]:

@@ -289,20 +289,29 @@ def _kmeans_state(
     ).localCheckpoint(eager=True)
 
     def assign(cent: DataFrame) -> DataFrame:
-        from pyspark.sql import Window
-
-        d2 = F.aggregate(
-            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+        # the k centroids ride ONE broadcast row as an array; the argmin
+        # is an in-row array_min over (d2, cell) structs — struct
+        # ordering IS the (lowest d2, then lowest cell) tie-break — so
+        # an assign is a zero-shuffle projection of the checkpointed
+        # quantized table. The old shape exploded n·k rows through a
+        # Window.partitionBy(vec_id) shuffle per assign call.
+        cents = cent.agg(F.collect_list(F.struct("cell", "cv")).alias("cents"))
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with("qv", c["cv"], lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        )["cell"]
         return (
-            q.crossJoin(F.broadcast(cent))
-            .select("vec_id", "qv", "cell", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "qv", "cell")
+            q.crossJoin(F.broadcast(cents))
+            .select("vec_id", "qv", best.alias("cell"))
         )
 
     from icebug_spark.plans.zipindex import dense_index
@@ -516,19 +525,23 @@ def kcenter_select(
 
     seed = q.orderBy(F.asc("vec_id")).limit(1).collect()[0]
     out = [(0, int(seed["vec_id"]), 0)]
-    cv = F.array(*[F.lit(int(v)) for v in seed["qv"]])
-    state = q.select("vec_id", "qv", d2_to(cv).alias("mind")).localCheckpoint(
-        eager=True
-    )
+    # every chosen center is a DRIVER-known k·dim literal, so the
+    # min-distance state is a composed least(...) chain evaluated
+    # directly on the checkpointed quantized table — one TakeOrdered job
+    # per greedy round instead of two (argmax collect + state
+    # checkpoint). k folds per row in the last round is trivial next to
+    # a full-table materialization per round.
+    mind = d2_to(F.array(*[F.lit(int(v)) for v in seed["qv"]]))
     for rank in range(1, int(k)):
         far = (
-            state.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()[0]
+            q.select("vec_id", "qv", mind.alias("mind"))
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
         )
         out.append((rank, int(far["vec_id"]), int(far["mind"])))
         cv = F.array(*[F.lit(int(v)) for v in far["qv"]])
-        state = state.select(
-            "vec_id", "qv", F.least("mind", d2_to(cv)).alias("mind")
-        ).localCheckpoint(eager=True)
+        mind = F.least(mind, d2_to(cv))
     return embeddings.sparkSession.createDataFrame(
         out, "center_rank INT, vec_id BIGINT, d2 BIGINT"
     )

@@ -78,17 +78,27 @@ def _bpe_merge_list(
     :func:`bpe_segment_counts`: → [(rank, lhs, rhs, merged, count)]."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    state = pin(
+    # the word-TYPE table is pinned ONCE; each round re-applies the
+    # merges learned so far as one composed column expression (exactly
+    # the bpe_segment_counts shape) instead of materializing a new state
+    # table per merge — one Spark job per rank (the best-pair collect)
+    # instead of two (collect + pin). The fold chain is linear in the
+    # word length and the type table is vocabulary-sized, so recomputing
+    # r folds in round r is far cheaper than r materializations.
+    base = pin(
         word_table(documents).select("word", "freq", _char_syms().alias("syms"))
     )
     out: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, int(n_merges) + 1):
-        pairs = state.select(
+        syms = F.col("syms")
+        for _rk, lhs_m, rhs_m, _m, _c in out:
+            syms = _apply_merge(syms, lhs_m, rhs_m)
+        pairs = base.select("freq", syms.alias("s")).select(
             "freq",
             F.explode(
                 F.arrays_zip(
-                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    F.slice(F.col("s"), 1, F.size("s") - 1),
+                    F.slice(F.col("s"), 2, F.size("s") - 1),
                 )
             ).alias("p"),
         ).select(
@@ -106,11 +116,6 @@ def _bpe_merge_list(
             break
         lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
         out.append((rank, lhs, rhs, lhs + rhs, cnt))
-        state = pin(
-            state.select(
-                "word", "freq", _apply_merge(F.col("syms"), lhs, rhs).alias("syms")
-            )
-        )
     return out
 
 

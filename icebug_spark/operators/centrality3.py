@@ -55,15 +55,25 @@ def group_degree_greedy(eu: DataFrame, k: int = 5) -> DataFrame:
     spark = eu.sparkSession
     arcs = eu.select("src", "dst").localCheckpoint(eager=True)
     chosen: list[tuple[int, int, int]] = []
-    covered = spark.createDataFrame([], "id BIGINT")
-    group = spark.createDataFrame([], "id BIGINT")
+    # the group is a driver-known ≤k id list → isin filters instead of
+    # anti-joins against a checkpointed single-column table; covered is a
+    # union of ≤k neighbor filters over the checkpointed arcs, so its
+    # lineage stays k-deep and needs no per-round materialization. One
+    # Spark job per greedy round (the gains collect) instead of three
+    # (gains + covered checkpoint + group checkpoint).
+    newly_parts: list[DataFrame] = []
     for rnd in range(k):
         # marginal gain: neighbors not covered and not in group
+        g = arcs
+        if chosen:
+            ids = [c[0] for c in chosen]
+            g = g.where(~F.col("src").isin(ids)).where(~F.col("dst").isin(ids))
+            covered = newly_parts[0]
+            for p in newly_parts[1:]:
+                covered = covered.union(p)
+            g = g.join(covered, "dst", "left_anti")
         gains = (
-            arcs.join(covered.withColumnRenamed("id", "dst"), "dst", "left_anti")
-            .join(group.withColumnRenamed("id", "dst"), "dst", "left_anti")
-            .join(group.withColumnRenamed("id", "src"), "src", "left_anti")
-            .groupBy("src")
+            g.groupBy("src")
             .agg(F.count(F.lit(1)).alias("gain"))
             .orderBy(F.col("gain").desc(), "src")
             .limit(1)
@@ -76,25 +86,20 @@ def group_degree_greedy(eu: DataFrame, k: int = 5) -> DataFrame:
             # the group"). Fill deterministically with the smallest node
             # ids outside the group; the collect is k-bounded.
             need = k - len(chosen)
-            fill = (
+            fill_q = (
                 arcs.select(F.col("src").alias("id"))
                 .union(arcs.select(F.col("dst").alias("id")))
                 .distinct()
-                .join(group, "id", "left_anti")
-                .orderBy("id")
-                .limit(need)
-                .collect()
             )
+            if chosen:
+                fill_q = fill_q.where(~F.col("id").isin([c[0] for c in chosen]))
+            fill = fill_q.orderBy("id").limit(need).collect()
             for j, frow in enumerate(fill):
                 chosen.append((int(frow["id"]), 0, rnd + j))
             break
         best, gain = int(gains[0]["src"]), int(gains[0]["gain"])
         chosen.append((best, gain, rnd))
-        newly = arcs.where(F.col("src") == best).select(F.col("dst").alias("id"))
-        covered = covered.union(newly).distinct().localCheckpoint(eager=True)
-        group = group.union(spark.createDataFrame([(best,)], "id BIGINT")).localCheckpoint(
-            eager=True
-        )
+        newly_parts.append(arcs.where(F.col("src") == best).select("dst"))
     return spark.createDataFrame(chosen, "id BIGINT, marginal_gain BIGINT, round INT")
 
 
@@ -114,16 +119,30 @@ def group_harmonic_greedy(eu: DataFrame, k: int = 5, max_hops: int = 16) -> Data
         F.col("source").alias("c"), F.col("id").alias("v"), "dist"
     ).localCheckpoint(eager=True)
     chosen: list[tuple[int, float, int]] = []
-    dbest = None  # (v, db): distance to the chosen group
+    # the group's distance table dbest(v) = min over chosen c of d(c,v)
+    # is DERIVED inside each round's scores plan from the checkpointed
+    # BFS table (an isin filter + groupBy-min) instead of being
+    # maintained as a separate full-outer-join + checkpoint chain — one
+    # Spark job per greedy round instead of two. min-of-mins equals the
+    # group min exactly, and a v reachable by no chosen source is absent
+    # from the aggregate exactly as it was absent from the join chain.
     for rnd in range(k):
-        if dbest is None:
+        chosen_ids = [c for c, _g, _r in chosen]
+        if not chosen_ids:
             scores = (
                 d.where(F.col("dist") > 0)
                 .groupBy("c")
                 .agg(F.sum(1.0 / F.col("dist")).alias("score"))
             )
         else:
-            joined = d.join(dbest, "v", "left")
+            dbest = (
+                d.where(F.col("c").isin(chosen_ids))
+                .groupBy("v")
+                .agg(F.min("dist").alias("db"))
+            )
+            joined = (
+                d.where(~F.col("c").isin(chosen_ids)).join(dbest, "v", "left")
+            )
             # v's current contribution: 1/db; db==0 means v IS a group
             # member (contribution saturated — no candidate can improve it)
             prev = (
@@ -154,21 +173,6 @@ def group_harmonic_greedy(eu: DataFrame, k: int = 5, max_hops: int = 16) -> Data
             break
         best, gain = int(top[0]["c"]), float(top[0]["score"])
         chosen.append((best, round(gain, 6), rnd))
-        dc = d.where(F.col("c") == best).select("v", F.col("dist").alias("dc"))
-        if dbest is None:
-            dbest = dc.withColumnRenamed("dc", "db").localCheckpoint(eager=True)
-        else:
-            dbest = (
-                dbest.join(dc, "v", "full")
-                .select(
-                    "v",
-                    F.least(
-                        F.coalesce("db", F.lit(1 << 30)), F.coalesce("dc", F.lit(1 << 30))
-                    ).alias("db"),
-                )
-                .localCheckpoint(eager=True)
-            )
-        d = d.where(F.col("c") != best)
     return spark.createDataFrame(chosen, "id BIGINT, marginal_gain DOUBLE, round INT")
 
 

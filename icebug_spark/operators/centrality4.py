@@ -249,18 +249,24 @@ def _sampled_path_members(
 
     # backward pass: walk from t toward s one level per round, all pairs
     # simultaneously; predecessor chosen σ-weighted via seeded hash
-    t_dist = (
+    # the next level's activity test rides each checkpoint as an observed
+    # count (dist>1 rows), so a backward level is ONE job — the old shape
+    # paid a separate limit(1).count existence job per level
+    _active_agg = F.sum((F.col("dist") > 1).cast("long")).alias("na")
+    t_dist, m = checkpoint_observe(
         pairs.join(
             settled.select("pair", F.col("id").alias("t"), "dist", "sigma"), ["pair", "t"]
         )
-        .select("pair", F.col("t").alias("cur"), "dist")
-    ).localCheckpoint(eager=True)
+        .select("pair", F.col("t").alias("cur"), "dist"),
+        _active_agg,
+    )
+    n_active = int(m["na"] or 0)
     visits = []
     cur = t_dist
     for _lvl in range(vd + 2):
-        active = cur.where(F.col("dist") > 1)
-        if active.limit(1).count() == 0:
+        if n_active == 0:
             break
+        active = cur.where(F.col("dist") > 1)
         preds = (
             active.join(eu.withColumnRenamed("dst", "cur").withColumnRenamed("src", "pred"), "cur")
             .join(
@@ -275,12 +281,13 @@ def _sampled_path_members(
         wnd = Window.partitionBy("pair", "cur").orderBy(
             F.desc(F.col("psig") * F.abs(F.xxhash64(F.lit(seed), "pair", "pred", "dist")) ), F.asc("pred")
         )
-        chosen = (
+        chosen, m = checkpoint_observe(
             preds.withColumn("rn", F.row_number().over(wnd))
             .where(F.col("rn") == 1)
-            .select("pair", F.col("pred").alias("cur"), (F.col("dist") - 1).alias("dist"))
-            .localCheckpoint(eager=True)
+            .select("pair", F.col("pred").alias("cur"), (F.col("dist") - 1).alias("dist")),
+            _active_agg,
         )
+        n_active = int(m["na"] or 0)
         visits.append(chosen.where(F.col("dist") >= 1).select("pair", F.col("cur").alias("id")))
         cur = chosen
 

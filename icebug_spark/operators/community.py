@@ -395,23 +395,42 @@ def nmi(pa: DataFrame, pb: DataFrame) -> DataFrame:
     )
 
 
+def pair_count_sums(pa: DataFrame, pb: DataFrame) -> tuple[int, int, int, int]:
+    """(n, s11, s_a, s_b) pair-count scalars of the contingency table, in
+    ONE Spark job: the cells, the per-subset_a sums and the per-subset_b
+    sums are three tagged groupings of the same table, so a tagged union
+    → one groupBy → one final agg replaces the old checkpoint + four
+    sequential collect jobs (5 jobs → 1). The addends m(m−1)/2 are
+    integers (exact in doubles), so grouping order cannot change values.
+    Shared by adjusted_rand / rand_index / JaccardMeasure."""
+    ct = contingency(pa, pb)
+    u = (
+        ct.select(F.lit("c").alias("tag"), F.col("subset_a").alias("k1"),
+                  F.col("subset_b").alias("k2"), "n")
+        .union(ct.select(F.lit("a"), F.col("subset_a"),
+                         F.lit(None).cast(ct.schema["subset_b"].dataType), "n"))
+        .union(ct.select(F.lit("b"), F.col("subset_b"),
+                         F.lit(None).cast(ct.schema["subset_a"].dataType), "n"))
+    )
+    pairs = (F.col("m") * (F.col("m") - 1) / 2)
+    row = (
+        u.groupBy("tag", "k1", "k2").agg(F.sum("n").alias("m"))
+        .agg(
+            F.sum(F.when(F.col("tag") == "c", F.col("m"))).alias("n_tot"),
+            F.sum(F.when(F.col("tag") == "c", pairs)).cast("long").alias("s11"),
+            F.sum(F.when(F.col("tag") == "a", pairs)).cast("long").alias("s_a"),
+            F.sum(F.when(F.col("tag") == "b", pairs)).cast("long").alias("s_b"),
+        )
+        .collect()[0]
+    )
+    return (row["n_tot"] or 0, row["s11"] or 0, row["s_a"] or 0, row["s_b"] or 0)
+
+
 def adjusted_rand(pa: DataFrame, pb: DataFrame) -> DataFrame:
     """Adjusted Rand index (reference AdjustedRandMeasure.hpp:12 reports
     the distance 1−ARI). Single row (ari DOUBLE, 6dp); exact integer
     pair-count sums feed one final double expression."""
-    ct = contingency(pa, pb).localCheckpoint(eager=True)
-    n = ct.agg(F.sum("n")).collect()[0][0]
-    sum_ij = ct.agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("s")).collect()[0][0]
-    sum_a = (
-        ct.groupBy("subset_a").agg(F.sum("n").alias("na"))
-        .agg(F.sum(F.col("na") * (F.col("na") - 1) / 2).cast("long").alias("s"))
-        .collect()[0][0]
-    )
-    sum_b = (
-        ct.groupBy("subset_b").agg(F.sum("n").alias("nb"))
-        .agg(F.sum(F.col("nb") * (F.col("nb") - 1) / 2).cast("long").alias("s"))
-        .collect()[0][0]
-    )
+    n, sum_ij, sum_a, sum_b = pair_count_sums(pa, pb)
     total_pairs = n * (n - 1) // 2
     expected = sum_a * sum_b / total_pairs if total_pairs else 0.0
     max_index = (sum_a + sum_b) / 2.0
@@ -423,17 +442,7 @@ def adjusted_rand(pa: DataFrame, pb: DataFrame) -> DataFrame:
 
 def rand_index(pa: DataFrame, pb: DataFrame) -> DataFrame:
     """Plain Rand index (NodeStructuralRandMeasure.hpp:20). 6dp."""
-    ct = contingency(pa, pb).localCheckpoint(eager=True)
-    n = ct.agg(F.sum("n")).collect()[0][0]
-    s_ij = ct.agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long")).collect()[0][0]
-    s_a = (
-        ct.groupBy("subset_a").agg(F.sum("n").alias("na"))
-        .agg(F.sum(F.col("na") * (F.col("na") - 1) / 2).cast("long")).collect()[0][0]
-    )
-    s_b = (
-        ct.groupBy("subset_b").agg(F.sum("n").alias("nb"))
-        .agg(F.sum(F.col("nb") * (F.col("nb") - 1) / 2).cast("long")).collect()[0][0]
-    )
+    n, s_ij, s_a, s_b = pair_count_sums(pa, pb)
     total = n * (n - 1) // 2
     agree = total + 2 * s_ij - s_a - s_b
     spark = pa.sparkSession

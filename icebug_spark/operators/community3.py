@@ -564,26 +564,12 @@ def jaccard_measure(pa: DataFrame, pb: DataFrame) -> DataFrame:
     intersection classes ARE the contingency cells, so no explicit
     PartitionIntersection materialization is needed. → 1 row
     (jaccard_distance DOUBLE, 6dp)."""
-    from icebug_spark.operators.community import contingency
+    from icebug_spark.operators.community import pair_count_sums
 
-    ct = contingency(pa, pb).localCheckpoint(eager=True)
-    n = ct.agg(F.sum("n")).collect()[0][0] or 0
-    s11 = (
-        ct.agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long")).collect()[0][0]
-        or 0
-    )
-    s_zeta = (
-        ct.groupBy("subset_a").agg(F.sum("n").alias("na"))
-        .agg(F.sum(F.col("na") * (F.col("na") - 1) / 2).cast("long"))
-        .collect()[0][0]
-        or 0
-    )
-    s_eta = (
-        ct.groupBy("subset_b").agg(F.sum("n").alias("nb"))
-        .agg(F.sum(F.col("nb") * (F.col("nb") - 1) / 2).cast("long"))
-        .collect()[0][0]
-        or 0
-    )
+    # All four scalars ride community.pair_count_sums' single tagged-union
+    # aggregation job (the old shape here was a checkpoint + four
+    # sequential collects — 5 Spark jobs for one tiny table).
+    n, s11, s_zeta, s_eta = pair_count_sums(pa, pb)
     s00 = n * (n - 1) / 2 + s11 - (s_zeta + s_eta)
     divisor = n * (n - 1) - 2.0 * s00
     jaccard = 1.0 - (2.0 * s11) / divisor if divisor > 0 else 0.0

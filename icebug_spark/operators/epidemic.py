@@ -33,25 +33,36 @@ def seir_simulation(
     infectious neighbors becomes exposed iff min over contacts of
     hash-u01(src, dst, step, seed) < trans_p (per-contact independent
     coins, deterministic)."""
+    from icebug_spark.plans.iterate import checkpoint_observe
+
     spark = eu.sparkSession
     nodes = (
         eu.select(F.col("src").alias("id"))
         .union(eu.select(F.col("dst").alias("id")))
         .distinct()
     )
-    state = nodes.select(
-        "id",
-        F.when(F.col("id") == zero, F.lit(I)).otherwise(F.lit(S)).alias("state"),
-        F.when(F.col("id") == zero, F.lit(t_inf)).otherwise(F.lit(0)).alias("timer"),
-    ).localCheckpoint(eager=True)
+    # the per-step compartment census is observed DURING the state
+    # checkpoint (one Spark job per step; the old shape ran a separate
+    # groupBy-collect census job before every update — 2 jobs/step)
+    def _census_aggs():
+        return [
+            F.sum(F.when(F.col("state") == c, 1).otherwise(0)).alias(f"n{c}")
+            for c in (S, E, I, R)
+        ]
+
+    state, metrics = checkpoint_observe(
+        nodes.select(
+            "id",
+            F.when(F.col("id") == zero, F.lit(I)).otherwise(F.lit(S)).alias("state"),
+            F.when(F.col("id") == zero, F.lit(t_inf)).otherwise(F.lit(0)).alias("timer"),
+        ),
+        *_census_aggs(),
+    )
     census = []
     for step in range(steps):
-        counts = state.groupBy("state").agg(F.count(F.lit(1)).alias("n")).collect()
-        by = {r["state"]: r["n"] for r in counts}
-        census.append(
-            (step, by.get(S, 0), by.get(E, 0), by.get(I, 0), by.get(R, 0))
-        )
-        if by.get(E, 0) == 0 and by.get(I, 0) == 0:
+        by = {c: int(metrics[f"n{c}"] or 0) for c in (S, E, I, R)}
+        census.append((step, by[S], by[E], by[I], by[R]))
+        if (by[E] == 0 and by[I] == 0) or step == steps - 1:
             break
         infectious = state.where(F.col("state") == I).select(F.col("id").alias("src"))
         contacts = (
@@ -68,7 +79,7 @@ def seir_simulation(
             .select(F.col("dst").alias("id"))
             .distinct()
         )
-        state = (
+        state, metrics = checkpoint_observe(
             state.join(contacts.withColumn("hit", F.lit(1)), "id", "left")
             .select(
                 "id",
@@ -82,8 +93,8 @@ def seir_simulation(
                 .when(F.col("state").isin(E, I), F.col("timer") - 1)
                 .otherwise(F.lit(0))
                 .alias("timer"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            *_census_aggs(),
         )
     # extinction (E = I = 0) is an absorbing state: the early break above
     # skips the dead simulation work, but the census contract is still

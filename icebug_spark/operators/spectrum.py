@@ -210,17 +210,35 @@ def laplacian_eigenvectors_power(
                     x.join(vj.withColumnRenamed("value", "vj"), "idx")
                     .select("idx", (F.col("value") - F.lit(c) * F.col("vj")).alias("value"))
                 )
-            nrm = np.sqrt(dot(x, x))
+            # ONE job per iteration: the matvec y' = M·x (isolated ids
+            # reinstated) carries x's value alongside, and both scalars
+            # the driver needs — ‖x‖² and x·y' — are observed DURING the
+            # checkpoint. The Rayleigh quotient of the normalized vector
+            # is (x·Mx)/(x·x) exactly, so the normalization folds into
+            # the two observed sums; the next iterate y'/‖x‖ is a lazy
+            # projection of the checkpointed result. The old shape paid
+            # four jobs here (nrm dot, mxv checkpoint, reinstate
+            # checkpoint, Rayleigh dot).
+            from icebug_spark.plans.iterate import checkpoint_observe
+
+            y_plan = (
+                nodes.join(mxv(m, x), "idx", "left")
+                .select("idx", F.coalesce("value", F.lit(0.0)).alias("value"))
+                .join(x.withColumnRenamed("value", "xv"), "idx")
+            )
+            y, met = checkpoint_observe(
+                y_plan,
+                F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+                F.sum(F.col("xv") * F.col("value")).alias("sxy"),
+            )
+            sxx = float(met["sxx"] or 0.0)
+            nrm = np.sqrt(sxx)
             if nrm == 0.0:
                 break
-            x = x.select("idx", (F.col("value") / F.lit(float(nrm))).alias("value"))
-            y = mxv(m, x).localCheckpoint(eager=True)
-            # mxv drops implicit-zero rows; reinstate them for isolated ids
-            y = nodes.join(y, "idx", "left").select(
-                "idx", F.coalesce("value", F.lit(0.0)).alias("value")
-            ).localCheckpoint(eager=True)
-            new_lam = dot(x, y)  # Rayleigh quotient of the SHIFTED operator
-            x = y
+            new_lam = float(met["sxy"] or 0.0) / sxx
+            x = y.select(
+                "idx", (F.col("value") / F.lit(float(nrm))).alias("value")
+            )
             if it > 2 and abs(new_lam - lam) <= tol * max(1.0, abs(new_lam)):
                 lam = new_lam
                 break
