@@ -14,6 +14,8 @@ oracle baseline.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -326,33 +328,40 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     """(doc_id, simhash BIGINT): per-token 64-bit hash, bitwise majority
     vote. Near-dups share most bits (compare via hamming distance).
 
-    Votes are in-row array folds over the per-row token-hash array (one
-    project-level column, shared by all ``bits`` aggregates) instead of
-    explode + a bits-wide groupBy — a corpus-sized token-stream shuffle
-    becomes a narrow map stage; integer vote sums are order-free, so
-    the values are bit-identical."""
+    The vote matrix is computed by ONE Arrow-vectorized pandas_udf over
+    just the per-row token-hash array (guide §4.2: hand whole batches to
+    numpy): `bits` interpreted higher-order folds per row — Spark HOFs
+    are not codegen'd, so the previous in-row shape paid `bits`·|tokens|
+    lambda interpretations per document — become a single vectorized
+    bit-matrix popcount. Still zero shuffles, and every operation is
+    two's-complement integer arithmetic identical to the JVM expressions
+    (bit i of an arithmetic-shifted long, wrap-around packing of bit 63),
+    so the signatures are bit-identical."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _sim(hs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        shifts = np.arange(bits, dtype=np.uint64)
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            if arr is None or len(arr) == 0:
+                continue
+            a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            ones = ((a[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            votes = 2 * ones.astype(np.int64) - np.int64(len(a))
+            packed = (np.uint64(1) << shifts[votes > 0]).sum(dtype=np.uint64)
+            out[i] = np.uint64(packed).astype(np.int64)
+        return pd.Series(out)
+
     hashed = documents.select(
         "doc_id",
         F.transform(_norm_tokens(F.col("text")), lambda t: F.xxhash64(t)).alias(
             "hs"
         ),
     )
-    votes = [
-        F.aggregate(
-            F.col("hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    agg = hashed.select("doc_id", *votes)
-    sim = F.lit(0).cast("long")
-    for i in range(bits):
-        sim = sim + F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-    return agg.select("doc_id", sim.alias("simhash"))
+    return hashed.select("doc_id", _sim(F.col("hs")).alias("simhash"))
 
 
 def dedup_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:

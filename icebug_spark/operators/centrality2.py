@@ -194,8 +194,12 @@ def sigma_levels(
     levels = [init]
     settled = init.select("source", "id")
     frontier = init
+    from icebug_spark.plans.iterate import checkpoint_observe
+
     for _h in range(max_hops):
-        nxt = (
+        # the level's emptiness test is observed during its checkpoint —
+        # no separate limit(1).count job per level
+        nxt, m = checkpoint_observe(
             frontier.join(eu, frontier.id == eu.src)
             .select(
                 "source",
@@ -205,10 +209,10 @@ def sigma_levels(
             )
             .join(settled, ["source", "id"], "left_anti")
             .groupBy("source", "id", "dist")
-            .agg(F.sum("sigma").alias("sigma"))
-            .localCheckpoint(eager=True)
+            .agg(F.sum("sigma").alias("sigma")),
+            F.count(F.lit(1)).alias("n"),
         )
-        if nxt.limit(1).count() == 0:
+        if int(m["n"] or 0) == 0:
             break
         levels.append(nxt)
         # levels are disjoint and individually checkpointed: plain union

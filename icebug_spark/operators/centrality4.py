@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from icebug_spark.operators.distances import diameter_double_sweep
+from icebug_spark.plans.iterate import checkpoint_observe
 
 
 def approx_betweenness(
@@ -478,7 +479,7 @@ def k_path_centrality(
         wnd = Window.partitionBy("walk").orderBy(
             F.asc(F.xxhash64(F.lit(seed), "walk", "dst", F.lit(hop))), F.asc("dst")
         )
-        nxt = (
+        nxt, m = checkpoint_observe(
             step.withColumn("rn", F.row_number().over(wnd))
             .where(F.col("rn") == 1)
             .select(
@@ -486,10 +487,10 @@ def k_path_centrality(
                 F.col("dst").alias("cur"),
                 F.array_union("visited", F.array("dst")).alias("visited"),
                 "l",
-            )
-            .localCheckpoint(eager=True)
+            ),
+            F.count(F.lit(1)).alias("n"),
         )
-        if nxt.limit(1).count() == 0:
+        if int(m["n"] or 0) == 0:
             break
         # every arrival counts (KPathCentrality.cpp:88 counter[v]++)
         visits.append(nxt.select(F.col("cur").alias("id")))
@@ -841,16 +842,20 @@ def complex_paths(
     )
     active = seeds
     for rnd in range(1, max_rounds + 1):
-        newly = (
+        # emptiness observed during the checkpoint; the running active
+        # set stays a lazy union of the per-round checkpointed pieces
+        # (depth <= max_rounds) instead of re-materializing per round —
+        # one Spark job per round instead of three
+        newly, m = checkpoint_observe(
             eu.join(active.withColumnRenamed("id", "src").select("src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.count(F.lit(1)).alias("k_active"))
             .where(F.col("k_active") >= threshold)
             .join(active.select("id"), "id", "left_anti")
-            .select("id", F.lit(rnd).alias("round"))
-            .localCheckpoint(eager=True)
+            .select("id", F.lit(rnd).alias("round")),
+            F.count(F.lit(1)).alias("n"),
         )
-        if newly.limit(1).count() == 0:
+        if int(m["n"] or 0) == 0:
             break
-        active = active.union(newly).localCheckpoint(eager=True)
+        active = active.union(newly)
     return active

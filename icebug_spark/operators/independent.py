@@ -20,16 +20,22 @@ def luby_mis(
 ) -> DataFrame:
     """Maximal independent set of an undirected graph (symmetrized edge
     input). Returns (id)."""
+    from icebug_spark.plans.iterate import checkpoint_observe
+
     eu = edges_undirected.select("src", "dst").where(
         F.col("src") != F.col("dst")
     ).localCheckpoint(eager=True)
-    remaining = (
-        eu.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    # the round-start emptiness test rides each remaining-checkpoint as
+    # an observed count — no separate limit(1).count job per round
+    remaining, m = checkpoint_observe(
+        eu.select(F.col("src").alias("id")).distinct(),
+        F.count(F.lit(1)).alias("n"),
     )
+    n_remaining = int(m["n"] or 0)
     spark = edges_undirected.sparkSession
     mis = []
     for rnd in range(max_rounds):
-        if remaining.limit(1).count() == 0:
+        if n_remaining == 0:
             break
         pri = remaining.withColumn(
             "pri", F.xxhash64("id", F.lit(rnd), F.lit(seed))
@@ -59,11 +65,12 @@ def luby_mis(
             .select(F.col("dst").alias("id"))
             .distinct()
         )
-        remaining = (
+        remaining, m = checkpoint_observe(
             remaining.join(winners, "id", "left_anti")
-            .join(losers, "id", "left_anti")
-            .localCheckpoint(eager=True)
+            .join(losers, "id", "left_anti"),
+            F.count(F.lit(1)).alias("n"),
         )
+        n_remaining = int(m["n"] or 0)
         eu = (
             eu.join(remaining.withColumnRenamed("id", "src"), "src", "leftsemi")
             .join(remaining.withColumnRenamed("id", "dst"), "dst", "leftsemi")

@@ -23,11 +23,20 @@ def k_core(edges_undirected: DataFrame, k: int, max_iter: int = 50) -> DataFrame
     vertex-sized degree frame per round ("did any node fall below k?")
     instead of two edge-table counts; rounds that peel nothing never
     rebuild the edge table at all."""
+    from icebug_spark.plans.iterate import checkpoint_observe
+
     eu = edges_undirected.select("src", "dst").localCheckpoint(eager=True)
     for _ in range(max_iter):
-        deg = eu.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        peel = deg.where(F.col("deg") < k).select("src")
-        if peel.limit(1).count() == 0:
+        # materialize the degree table ONCE per round with the peel test
+        # observed during the checkpoint — the old shape ran the degree
+        # groupBy shuffle twice (once under the limit(1).count existence
+        # job, once again inside the edge-rebuild checkpoint's keep
+        # filter)
+        deg, m = checkpoint_observe(
+            eu.groupBy("src").agg(F.count(F.lit(1)).alias("deg")),
+            F.sum((F.col("deg") < k).cast("long")).alias("np"),
+        )
+        if int(m["np"] or 0) == 0:
             break
         keep = deg.where(F.col("deg") >= k).select("src")
         eu = (

@@ -53,15 +53,20 @@ def local_max_matching(
             .agg(F.max(F.struct("weight", "u", "v")).alias("s"))
             .select("id", F.col("s.u").alias("u"), F.col("s.v").alias("v"), F.col("s.weight").alias("weight"))
         )
-        # an edge is matched iff it is the best edge of BOTH endpoints
-        mutual = (
+        # an edge is matched iff it is the best edge of BOTH endpoints.
+        # Both round-control counts (any mutual edge? any residual edge?)
+        # are observed DURING the two checkpoints — the old shape paid a
+        # separate limit(1).count job after each (4 jobs/round -> 2).
+        from icebug_spark.plans.iterate import checkpoint_observe
+
+        mutual, mm = checkpoint_observe(
             best.groupBy("u", "v", "weight")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .where(F.col("cnt") == 2)
-            .select("u", "v", "weight")
-            .localCheckpoint(eager=True)
+            .select("u", "v", "weight"),
+            F.count(F.lit(1)).alias("n"),
         )
-        if mutual.limit(1).count() == 0:
+        if int(mm["n"] or 0) == 0:
             break
         matched.append(mutual)
         if rnd + 1 == max_rounds:
@@ -69,13 +74,13 @@ def local_max_matching(
         used = mutual.select(F.col("u").alias("id")).union(
             mutual.select(F.col("v").alias("id"))
         ).distinct()
-        canon = (
+        canon, cm = checkpoint_observe(
             canon.join(used.withColumnRenamed("id", "u"), "u", "left_anti")
             .join(used.withColumnRenamed("id", "v"), "v", "left_anti")
-            .select("u", "v", "weight")
-            .localCheckpoint(eager=True)
+            .select("u", "v", "weight"),
+            F.count(F.lit(1)).alias("n"),
         )
-        if canon.limit(1).count() == 0:
+        if int(cm["n"] or 0) == 0:
             break
     if not matched:
         return spark.createDataFrame([], "u long, v long, weight double")
@@ -262,14 +267,18 @@ def b_suitor_matching(
             .select("id", (F.col("cap") - F.coalesce("n_used", F.lit(0))).alias("cap"))
             .localCheckpoint(eager=True)
         )
-        canon = (
+        # residual emptiness observed during the rebuild checkpoint — no
+        # separate existence job per round
+        from icebug_spark.plans.iterate import checkpoint_observe
+
+        canon, cm = checkpoint_observe(
             canon.join(mutual.select("u", "v"), ["u", "v"], "left_anti")
             .join(cap.where(F.col("cap") <= 0).select(F.col("id").alias("u")), "u", "left_anti")
             .join(cap.where(F.col("cap") <= 0).select(F.col("id").alias("v")), "v", "left_anti")
-            .select("u", "v", "weight")
-            .localCheckpoint(eager=True)
+            .select("u", "v", "weight"),
+            F.count(F.lit(1)).alias("n"),
         )
-        if canon.limit(1).count() == 0:
+        if int(cm["n"] or 0) == 0:
             break
     if not matched:
         return spark.createDataFrame([], "u long, v long, weight double")

@@ -169,7 +169,10 @@ def union_maximum_spanning_forest(
     for w in levels:
         heavier = canon.where(F.col("weight") > w)
         at_level = canon.where(F.col("weight") == w)
-        if heavier.limit(1).count() == 0:
+        # heavier edges exist iff w is not the maximum level — levels is
+        # already the collected DESC-sorted distinct weight list, so the
+        # old per-level limit(1).count existence job is a list lookup
+        if w == levels[0]:
             out.append(at_level)  # no heavier edges: all level edges qualify
             continue
         eu = heavier.select("u", "v").union(

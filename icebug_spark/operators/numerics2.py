@@ -153,16 +153,22 @@ def greedy_coloring(
     independent set of the residual graph. → (id, color). Classes are
     proper (no edge within a color) — the enabling property for chromatic
     Gauss-Seidel and other within-class-parallel sweeps."""
+    from icebug_spark.plans.iterate import checkpoint_observe
+
     eu = edges_undirected.select("src", "dst").where(
         F.col("src") != F.col("dst")
     ).localCheckpoint(eager=True)
-    remaining_nodes = (
-        eu.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    # residual emptiness observed during each remaining-checkpoint — no
+    # separate limit(1).count job per color round
+    remaining_nodes, rm = checkpoint_observe(
+        eu.select(F.col("src").alias("id")).distinct(),
+        F.count(F.lit(1)).alias("n"),
     )
+    n_remaining = int(rm["n"] or 0)
     spark = edges_undirected.sparkSession
     out = []
     for c in range(max_colors):
-        if remaining_nodes.limit(1).count() == 0:
+        if n_remaining == 0:
             break
         mis = luby_mis(eu, seed=seed + c)
         # isolated-in-residual nodes never appear in eu: add them all
@@ -171,9 +177,11 @@ def greedy_coloring(
         )
         cls = mis.select("id").union(isolated).distinct().localCheckpoint(eager=True)
         out.append(cls.withColumn("color", F.lit(c)))
-        remaining_nodes = remaining_nodes.join(cls, "id", "left_anti").localCheckpoint(
-            eager=True
+        remaining_nodes, rm = checkpoint_observe(
+            remaining_nodes.join(cls, "id", "left_anti"),
+            F.count(F.lit(1)).alias("n"),
         )
+        n_remaining = int(rm["n"] or 0)
         eu = (
             eu.join(cls.withColumnRenamed("id", "src"), "src", "left_anti")
             .join(cls.withColumnRenamed("id", "dst"), "dst", "left_anti")

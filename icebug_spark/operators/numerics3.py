@@ -514,13 +514,18 @@ def lamg_hierarchy(
         # optimal. Gate every adoption-direction pair once; the gated
         # set feeds BOTH the pair matching and the attach pass below.
         stats = _node_energy_stats(eu, tv, n)
-        gated = _energy_gate(
-            aff.select(
-                F.col("src").alias("node"), F.col("dst").alias("seed"), "weight"
+        from icebug_spark.plans.iterate import checkpoint_observe as _cpo
+
+        gated, _gm = _cpo(
+            _energy_gate(
+                aff.select(
+                    F.col("src").alias("node"), F.col("dst").alias("seed"), "weight"
+                ),
+                stats, tv, n,
             ),
-            stats, tv, n,
-        ).localCheckpoint(eager=True)
-        if gated.limit(1).count() == 0:
+            F.count(F.lit(1)).alias("n"),
+        )
+        if int(_gm["n"] or 0) == 0:
             # pathological TVs can reject everything — fall back to the
             # ungated affinity (the reference's bins loop would likewise
             # leave these nodes undecided and retry next level)
@@ -602,17 +607,19 @@ def lamg_hierarchy(
             .select("id", F.coalesce("agg", F.col("id")).alias("agg"))
             .localCheckpoint(eager=True)
         )
-        coarse = (
+        from icebug_spark.plans.iterate import checkpoint_observe as _cpo
+
+        coarse, _cm = _cpo(
             eu.join(mapping.withColumnRenamed("id", "src"), "src")
             .withColumnRenamed("agg", "csrc")
             .join(mapping.withColumnRenamed("id", "dst"), "dst")
             .withColumnRenamed("agg", "cdst")
             .where(F.col("csrc") != F.col("cdst"))  # internal edges vanish in L
             .groupBy(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
-            .agg(F.sum("weight").alias("weight"))
-            .localCheckpoint(eager=True)
+            .agg(F.sum("weight").alias("weight")),
+            F.count(F.lit(1)).alias("n"),
         )
-        if coarse.limit(1).count() == 0:
+        if int(_cm["n"] or 0) == 0:
             break
         eu_l, deg_l = _level(eu)
         levels.append((eu_l, deg_l, mapping))
