@@ -157,8 +157,6 @@ def laplacian_eigenvectors_power(
     if k > 3:
         raise ValueError("laplacian_eigenvectors_power supports k <= 3; "
                          "use the dense path (laplacian_eigenvectors) or LAMG")
-    from icebug_spark.operators.algebraic import mxv
-
     wcol = (
         F.col("weight").cast("double") if weighted else F.lit(1.0)
     ).alias("value")
@@ -210,21 +208,43 @@ def laplacian_eigenvectors_power(
                     x.join(vj.withColumnRenamed("value", "vj"), "idx")
                     .select("idx", (F.col("value") - F.lit(c) * F.col("vj")).alias("value"))
                 )
-            # ONE job per iteration: the matvec y' = M·x (isolated ids
-            # reinstated) carries x's value alongside, and both scalars
-            # the driver needs — ‖x‖² and x·y' — are observed DURING the
-            # checkpoint. The Rayleigh quotient of the normalized vector
-            # is (x·Mx)/(x·x) exactly, so the normalization folds into
-            # the two observed sums; the next iterate y'/‖x‖ is a lazy
-            # projection of the checkpointed result. The old shape paid
-            # four jobs here (nrm dot, mxv checkpoint, reinstate
-            # checkpoint, Rayleigh dot).
+            # ONE job per iteration: the matvec y' = M·x carries x's own
+            # value through the join — every row of M has a diagonal
+            # entry (both operator modes build one per degree row), so
+            # x(idx) rides the aggregation as max(xval where col==row) —
+            # and both scalars the driver needs, ‖x‖² and x·y', are
+            # observed DURING the checkpoint. The Rayleigh quotient of
+            # the normalized vector is (x·Mx)/(x·x) exactly, so the
+            # normalization folds into the two observed sums; the next
+            # iterate y'/‖x‖ is a lazy projection of the checkpointed
+            # result. The old shape paid four jobs here (nrm dot, mxv
+            # checkpoint, reinstate checkpoint, Rayleigh dot).
+            # NOTE the checkpointed x is referenced exactly ONCE in this
+            # plan (inside the matvec join): a plan that scans the same
+            # local-checkpoint chain twice per iteration degrades
+            # exponentially past ~16 chain links on Spark 4.1 (measured:
+            # 0.6 s/iter flat with one reference, 2.8×/iter growth with
+            # two) — which is also why x is attached via the diagonal
+            # instead of a second join.
             from icebug_spark.plans.iterate import checkpoint_observe
 
+            j = m.join(
+                x.select(F.col("idx").alias("col"), F.col("value").alias("xval")),
+                "col",
+            )
             y_plan = (
-                nodes.join(mxv(m, x), "idx", "left")
-                .select("idx", F.coalesce("value", F.lit(0.0)).alias("value"))
-                .join(x.withColumnRenamed("value", "xv"), "idx")
+                j.groupBy(F.col("row").alias("idx"))
+                .agg(
+                    F.sum(F.col("value") * F.col("xval")).alias("value"),
+                    F.max(
+                        F.when(F.col("col") == F.col("row"), F.col("xval"))
+                    ).alias("xv"),
+                )
+            )
+            y_plan = nodes.join(y_plan, "idx", "left").select(
+                "idx",
+                F.coalesce("value", F.lit(0.0)).alias("value"),
+                F.coalesce("xv", F.lit(0.0)).alias("xv"),
             )
             y, met = checkpoint_observe(
                 y_plan,

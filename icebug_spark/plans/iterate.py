@@ -132,7 +132,19 @@ def checkpoint_observe(df: DataFrame, *aggs) -> tuple[DataFrame, dict]:
     state AND a scalar convergence value (frontier count, label sum,
     delta norm) submits ONE Spark job instead of two. On a 1000-executor
     cluster each avoided action is a full job-submission round trip per
-    iteration. Returns ``(checkpointed_df, metrics_dict)``."""
+    iteration. Returns ``(checkpointed_df, metrics_dict)``.
+
+    CAUTION (measured on Spark 4.1, round 10): a loop whose per-round
+    plan scans the PREVIOUS checkpoint's DataFrame TWICE (e.g. state as
+    both a join side and a carrier union branch) degrades exponentially
+    once the chain exceeds ~16 links — ~2.8× slower per further round
+    with flat logical plans, flat RDD debugStrings and constant
+    partition counts (the blow-up is inside the JVM's checkpoint call).
+    With a single reference per round the chain stays O(1) per round for
+    60+ links. Deep loops (>16 rounds) must reference the prior round's
+    checkpoint exactly once — carry extra columns through the round's
+    aggregation instead of re-joining the state (see
+    ``spectrum.laplacian_eigenvectors_power`` for the pattern)."""
     from pyspark.sql import Observation
 
     if PLAN_CAPTURE is not None:
