@@ -63,49 +63,67 @@ def pagerank(
     )
     # loop-invariant: node → outdeg (null ⇒ sink)
     base = nodes.join(outdeg, "id", "left").localCheckpoint(eager=True)
+    # Loop-invariant "edges + diagonal" table: one self row per node next
+    # to the real arcs. The self rows play the carrier role (they surface
+    # every node in the aggregation with a zero contribution and carry
+    # outdeg/prev through), so each round's plan scans the previous
+    # round's checkpoint exactly ONCE — inside the message join — instead
+    # of twice (join side + carrier union branch). Single-reference loop
+    # plans keep the localCheckpoint chain cost flat at any depth (see
+    # plans/iterate.checkpoint_observe CAUTION and the same diagonal-carry
+    # pattern in spectrum.laplacian_eigenvectors_power); they also stop
+    # the lazy in-between rounds from being re-executed once per branch.
+    eplus = (
+        e.select("src", "dst", F.lit(False).alias("self"))
+        .unionByName(
+            nodes.select(
+                F.col("id").alias("src"),
+                F.col("id").alias("dst"),
+                F.lit(True).alias("self"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
 
     ranks = base.withColumn("rank", F.lit(1.0 / n)).withColumn(
         "prev", F.lit(0.0)
     )
 
     def step(r: DataFrame, _i: int) -> DataFrame:
-        msgs = (
-            # rank vector is node-bounded (exactly n rows): mirror() keeps
-            # the edge table in place while n fits the broadcast cap and
-            # degrades to shuffle-hash at 1e9+ nodes (bucket edges by src
-            # on a cluster to elide that exchange too).
-            e.join(mirror(r.select("id", "rank", "outdeg"), n), e.src == F.col("id"))
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
-                F.lit(None).cast("long").alias("outdeg"),
-                F.lit(None).cast("double").alias("prev"),
-            )
-        )
-        # Ride the state through the SAME aggregation as the messages (a
-        # zero-contribution carrier row per node) instead of joining
-        # contribs back onto it: one union feeding the groupBy replaces a
-        # per-round n-row state re-shuffle + sort-merge join (3 Exchange +
-        # 2 Sort per round → 1 Exchange + 1 broadcast). max(outdeg)/
-        # max(prev) recover the carrier's values (message rows are null);
-        # nodes with no in-messages sum to the carrier's exact 0.0.
-        carrier = r.select(
-            "id", F.lit(0.0).alias("c"), "outdeg", F.col("rank").alias("prev")
+        # rank vector is node-bounded (exactly n rows): mirror() keeps
+        # the edge table in place while n fits the broadcast cap and
+        # degrades to shuffle-hash at 1e9+ nodes (bucket edges by src
+        # on a cluster to elide that exchange too). Self rows emit the
+        # exact 0.0 the old carrier branch emitted; message sums are
+        # unchanged (adding +0.0 never changes a positive double sum).
+        j = eplus.join(
+            mirror(r.select("id", "rank", "outdeg"), n),
+            eplus.src == F.col("id"),
         )
         out = (
-            carrier.unionByName(msgs)
+            j.select(
+                F.col("dst").alias("id"),
+                F.when(F.col("self"), F.lit(0.0))
+                .otherwise(F.col("rank") / F.col("outdeg"))
+                .alias("c"),
+                F.when(F.col("self"), F.col("outdeg")).alias("od"),
+                F.when(F.col("self"), F.col("rank")).alias("pv"),
+            )
             .groupBy("id")
             .agg(
                 F.sum("c").alias("contrib"),
-                F.max("outdeg").alias("outdeg"),
-                F.max("prev").alias("prev"),
+                F.max("od").alias("outdeg"),
+                F.max("pv").alias("prev"),
             )
         )
         if distribute_sinks:
             # Fold the sink aggregate into the plan (broadcast 1-row cross
             # join) instead of collect()ing it — one Spark action per
             # checkpoint instead of two per round; at cluster scale each
-            # avoided action is a full job submission.
+            # avoided action is a full job submission. This branch is a
+            # second reference to the prior state, but a groupless
+            # aggregate (1-row size estimate), so the checkpoint-chain
+            # stats stay linear (no subtree-product blow-up).
             sink = r.where(F.col("outdeg").isNull()).agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("sink_sum")
             )

@@ -369,24 +369,25 @@ def kadabra_betweenness(
             .where(F.col("rn2") < batch)
             .select(F.col("rn2").alias("pair"), F.col("id").alias("t"))
         )
-        pairs = (
-            s_side.join(t_side, "pair")
-            .where(F.col("s") != F.col("t"))
-            .localCheckpoint(eager=True)
+        # the pair count rides the checkpoint's materializing action
+        pairs, pm = checkpoint_observe(
+            s_side.join(t_side, "pair").where(F.col("s") != F.col("t")),
+            F.count(F.lit(1)).alias("np"),
         )
-        n_pairs += pairs.count()
+        n_pairs += int(pm["np"] or 0)
         new = _pair_path_visits(eu, pairs, vd, seed + rnd)
-        counts = (
-            new
-            if counts is None
-            else counts.unionByName(new)
-            .groupBy("id")
-            .agg(F.sum("cnt").alias("cnt"))
-        ).localCheckpoint(eager=True)
 
         # stopping rule: all nodes' f/g error bounds below err, or budget
-        # spent (KadabraBetweenness.cpp:45-104,475) — ONE scalar aggregate.
-        bet = F.coalesce(F.col("cnt"), F.lit(0)).cast("double") / n_pairs
+        # spent (KadabraBetweenness.cpp:45-104,475). The bound aggregate
+        # over the VISITED nodes rides the counts checkpoint as an
+        # observed metric; the never-visited nodes (cnt absent from the
+        # counts table) all share ONE bound value — bet = 0.0 — computed
+        # driver-side with the same IEEE double operations in the same
+        # order as the old Spark expression (so the stopping decision's
+        # float path is unchanged; pinned-trajectory test in
+        # tests/test_centrality2.py). This removes the per-round
+        # nodes⟗counts scalar job.
+        bet = F.col("cnt").cast("double") / n_pairs
         tmp_l = F.lit(omega / n_pairs - 1.0 / 3)
         tmp_u = F.lit(omega / n_pairs + 1.0 / 3)
         err_l = F.least(
@@ -399,11 +400,33 @@ def kadabra_betweenness(
             * (tmp_u + F.sqrt(tmp_u * tmp_u + 2 * bet * omega / log_inv_d)),
             1 - bet,
         )
-        worst = (
-            nodes.join(counts, "id", "left")
-            .agg(F.max(F.greatest(err_l, err_u)).alias("w"))
-            .collect()[0][0]
+        counts, met = checkpoint_observe(
+            new
+            if counts is None
+            else counts.unionByName(new)
+            .groupBy("id")
+            .agg(F.sum("cnt").alias("cnt")),
+            F.max(F.greatest(err_l, err_u)).alias("w"),
+            F.count(F.lit(1)).alias("nr"),
         )
+        worst = met["w"]
+        if int(met["nr"] or 0) < n:
+            # zero-count node bound, bet = 0.0 (same ops/order as the old
+            # in-plan expression evaluated at cnt IS NULL)
+            tl = omega / n_pairs - 1.0 / 3
+            tu = omega / n_pairs + 1.0 / 3
+            zl = min(
+                log_inv_d / n_pairs
+                * (-tl + _math.sqrt(tl * tl + 2 * 0.0 * omega / log_inv_d)),
+                0.0,
+            )
+            zu = min(
+                log_inv_d / n_pairs
+                * (tu + _math.sqrt(tu * tu + 2 * 0.0 * omega / log_inv_d)),
+                1 - 0.0,
+            )
+            zbound = max(zl, zu)
+            worst = zbound if worst is None else max(float(worst), zbound)
         if worst is not None and worst < err:
             break
         if n_pairs >= omega:

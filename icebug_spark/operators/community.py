@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from icebug_spark.plans.zipindex import dense_index
 
-from icebug_spark.plans.iterate import iterate
+from icebug_spark.plans.iterate import checkpoint_observe, iterate
 
 
 # ---------------------------------------------------------------- PLP ----
@@ -183,7 +183,19 @@ def _local_move(
         row = internal.crossJoin(volsq).collect()[0]
         return (row["w_in"] or 0.0) / m2 - gamma * (row["sq"] or 0.0) / (m2 * m2)
 
-    best_labels, best_q = labels, _q(labels)
+    # Round r's modularity is evaluated INSIDE round r+1's move plan
+    # (fused, guide §2.4): w(v→own community) and Σ vol² under labels_r
+    # are already computed there (the ``stay`` branch and the ``vol``
+    # aggregate), so they ride the labels_{r+1} checkpoint as observed
+    # metrics — ONE job per round where the old shape paid two (labels
+    # checkpoint + a separate modularity-collect job). Only the LAST
+    # round's labels still need a standalone _q() evaluation. The
+    # observed internal weight sums the same arc multiset as _q's
+    # eu⋈labels⋈labels aggregate (per-node partials instead of per-arc
+    # rows) and Σ vol² is the identical aggregate attached as a broadcast
+    # scalar — best-round selection compares Q values whose spacing is
+    # astronomically larger than the last-ulp float reassociation.
+    best_labels, best_q = labels, None
 
     for _round in range(rounds):
         lbl_deg = labels.join(deg, "id")
@@ -218,8 +230,15 @@ def _local_move(
         in_color = (
             F.pmod(F.xxhash64(F.col("id")), F.lit(phases)) == _round % phases
         )
+        # Σ vol² under the CURRENT labels as a 1-row broadcast scalar
+        # (ReuseExchange shares vol's aggregation with the cand join), and
+        # each node's w(v→own community) carried through the move row —
+        # together they are Q(labels_round) observed during the NEXT
+        # state's checkpoint.
+        vsq = vol.agg(F.sum(F.col("vol") * F.col("vol")).alias("vsq"))
         moved = (
             best.join(stay, "id", "left")
+            .crossJoin(F.broadcast(vsq))
             .select(
                 "id",
                 F.when(
@@ -234,12 +253,27 @@ def _local_move(
                     ),
                     F.col("best"),
                 ).otherwise(F.col("subset")).alias("subset"),
+                F.coalesce(F.col("w_stay"), F.lit(0.0)).alias("w_stay_c"),
+                "vsq",
             )
         )
-        labels = moved.localCheckpoint(eager=True)
-        q_now = _q(labels)
-        if q_now > best_q:
-            best_labels, best_q = labels, q_now
+        prev_labels = labels
+        cp, met = checkpoint_observe(
+            moved,
+            F.sum("w_stay_c").alias("int_w"),
+            F.max("vsq").alias("vsq"),
+        )
+        q_prev = (met["int_w"] or 0.0) / m2 - gamma * (met["vsq"] or 0.0) / (
+            m2 * m2
+        )
+        if best_q is None or q_prev > best_q:
+            best_labels, best_q = prev_labels, q_prev
+        labels = cp.select("id", "subset")
+    # the final round's labels never flow through a next move plan — one
+    # standalone evaluation decides whether they beat the best-so-far
+    q_last = _q(labels)
+    if best_q is None or q_last > best_q:
+        best_labels, best_q = labels, q_last
     return best_labels
 
 

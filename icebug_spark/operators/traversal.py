@@ -37,15 +37,26 @@ def multi_source_bfs(
     """
     e = edges.select("src", "dst")
     spark = edges.sparkSession
+    # de-dup up front: the old shape deduped repeated sources in its first
+    # grouped aggregation; the level-0 slice is now emitted directly
     state = spark.createDataFrame(
-        [(int(s), int(s), 0) for s in sources], ["source", "id", "dist"]
+        [(s, s) for s in sorted({int(s) for s in sources})],
+        "source BIGINT, id BIGINT",
     ).withColumn("frontier", F.lit(True))
     state = checkpoint(state)
+    # The hop distance is NOT loop state: every new node settled at level
+    # h has dist == h, a driver-known literal — so the per-level exchange
+    # carries only (source, id, frontier), ~1/3 fewer bytes than the old
+    # (source, id, dist, frontier) rows on the LARGEST shuffles this
+    # engine runs (q161's 0.15·n² settled sweep state). The output is
+    # assembled as a lazy union of the per-level new-settler slices, each
+    # a zero-shuffle filter of an already-materialized checkpoint.
+    levels = [state.select("source", "id", F.lit(0).cast("long").alias("dist"))]
     # Exact row counts of the frontier / seen tables are free: the
     # per-round convergence check already counts new frontier rows, so the
     # size-adaptive mirror() never needs an extra job.
     frontier_rows = len(sources)
-    for _ in range(max_hops):
+    for h in range(1, max_hops + 1):
         # The frontier is vertex-bounded while edges are m-sized; without
         # a hint the checkpointed state has no stats, so Catalyst would
         # sort-merge and RESHUFFLE the whole edge table every round.
@@ -57,7 +68,6 @@ def multi_source_bfs(
             .select(
                 "source",
                 F.col("dst").alias("id"),
-                (F.col("dist") + 1).alias("dist"),
                 F.lit(False).alias("seen"),
             )
         )
@@ -69,19 +79,11 @@ def multi_source_bfs(
         # beyond the frontier mirror); the seen rows the union adds to the
         # exchange replace the same rows crossing the wire as a broadcast.
         merged = (
-            state.select("source", "id", "dist", F.lit(True).alias("seen"))
+            state.select("source", "id", F.lit(True).alias("seen"))
             .unionByName(nxt)
             .groupBy("source", "id")
-            .agg(
-                F.min(F.when(F.col("seen"), F.col("dist"))).alias("sd"),
-                F.min(F.when(~F.col("seen"), F.col("dist"))).alias("md"),
-            )
-            .select(
-                "source",
-                "id",
-                F.coalesce("sd", "md").alias("dist"),
-                F.col("sd").isNull().alias("frontier"),
-            )
+            .agg(F.max(F.col("seen")).alias("old"))
+            .select("source", "id", (~F.col("old")).alias("frontier"))
         )
         # the frontier count rides the checkpoint job as an observed
         # metric — one action per level, not checkpoint + count
@@ -92,7 +94,15 @@ def multi_source_bfs(
         frontier_rows = int(m["nf"] or 0)
         if frontier_rows == 0:
             break
-    return state.select("source", "id", "dist")
+        levels.append(
+            state.where(F.col("frontier")).select(
+                "source", "id", F.lit(h).cast("long").alias("dist")
+            )
+        )
+    out = levels[0]
+    for piece in levels[1:]:
+        out = out.unionByName(piece)
+    return out
 
 
 def sssp_weighted(

@@ -237,3 +237,54 @@ def test_group_closeness_grow_shrink_disconnected(spark):
     # reported value undercounts it.
     assert rows[0]["harmonic"] == round(h(members), 6), (members, rows[0]["harmonic"])
     assert h(members) >= h([1, 10])
+
+
+def test_kadabra_pinned_trajectory(spark):
+    """Full-value pin of the KADABRA trajectory on a fixed graph
+    (24-cycle + 3 chords, err=0.15, seed=13): the round-10 stopping rule
+    ran a standalone nodes⟗counts scalar job per round; round 11 observes
+    the bound aggregate during the counts checkpoint and computes the
+    zero-count-node bound driver-side with the identical IEEE double
+    operations. Any float-path drift in the stopping decision (an extra
+    or missing sampling round) shifts n_pairs and breaks every value
+    below — golden generated from the pre-fusion implementation."""
+    from pyspark.sql import functions as F
+
+    from icebug_spark.operators.centrality4 import kadabra_betweenness
+
+    edges = [(i, (i + 1) % 24) for i in range(24)] + [(0, 12), (3, 17), (8, 20)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    eu = df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    got = sorted(
+        (r["id"], r["kadabra_bc"], r["err_lower"], r["err_upper"])
+        for r in kadabra_betweenness(
+            eu, err=0.15, delta=0.1, max_rounds=5, seed=13
+        ).collect()
+    )
+    golden = [
+        (0, 0.225, 0.120356, 0.230074),
+        (1, 0.133333, 0.087004, 0.199447),
+        (2, 0.116667, 0.07988, 0.193083),
+        (3, 0.183333, 0.106195, 0.216928),
+        (4, 0.091667, 0.068253, 0.182888),
+        (5, 0.083333, 0.064066, 0.179284),
+        (6, 0.058333, 0.050241, 0.167706),
+        (7, 0.05, 0.045086, 0.163539),
+        (8, 0.133333, 0.087004, 0.199447),
+        (9, 0.116667, 0.07988, 0.193083),
+        (10, 0.116667, 0.07988, 0.193083),
+        (11, 0.141667, 0.090411, 0.202516),
+        (12, 0.25, 0.128254, 0.237476),
+        (13, 0.1, 0.072272, 0.186383),
+        (14, 0.066667, 0.055093, 0.171707),
+        (15, 0.058333, 0.050241, 0.167706),
+        (16, 0.075, 0.059689, 0.175561),
+        (17, 0.158333, 0.096956, 0.208457),
+        (18, 0.075, 0.059689, 0.175561),
+        (19, 0.075, 0.059689, 0.175561),
+        (20, 0.141667, 0.090411, 0.202516),
+        (21, 0.091667, 0.068253, 0.182888),
+        (22, 0.075, 0.059689, 0.175561),
+        (23, 0.075, 0.059689, 0.175561),
+    ]
+    assert got == golden

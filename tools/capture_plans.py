@@ -17,7 +17,7 @@ sys.path.insert(0, ".")
 from icebug_spark.queries.registry import ALL  # noqa: E402
 from icebug_spark.session import get_spark  # noqa: E402
 
-OUT_DIR = "plans/r10"
+OUT_DIR = os.environ.get("SPARK_GRAFT_PLANS_DIR", "plans/r11")
 
 
 def main() -> None:

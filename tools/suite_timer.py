@@ -17,11 +17,13 @@ from collections import defaultdict
 _durations: dict[str, float] = defaultdict(float)
 _counts: dict[str, int] = defaultdict(int)
 _outcomes: dict[str, int] = defaultdict(int)
+_test_durations: dict[str, float] = defaultdict(float)
 
 
 def pytest_runtest_logreport(report):
     fname = report.nodeid.split("::")[0].rsplit("/", 1)[-1]
     _durations[fname] += report.duration
+    _test_durations[report.nodeid] += report.duration
     if report.when == "call":
         _counts[fname] += 1
         if report.failed:
@@ -38,6 +40,9 @@ def pytest_sessionfinish(session, exitstatus):
                 "file_secs": {k: round(v, 1) for k, v in _durations.items()},
                 "file_tests": dict(_counts),
                 "file_failures": dict(_outcomes),
+                "test_secs": {
+                    k: round(v, 2) for k, v in _test_durations.items()
+                },
                 "exitstatus": int(exitstatus),
             },
             fh,
