@@ -336,7 +336,14 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     bit-matrix popcount. Still zero shuffles, and every operation is
     two's-complement integer arithmetic identical to the JVM expressions
     (bit i of an arithmetic-shifted long, wrap-around packing of bit 63),
-    so the signatures are bit-identical."""
+    so the signatures are bit-identical.
+
+    Output contract: EVERY document emits a row. Documents whose
+    normalized text has no tokens (empty / whitespace-only / null) emit
+    ``simhash = 0`` — the empty majority vote — so the certificate's
+    n_docs == COUNT(*) holds exactly (the pre-round-10 explode+groupBy
+    shape silently dropped token-less docs; consumers wanting the old
+    behavior filter ``size(hs) > 0`` upstream)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -352,7 +359,11 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
             ones = ((a[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
             votes = 2 * ones.astype(np.int64) - np.int64(len(a))
             packed = (np.uint64(1) << shifts[votes > 0]).sum(dtype=np.uint64)
-            out[i] = np.uint64(packed).astype(np.int64)
+            # reinterpret, don't cast: astype on an out-of-int64-range
+            # uint64 is C-cast-defined and may warn/change across NumPy
+            # versions; view() guarantees the two's-complement wrap the
+            # JVM expressions produce for bit 63
+            out[i] = packed.view(np.int64)
         return pd.Series(out)
 
     hashed = documents.select(

@@ -89,6 +89,11 @@ def boruvka_msf(
         lbl = (
             merge.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
         )
+        # s_prev starts unknown: the first propagation round ALWAYS
+        # strictly decreases the label sum (every merge edge joins two
+        # distinct components, so some endpoint adopts a smaller label),
+        # so the old standalone initial-sum collect job was pure overhead
+        # — the round-0 stability comparison can never trigger.
         s_prev = None  # last round's label sum — saves one aggregate/round
         for _i in range(20):
             msgs = merge.join(lbl.withColumnRenamed("id", "a"), "a").select(
@@ -102,11 +107,9 @@ def boruvka_msf(
                 .agg(F.min("lbl").alias("lbl")),
                 F.sum("lbl").alias("s"),
             )
-            if s_prev is None:
-                s_prev = lbl.agg(F.sum("lbl")).collect()[0][0]
             s_new = mm["s"]
             lbl = new
-            if s_prev == s_new:
+            if s_prev is not None and s_prev == s_new:
                 break
             s_prev = s_new
         comp = (

@@ -134,17 +134,26 @@ def checkpoint_observe(df: DataFrame, *aggs) -> tuple[DataFrame, dict]:
     cluster each avoided action is a full job-submission round trip per
     iteration. Returns ``(checkpointed_df, metrics_dict)``.
 
-    CAUTION (measured on Spark 4.1, round 10): a loop whose per-round
-    plan scans the PREVIOUS checkpoint's DataFrame TWICE (e.g. state as
-    both a join side and a carrier union branch) degrades exponentially
-    once the chain exceeds ~16 links — ~2.8× slower per further round
-    with flat logical plans, flat RDD debugStrings and constant
-    partition counts (the blow-up is inside the JVM's checkpoint call).
-    With a single reference per round the chain stays O(1) per round for
-    60+ links. Deep loops (>16 rounds) must reference the prior round's
-    checkpoint exactly once — carry extra columns through the round's
-    aggregation instead of re-joining the state (see
-    ``spectrum.laplacian_eigenvectors_power`` for the pattern)."""
+    CAUTION (measured on Spark 4.1, round 10; root-caused round 11): the
+    localCheckpoint copies the source plan's computed STATISTICS onto
+    the checkpointed LogicalRDD (see ``pin``), and a join's sizeInBytes
+    is the BigInt PRODUCT of its children's. A loop whose per-round plan
+    JOINS two subtrees that BOTH reference the previous checkpoint
+    therefore SQUARES the stat each round — its digit count doubles, and
+    the BigInt arithmetic inside the stats visitor grows exponentially
+    (measured ~2.8×/round past ~16 chain links, with flat logical plans,
+    flat RDD debugStrings and constant partition counts — the blow-up is
+    inside the JVM's checkpoint call). That was the old power
+    iteration's M·x ⋈ x shape. A carrier loop — a union branch plus ONE
+    join against the checkpoint — only ADDS digit counts (linear in
+    depth), so BFS/ANF/SSSP-style rounds are outside the exponential
+    regime at any diameter (stress evidence: BENCH_SCALEUP.json
+    ``high_diameter``, tools/bench_highdiameter.py — flat per-round cost
+    to depth 64 on a path graph). Deep loops that need a SECOND join
+    against the state must instead carry the value through the round's
+    aggregation (see ``spectrum.laplacian_eigenvectors_power`` and the
+    pagerank ``eplus`` diagonal-carry for the pattern), or ``pin`` to
+    reset the stats."""
     from pyspark.sql import Observation
 
     if PLAN_CAPTURE is not None:

@@ -319,16 +319,28 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
     col = spectral_coloring(eu).localCheckpoint(eager=True)
     cu = col.select(F.col("id").alias("src"), F.col("color").alias("cu"))
     cv = col.select(F.col("id").alias("dst"), F.col("color").alias("cv"))
-    mono = (
+    # one certificate job instead of four sequential scalar actions
+    # (mono count, node count, coverage count, color count) — the four
+    # aggregates are independent 1-row subtrees crossJoined into one plan
+    mono_df = (
         eu.join(cu, "src").join(cv, "dst")
         .where(F.col("cu") == F.col("cv"))
-        .count()
+        .agg(F.count(F.lit(1)).alias("mono"))
     )
-    n_nodes = eu.select("src").distinct().count()
-    covered = col.count() == n_nodes
-    n_colors = col.select("color").distinct().count()
+    nn_df = eu.select("src").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+    col_df = col.agg(
+        F.count(F.lit(1)).alias("n_col"),
+        F.countDistinct("color").alias("n_colors"),
+    )
+    row = mono_df.crossJoin(nn_df).crossJoin(col_df).collect()[0]
     return spark.createDataFrame(
-        [(mono == 0, bool(covered), n_colors >= 2)],
+        [
+            (
+                row["mono"] == 0,
+                bool(row["n_col"] == row["n_nodes"]),
+                row["n_colors"] >= 2,
+            )
+        ],
         "valid BOOLEAN, covers_all BOOLEAN, multiple_colors BOOLEAN",
     )
 

@@ -70,6 +70,10 @@ def main() -> int:
             sys.executable, "-m", "pytest", "-q", "-p", "suite_timer",
             *[f"tests/{f}" for f in fs],
         ]
+        # default = the driver-gate set (pytest.ini deselects the slow
+        # marker); SUITE_ALL=1 runs everything incl. tests/slow_tests.txt
+        if os.environ.get("SUITE_ALL") == "1":
+            cmd += ["-m", "slow or not slow"]
         env = dict(os.environ)
         env["SUITE_TIMER_OUT"] = f"/tmp/suite_timer_{i}.json"
         env["PYTHONPATH"] = (
