@@ -50,19 +50,29 @@ def pagerank(
     materialized, so it costs one n-row scan-and-sum — never a recompute
     of the update and never an extra job on the non-checkpoint rounds.
     """
+    from icebug_spark.plans.iterate import checkpoint_observe
+
     e = edges.select("src", "dst")
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .distinct()
+    # loop-invariant base: node → outdeg (null ⇒ sink), built as ONE
+    # tagged-union aggregation instead of nodes-DISTINCT + outdeg-groupBy
+    # + left join (3 exchanges + 2 setup jobs → 1 exchange + 1 job): src
+    # rows carry marker 1, dst rows marker 0; a node's outdeg is its
+    # marker sum, with 0 mapped back to the old left-join NULL. n rides
+    # the checkpoint as an observed metric.
+    base, mb = checkpoint_observe(
+        e.select(F.col("src").alias("id"), F.lit(1).cast("long").alias("mk"))
+        .unionByName(
+            e.select(F.col("dst").alias("id"), F.lit(0).cast("long").alias("mk"))
+        )
+        .groupBy("id")
+        .agg(F.sum("mk").alias("od"))
+        .select(
+            "id", F.when(F.col("od") > 0, F.col("od")).alias("outdeg")
+        ),
+        F.count(F.lit(1)).alias("n"),
     )
-    nodes = nodes.localCheckpoint(eager=True)
-    n = nodes.count()
-    outdeg = e.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("outdeg")
-    )
-    # loop-invariant: node → outdeg (null ⇒ sink)
-    base = nodes.join(outdeg, "id", "left").localCheckpoint(eager=True)
+    n = int(mb["n"] or 0)
+    nodes = base.select("id")
     # Loop-invariant "edges + diagonal" table: one self row per node next
     # to the real arcs. The self rows play the carrier role (they surface
     # every node in the aggregation with a zero contribution and carry
