@@ -174,3 +174,36 @@ def test_from_coo_duplicate_undirected_entries_sum(spark):
     g = Graph.from_coo(spark, (d, (i, j)), weighted=True)
     rows = sorted(tuple(r) for r in g.edges.collect())
     assert rows == [(0, 1, 4.0)]
+
+
+def test_multi_source_bfs_narrowed_state_edge_cases(spark):
+    """The round-11 narrowing (dist dropped from loop state, output
+    assembled from per-level checkpoint slices) must preserve the exact
+    output contract: de-duplicated repeated sources, BIGINT dist, exact
+    hop distances, and the max_hops cutoff dropping unreached nodes."""
+    from pyspark.sql import functions as F
+
+    from icebug_spark.operators.traversal import multi_source_bfs
+
+    # path 0-1-2-3-4 plus an isolated edge 10-11
+    edges = [(i, i + 1) for i in range(4)] + [(10, 11)]
+    e = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    eu = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    # duplicate sources collapse to one row set (the old grouped shape
+    # deduped them in its first aggregation)
+    d = multi_source_bfs(eu, [0, 0, 2], max_hops=10)
+    assert dict(d.dtypes)["dist"] == "bigint"
+    rows = [(r["source"], r["id"], r["dist"]) for r in d.collect()]
+    assert len(rows) == len(set(rows))
+    got = {(s, i): dist for s, i, dist in rows}
+    expect = {(0, j): j for j in range(5)}
+    expect.update({(2, j): abs(j - 2) for j in range(5)})
+    assert got == expect
+
+    # max_hops cutoff: nodes beyond the horizon are absent
+    d2 = {
+        (r["source"], r["id"]): r["dist"]
+        for r in multi_source_bfs(eu, [0], max_hops=2).collect()
+    }
+    assert d2 == {(0, 0): 0, (0, 1): 1, (0, 2): 2}
