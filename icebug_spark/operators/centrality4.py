@@ -278,14 +278,31 @@ def _sampled_path_members(
             )
             .where(F.col("pd") == F.col("dist") - 1)
         )
-        # σ-weighted deterministic choice: rank by hash scaled by sigma
-        wnd = Window.partitionBy("pair", "cur").orderBy(
-            F.desc(F.col("psig") * F.abs(F.xxhash64(F.lit(seed), "pair", "pred", "dist")) ), F.asc("pred")
+        # σ-weighted deterministic choice: argmax by (sigma-scaled hash
+        # desc, pred asc) — a grouped min-struct over (-score, pred,
+        # dist); pred is unique per (pair, cur) (distinct arcs ⋈ unique
+        # settled rows) and dist is constant within the group, so the
+        # selected row is identical to the old row_number window's while
+        # the hash aggregate drops the per-level SORT
+        score = F.col("psig") * F.abs(
+            F.xxhash64(F.lit(seed), "pair", "pred", "dist")
         )
         chosen, m = checkpoint_observe(
-            preds.withColumn("rn", F.row_number().over(wnd))
-            .where(F.col("rn") == 1)
-            .select("pair", F.col("pred").alias("cur"), (F.col("dist") - 1).alias("dist")),
+            preds.groupBy("pair", "cur")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-score).alias("ns"),
+                        F.col("pred").alias("pred"),
+                        F.col("dist").alias("dist"),
+                    )
+                ).alias("sel")
+            )
+            .select(
+                "pair",
+                F.col("sel.pred").alias("cur"),
+                (F.col("sel.dist") - 1).alias("dist"),
+            ),
             _active_agg,
         )
         n_active = int(m["na"] or 0)
@@ -499,17 +516,28 @@ def k_path_centrality(
             .join(eu.withColumnRenamed("src", "cur"), "cur")
             .where(~F.array_contains("visited", F.col("dst")))
         )
-        wnd = Window.partitionBy("walk").orderBy(
-            F.asc(F.xxhash64(F.lit(seed), "walk", "dst", F.lit(hop))), F.asc("dst")
-        )
+        # seeded-hash choice via grouped min-struct ((hash, dst) unique
+        # per walk; visited/l constant within the group) — identical
+        # selection, no per-hop window SORT
         nxt, m = checkpoint_observe(
-            step.withColumn("rn", F.row_number().over(wnd))
-            .where(F.col("rn") == 1)
+            step.groupBy("walk")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.xxhash64(
+                            F.lit(seed), "walk", "dst", F.lit(hop)
+                        ).alias("h"),
+                        F.col("dst").alias("dst"),
+                        F.col("visited").alias("visited"),
+                        F.col("l").alias("l"),
+                    )
+                ).alias("sel")
+            )
             .select(
                 "walk",
-                F.col("dst").alias("cur"),
-                F.array_union("visited", F.array("dst")).alias("visited"),
-                "l",
+                F.col("sel.dst").alias("cur"),
+                F.array_union("sel.visited", F.array("sel.dst")).alias("visited"),
+                F.col("sel.l").alias("l"),
             ),
             F.count(F.lit(1)).alias("n"),
         )

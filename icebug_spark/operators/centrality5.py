@@ -314,11 +314,18 @@ def approx_closeness(
     # for the reference's PQ settle order)
     from pyspark.sql import Window
 
-    wp = Window.partitionBy("v").orderBy("dist", "s")
+    # argmin via grouped min-struct ((dist, s) ordering; (s, v) unique in
+    # the distance table) — identical pivot choice, and the hash
+    # aggregate drops the full SORT of the n×k distance table the
+    # row_number window paid
     piv = (
-        d.withColumn("rn", F.row_number().over(wp))
-        .where(F.col("rn") == 1)
-        .select("v", F.col("s").alias("pivot"), F.col("dist").alias("delta"))
+        d.groupBy("v")
+        .agg(
+            F.min(
+                F.struct(F.col("dist").alias("dist"), F.col("s").alias("s"))
+            ).alias("sel")
+        )
+        .select("v", F.col("sel.s").alias("pivot"), F.col("sel.dist").alias("delta"))
         .localCheckpoint(eager=True)
     )
     sample_df = spark.createDataFrame([(s,) for s in samples], "s BIGINT")

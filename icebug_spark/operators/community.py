@@ -57,11 +57,21 @@ def label_propagation(
             .groupBy(F.col("dst").alias("id"), "subset")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("subset"))
+        # mode via grouped min-struct: ordering on (-cnt, subset) IS the
+        # (count desc, label asc) tie-break and (id, subset) is unique
+        # after the groupBy, so the selected label is identical — and the
+        # hash aggregate drops the row_number window's per-round SORT
         best = (
-            neigh.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("id", F.col("subset").alias("new_subset"))
+            neigh.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("subset").alias("subset"),
+                    )
+                ).alias("s")
+            )
+            .select("id", F.col("s.subset").alias("new_subset"))
         )
         return (
             lbl.join(best, "id", "left")
@@ -215,12 +225,32 @@ def _local_move(
             F.col("csub") == F.col("subset"), F.col("vol_c") - F.col("deg")
         ).otherwise(F.col("vol_c"))
         gain = F.col("w_to_c") / m2 - F.lit(gamma) * F.col("deg") * volx / (m2 * m2)
-        w = Window.partitionBy("id").orderBy(F.desc("gain"), F.asc("csub"))
+        # argmax via grouped min-struct instead of a row_number window:
+        # struct ordering on (-gain, csub) IS the (highest gain, lowest
+        # csub) tie-break — (id, csub) is unique after wvc's groupBy, so
+        # the selected row is identical — and the hash aggregate drops
+        # the window's per-round partition SORT of the candidate table
+        # (gain is never -0.0: it is a difference of equal doubles only
+        # when exactly 0.0, so the negation cannot split a tie class).
         best = (
             cand.withColumn("gain", gain)
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("id", F.col("csub").alias("best"), "gain", "subset")
+            .groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("gain")).alias("ng"),
+                        F.col("csub").alias("csub"),
+                        F.col("gain").alias("g"),
+                        F.col("subset").alias("sub"),
+                    )
+                ).alias("s")
+            )
+            .select(
+                "id",
+                F.col("s.csub").alias("best"),
+                F.col("s.g").alias("gain"),
+                F.col("s.sub").alias("subset"),
+            )
         )
         # move only on strictly positive improvement over staying
         stay = (

@@ -98,11 +98,19 @@ def _refine(
             .groupBy(F.col("src").alias("id"), "lbl")
             .agg(F.sum("weight").alias("w"))
         )
-        w = Window.partitionBy("id").orderBy(F.desc("w"), F.asc("lbl"))
+        # argmax via grouped min-struct ((-w, lbl) ordering IS the
+        # (weight desc, label asc) tie-break; (id, lbl) unique after the
+        # groupBy) — drops the row_number window's per-round SORT
         best = (
-            neigh.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("id", F.col("lbl").alias("new_subset"))
+            neigh.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("w")).alias("nw"), F.col("lbl").alias("lbl")
+                    )
+                ).alias("sel")
+            )
+            .select("id", F.col("sel.lbl").alias("new_subset"))
         )
         labels = (
             labels.join(best, "id", "left")
@@ -257,12 +265,21 @@ def _local_move_mapeq(e: DataFrame, rounds: int) -> DataFrame:
             + L_terms(cutA2, volA - d) - L_terms(cutA, volA)
             + L_terms(cutB2, volB + d) - L_terms(cutB, volB)
         )
-        w = Window.partitionBy("id").orderBy(F.asc("delta"), F.asc("csub"))
+        # argmin via grouped min-struct ((delta, csub) ordering, (id,
+        # csub) unique per candidate table) — no per-round window sort
         best = (
             cand.withColumn("delta", delta)
-            .withColumn("rn", F.row_number().over(w))
-            .where((F.col("rn") == 1) & (F.col("delta") < -1e-12))
-            .select("id", F.col("csub").alias("new_subset"))
+            .groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("delta").alias("delta"),
+                        F.col("csub").alias("csub"),
+                    )
+                ).alias("sel")
+            )
+            .where(F.col("sel.delta") < -1e-12)
+            .select("id", F.col("sel.csub").alias("new_subset"))
         )
         labels = (
             labels.join(best, "id", "left")

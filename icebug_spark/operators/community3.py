@@ -302,13 +302,20 @@ def lp_degree_ordered(
                 .groupBy(F.col("src").alias("id"), "nlbl")
                 .agg(F.count(F.lit(1)).alias("cnt"))
             )
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("nlbl"))
+            # argmax via grouped min-struct ((-cnt, nlbl) ordering IS the
+            # (count desc, label asc) tie-break; (id, nlbl) unique after
+            # the groupBy) — drops the per-round window SORT
             dominant = (
-                nb_counts.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .select("id", F.col("nlbl").alias("new_lbl"))
+                nb_counts.groupBy("id")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("cnt")).alias("nc"),
+                            F.col("nlbl").alias("nlbl"),
+                        )
+                    ).alias("sel")
+                )
+                .select("id", F.col("sel.nlbl").alias("new_lbl"))
             )
             upd = (
                 lbl.join(dominant, "id", "left")
