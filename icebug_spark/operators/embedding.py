@@ -80,15 +80,28 @@ def random_walks(
         # exponential race: key = u^(1/w) — max key wins, matches weighted
         # sampling without normalizing (A-Res / Efraimidis-Spirakis)
         keyed = cands.withColumn("skey", F.pow(u01, F.lit(1.0) / bias))
-        wsel = Window.partitionBy("walk_id").orderBy(F.col("skey").desc(), F.col("cand"))
+        # race winner via grouped min-struct ((-skey, cand) ordering IS
+        # the (skey desc, cand asc) tie-break; (walk_id, cand) unique and
+        # path/cur constant per walk) — identical selection, no per-step
+        # window SORT. skey > 0 strictly (pmod+1 numerator), so the
+        # negation cannot produce -0.0.
         nxt = (
-            keyed.withColumn("rn", F.row_number().over(wsel))
-            .where(F.col("rn") == 1)
+            keyed.groupBy("walk_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("skey")).alias("nk"),
+                        F.col("cand").alias("cand"),
+                        F.col("path").alias("path"),
+                        F.col("cur").alias("cur"),
+                    )
+                ).alias("sel")
+            )
             .select(
                 "walk_id",
-                F.concat("path", F.array("cand")).alias("path"),
-                F.col("cand").alias("cur"),
-                F.col("cur").alias("prev"),
+                F.concat("sel.path", F.array("sel.cand")).alias("path"),
+                F.col("sel.cand").alias("cur"),
+                F.col("sel.cur").alias("prev"),
             )
         )
         # dead-end walks (no candidates) stop growing but are kept
