@@ -24,7 +24,7 @@ Partitions are DataFrames ``(id BIGINT, subset BIGINT)`` (reference
 from __future__ import annotations
 
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from icebug_spark.plans.zipindex import dense_index
@@ -39,8 +39,9 @@ def label_propagation(
     """PLP: label ← mode of neighbor labels, deterministic tie-break
     (count desc, label asc). Stops when #changes <= theta. → (id, subset).
 
-    Each round: one join (edges ⋈ labels) + one groupBy + one window — the
-    window partitions by node so it rides the same shuffle as the groupBy.
+    Each round: one join (edges ⋈ labels) + two grouped aggregations that
+    share one shuffle keyed by node — the mode pick is a min-struct
+    aggregate, not a window, so no per-round sort.
     """
     eu = edges_undirected.select("src", "dst")
     labels = (

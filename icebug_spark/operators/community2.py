@@ -10,8 +10,9 @@ Parity targets (reference community/):
 - GraphClusteringTools       ``community/GraphClusteringTools.hpp``
 
 Design: both Leiden and map-equation Louvain reuse the bulk-synchronous
-local-move skeleton of ``community.louvain`` (one join + one groupBy + one
-window per round — rides a single shuffle keyed by node). The reference's
+local-move skeleton of ``community.louvain`` (one join + grouped
+aggregations per round riding a single shuffle keyed by node; best-move
+picks are min-struct aggregates, not window sorts). The reference's
 thread-ordered sequential moves are replaced by simultaneous moves with
 deterministic tie-breaks; tests assert quality invariants (modularity /
 description length improves) rather than exact label equality.
@@ -20,7 +21,7 @@ description length improves) rather than exact label equality.
 from __future__ import annotations
 
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from icebug_spark.plans.zipindex import dense_index

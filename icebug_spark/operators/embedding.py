@@ -19,7 +19,7 @@ distributed node2vec: state size n·N, each step one join against the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
